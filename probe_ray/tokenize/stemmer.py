@@ -1,0 +1,268 @@
+"""Snowball English ("Porter2") stemmer, pure Python.
+
+Implements the published Snowball English stemming algorithm
+(https://snowballstem.org/algorithms/english/stemmer.html), the same
+algorithm the reference uses via rust_stemmers::Algorithm::English
+(/root/reference/src/ranking.rs:37-40). No third-party stemmer package is
+available in this environment, so the algorithm is implemented from the
+public specification and pinned by fixtures in tests/test_stemmer.py
+(including the stem pairs asserted by the reference's own tests).
+
+Only ASCII lowercase input occurs in practice (the tokenizer lowercases
+before stemming), but the implementation follows the spec generally.
+"""
+
+VOWELS = frozenset("aeiouy")
+DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+LI_ENDINGS = frozenset("cdeghkmnrt")
+
+_EXCEPTIONS1 = {
+    "skis": "ski",
+    "skies": "sky",
+    "dying": "die",
+    "lying": "lie",
+    "tying": "tie",
+    "idly": "idl",
+    "gently": "gentl",
+    "ugly": "ugli",
+    "early": "earli",
+    "only": "onli",
+    "singly": "singl",
+    "sky": "sky",
+    "news": "news",
+    "howe": "howe",
+    "atlas": "atlas",
+    "cosmos": "cosmos",
+    "bias": "bias",
+    "andes": "andes",
+}
+
+_EXCEPTIONS2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring", "proceed", "exceed", "succeed")
+)
+
+_R1_PREFIXES = ("gener", "commun", "arsen")
+
+_STEP2_SUFFIXES = (
+    ("ization", "ize"),
+    ("ational", "ate"),
+    ("ousness", "ous"),
+    ("iveness", "ive"),
+    ("fulness", "ful"),
+    ("tional", "tion"),
+    ("biliti", "ble"),
+    ("lessli", "less"),
+    ("entli", "ent"),
+    ("ation", "ate"),
+    ("alism", "al"),
+    ("aliti", "al"),
+    ("ousli", "ous"),
+    ("iviti", "ive"),
+    ("fulli", "ful"),
+    ("enci", "ence"),
+    ("anci", "ance"),
+    ("abli", "able"),
+    ("izer", "ize"),
+    ("ator", "ate"),
+    ("alli", "al"),
+    ("bli", "ble"),
+)
+
+_STEP3_SUFFIXES = (
+    ("ational", "ate"),
+    ("tional", "tion"),
+    ("alize", "al"),
+    ("icate", "ic"),
+    ("iciti", "ic"),
+    ("ical", "ic"),
+    ("ful", ""),
+    ("ness", ""),
+)
+
+_STEP4_SUFFIXES = (
+    "ement",
+    "ance",
+    "ence",
+    "able",
+    "ible",
+    "ment",
+    "ant",
+    "ent",
+    "ism",
+    "ate",
+    "iti",
+    "ous",
+    "ive",
+    "ize",
+    "al",
+    "er",
+    "ic",
+)
+
+
+def _compute_r1_r2(word: str) -> tuple[int, int]:
+    r1 = len(word)
+    for pref in _R1_PREFIXES:
+        if word.startswith(pref):
+            r1 = len(pref)
+            break
+    else:
+        for i in range(1, len(word)):
+            if word[i] not in _VOWELSET and word[i - 1] in _VOWELSET:
+                r1 = i + 1
+                break
+    r2 = len(word)
+    for i in range(r1 + 1, len(word)):
+        if word[i] not in _VOWELSET and word[i - 1] in _VOWELSET:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+_VOWELSET = frozenset("aeiouy")
+
+
+def _contains_vowel(s: str) -> bool:
+    return any(c in _VOWELSET for c in s)
+
+
+def _ends_short_syllable(word: str) -> bool:
+    n = len(word)
+    if n == 2:
+        return word[0] in _VOWELSET and word[1] not in _VOWELSET
+    if n >= 3:
+        c1, c2, c3 = word[-3], word[-2], word[-1]
+        return (
+            c2 in _VOWELSET
+            and c3 not in _VOWELSET
+            and c3 not in "wxY"
+            and c1 not in _VOWELSET
+        )
+    return False
+
+
+def _is_short(word: str, r1: int) -> bool:
+    return r1 >= len(word) and _ends_short_syllable(word)
+
+
+def stem(word: str) -> str:
+    """Stem one word with the Snowball English algorithm."""
+    if len(word) <= 2:
+        return word
+
+    # Mark consonant-y as "Y" so it is not treated as a vowel.
+    word = word.replace("’", "'").replace("‘", "'").replace("‛", "'")
+    if word.startswith("'"):
+        word = word[1:]
+        if len(word) <= 2:
+            return word
+
+    exc = _EXCEPTIONS1.get(word)
+    if exc is not None:
+        return exc
+
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _VOWELSET:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    r1, r2 = _compute_r1_r2(word)
+
+    # Step 0: strip 's / ' suffixes
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ied") or word.endswith("ies"):
+        word = word[:-2] if len(word) > 4 else word[:-1]
+    elif word.endswith("us") or word.endswith("ss"):
+        pass
+    elif word.endswith("s"):
+        if _contains_vowel(word[:-2]):
+            word = word[:-1]
+
+    if word in _EXCEPTIONS2:
+        return word
+
+    # Step 1b
+    if word.endswith("eedly"):
+        if len(word) - 5 >= r1:
+            word = word[:-3]
+    elif word.endswith("eed"):
+        if len(word) - 3 >= r1:
+            word = word[:-1]
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stem_part = word[: -len(suf)]
+                if _contains_vowel(stem_part):
+                    word = stem_part
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(DOUBLES):
+                        word = word[:-1]
+                    elif _is_short(word, r1):
+                        word += "e"
+                break
+
+    # Step 1c
+    if (
+        len(word) > 2
+        and word[-1] in "yY"
+        and word[-2] not in _VOWELSET
+    ):
+        word = word[:-1] + "i"
+
+    # Step 2 (in R1)
+    for suf, repl in _STEP2_SUFFIXES:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + repl
+            break
+    else:
+        if word.endswith("ogi"):
+            if len(word) - 3 >= r1 and len(word) >= 4 and word[-4] == "l":
+                word = word[:-1]
+        elif word.endswith("li"):
+            if len(word) - 2 >= r1 and len(word) >= 3 and word[-3] in LI_ENDINGS:
+                word = word[:-2]
+
+    # Step 3 (in R1)
+    for suf, repl in _STEP3_SUFFIXES:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + repl
+            break
+    else:
+        if word.endswith("ative"):
+            if len(word) - 5 >= r1 and len(word) - 5 >= r2:
+                word = word[:-5]
+
+    # Step 4 (in R2)
+    for suf in _STEP4_SUFFIXES:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                word = word[: -len(suf)]
+            break
+    else:
+        if word.endswith("ion"):
+            if len(word) - 3 >= r2 and len(word) >= 4 and word[-4] in "st":
+                word = word[:-3]
+
+    # Step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2:
+            word = word[:-1]
+        elif len(word) - 1 >= r1 and not _ends_short_syllable(word[:-1]):
+            word = word[:-1]
+    elif word.endswith("ll") and len(word) - 1 >= r2:
+        word = word[:-1]
+
+    return word.replace("Y", "y")
