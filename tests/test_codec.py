@@ -1,0 +1,62 @@
+import numpy as np
+
+from probe_ray.index.codec import (
+    BLOCK,
+    block_meta,
+    decode_selected_blocks,
+    decode_varint_deltas,
+    encode_varint_deltas,
+    merge_runs,
+    pack_tf,
+    unpack_tf,
+)
+
+
+def test_roundtrip_sizes():
+    rng = np.random.default_rng(1)
+    for n in [0, 1, 127, 128, 129, 1000, 50000]:
+        ids = np.unique(rng.integers(0, 2**62, size=n, dtype=np.uint64)) if n else np.empty(0, np.uint64)
+        buf = encode_varint_deltas(ids)
+        assert np.array_equal(decode_varint_deltas(buf, len(ids)), ids)
+
+
+def test_dense_compression():
+    ids = np.arange(0, 300000, 3, dtype=np.uint64)
+    buf = encode_varint_deltas(ids)
+    assert len(buf) / len(ids) < 1.1  # ~1 byte per posting for dense lists
+
+
+def test_selected_blocks():
+    rng = np.random.default_rng(2)
+    ids = np.unique(rng.integers(0, 2**40, size=5000, dtype=np.uint64))
+    buf = encode_varint_deltas(ids)
+    nb = (len(ids) + BLOCK - 1) // BLOCK
+    sel = np.array([0, 3, nb - 1])
+    got, pos = decode_selected_blocks(buf, len(ids), sel)
+    exp_pos = np.concatenate(
+        [np.arange(b * BLOCK, min((b + 1) * BLOCK, len(ids))) for b in sel]
+    )
+    assert np.array_equal(pos, exp_pos)
+    assert np.array_equal(got, ids[exp_pos])
+
+
+def test_tf_bitmap():
+    rng = np.random.default_rng(3)
+    tfs = rng.integers(1, 3, size=777)
+    assert np.array_equal(unpack_tf(pack_tf(tfs), 777), tfs)
+
+
+def test_merge_runs_ordered():
+    a = np.array([1, 5, 9], np.uint64)
+    b = np.array([2, 3, 10], np.uint64)
+    ids, tfs = merge_runs([(a, np.array([1, 1, 2])), (b, np.array([2, 1, 1]))])
+    assert ids.tolist() == [1, 2, 3, 5, 9, 10]
+    assert tfs.tolist() == [1, 2, 1, 1, 2, 1]
+
+
+def test_block_meta():
+    last, maxtf = block_meta(
+        np.arange(300, dtype=np.uint64), np.r_[np.ones(150), np.full(150, 2)]
+    )
+    assert np.frombuffer(last, np.uint64).tolist() == [127, 255, 299]
+    assert np.frombuffer(maxtf, np.uint8).tolist() == [1, 2, 2]

@@ -1,0 +1,140 @@
+"""Query parse/eval + BM25 oracle fixtures (FIXTURES.md SS3-SS4; pinned
+from elastic_query_tests.rs, elastic_query_evaluate_tests.rs and
+ranking.rs:796-893)."""
+
+import math
+
+from probe_ray.query.bm25 import (
+    B,
+    K1,
+    create_query_plan,
+    idf,
+    rank_documents,
+)
+from probe_ray.query.parser import And, Or, Term, evaluate, parse_query
+
+
+def test_prefixes():
+    assert parse_query("foo").ast == Term(keywords=["foo"])
+    assert parse_query("+foo").ast.required
+    assert parse_query("-foo").ast.excluded
+
+
+def test_implicit_or():
+    ast = parse_query("foo bar").ast
+    assert isinstance(ast, Or)
+
+
+def test_explicit_and_or():
+    assert isinstance(parse_query("error AND handling").ast, And)
+    assert isinstance(parse_query("error OR handling").ast, Or)
+    # case-insensitive keywords
+    assert isinstance(parse_query("error and handling").ast, And)
+
+
+def test_plus_minus_bind_as_and():
+    ast = parse_query("+foo bar -baz").ast
+    # ((foo OR bar) AND -baz)
+    assert isinstance(ast, And)
+    assert ast.right.excluded
+
+
+def test_grouping():
+    ast = parse_query("(ip OR port) AND config").ast
+    assert isinstance(ast, And) and isinstance(ast.left, Or)
+
+
+def test_field_captured_but_ignored():
+    ast = parse_query("title:foo").ast
+    assert ast.field == "title" and ast.keywords == ["foo"]
+
+
+def test_quoted_exact_registers_special():
+    res = parse_query('"JWTMiddleware"')
+    assert res.ast.exact and res.ast.keywords == ["JWTMiddleware"]
+    assert "jwtmiddleware" in res.special_terms
+
+
+def test_unquoted_multi_keyword_term():
+    assert parse_query("JWTMiddleware").ast.keywords == [
+        "jwt", "middleware", "middlewar",
+    ]
+
+
+def test_evaluate_fixtures():
+    plan = create_query_plan("(ip OR port) AND config")
+    ti = plan.term_indices
+    assert evaluate(plan.ast, {ti["ip"], ti["config"]}, ti)
+    assert not evaluate(plan.ast, {ti["config"]}, ti)
+
+    plan = create_query_plan("ip -test")
+    ti = plan.term_indices
+    assert evaluate(plan.ast, {ti["ip"]}, ti)
+    assert not evaluate(plan.ast, {ti["ip"], ti["test"]}, ti)
+    # ignore_negatives variant used for file-level filtering
+    assert evaluate(plan.ast, {ti["ip"], ti["test"]}, ti, ignore_negatives=True)
+
+
+def test_required_term_global_rule():
+    plan = create_query_plan("+foo OR bar")
+    ti = plan.term_indices
+    assert not evaluate(plan.ast, {ti["bar"]}, ti)
+    assert evaluate(plan.ast, {ti["foo"]}, ti)
+
+
+def test_multi_keyword_and_within_term():
+    plan = create_query_plan("JWTMiddleware")
+    ti = plan.term_indices
+    # one keyword present, others missing -> fails (AND within Term)
+    assert not evaluate(plan.ast, {ti["jwt"]}, ti)
+    assert evaluate(plan.ast, set(ti.values()), ti)
+
+
+def test_rank_required_all_must_match():
+    docs = ["api process load", "another random text with process"]
+    r = rank_documents(docs, "+api +process +load")
+    assert len(r) == 1 and r[0][0] == 0 and r[0][1] > 0
+
+
+def test_rank_coverage_order():
+    docs = ["api process load data", "api process load", "api process", "api"]
+    r = rank_documents(docs, "api process load data")
+    assert [i for i, _ in r] == [0, 1, 2, 3]
+    assert all(r[i][1] > r[i + 1][1] for i in range(len(r) - 1))
+
+
+def test_rank_term_cap_256():
+    q = " ".join(f"uniqword{i}xx" for i in range(300))
+    assert rank_documents(["uniqword1xx"], q) == []
+
+
+def test_rank_only_excluded():
+    r = rank_documents(["has sqlite here", "clean doc"], "-sqlite")
+    assert r == [(1, 0.0)]
+
+
+def test_exact_bm25_value():
+    # hand-computed single-doc, single-term value
+    docs = ["alpha beta", "gamma delta"]
+    r = rank_documents(docs, "alpha")
+    n, df = 2, 1
+    expected_idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    tf, dl, avgdl = 1.0, 2.0, 2.0
+    expected = expected_idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+    # doc 1 matches nothing -> optional Some(0.0), included at 0
+    assert r[0] == (0, expected)
+    assert r[1] == (1, 0.0)
+    assert idf(2, 1) == expected_idf
+
+
+def test_tie_break_doc_index():
+    docs = ["same text here", "same text here", "same text here"]
+    r = rank_documents(docs, "same")
+    assert [i for i, _ in r] == [0, 1, 2]
+    assert r[0][1] == r[1][1] == r[2][1]
+
+
+def test_lex_fallback():
+    # lexer failure (no valid tokens) raises, weird chars are skipped
+    ast = parse_query("@@@ foo").ast
+    assert ast == Term(keywords=["foo"])
