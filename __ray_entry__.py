@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship: build the inverted index over the sf0.001
+               documents corpus (mapped to the canonical code-table shape)
+               and run the reference query set; returns the concatenated
+               top-k results.
+queries()    — one entry per implemented operator/pipeline (SURVEY.md SS2/SS3
+               + the training-data ops); each takes sf_dir.
+oracle_sql() — DuckDB-equivalent SQL for the SQL-expressible subset; the
+               fulltext/sketch operators (tokenizer-dependent or
+               approximate) are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +21,119 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+
+    from probe_ray.ops.fts import fts_search_all
+
+    results = fts_search_all("/root/testdata/sf0.001", k=10)
+    parts = []
+    for name, t in results.items():
+        parts.append(
+            t.append_column("query", pa.array([name] * t.num_rows, pa.string()))
+        )
+    return pa.concat_tables(parts)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from probe_ray.ops import ann, dedup, fts, multimodal, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- fulltext index + BM25 search (core engine; rows-only checks) --
+        "fts_corpus_sha256": fts.corpus_sha256,
+        "fts_index_doc_stats": fts.index_doc_stats,
+        "fts_term_df_topk": fts.term_df_topk,
+        # --- text analysis ------------------------------------------------
+        "text_token_count": text.token_count,
+        "text_token_count_bpeish": text.token_count_bpeish,
+        "text_stats": text.text_stats,
+        "text_quality_score": text.quality_score,
+        "text_lang_id": text.lang_id,
+        "text_fingerprint": text.fingerprint,
+        # --- dedup --------------------------------------------------------
+        "dedup_exact_groups": dedup.exact_dedup_groups,
+        "dedup_exact_keep_first": dedup.exact_dedup_keep_first,
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash,
+        "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- similarity search -------------------------------------------
+        "ann_brute_topk": ann.ann_brute_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_lsh_buckets": ann.ann_lsh_buckets,
+        "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        # --- multimodal plumbing -----------------------------------------
+        "multimodal_payload_sizes": multimodal.payload_sizes,
+        "multimodal_features": multimodal.multimodal_features,
+    }
+    # one entry per fulltext search of the reference query set (rows-only)
+    for name in list(fts.REFERENCE_QUERIES) + list(fts.DOC_QUERIES):
+        q[f"fts_search_{name}"] = (
+            lambda sf_dir, _n=name: fts.fts_search(sf_dir, _n)
+        )
+    return q
+
+
+_WS_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fts_corpus_sha256": (
+            "SELECT printf('%s/doc_%08d.txt', source, doc_id) AS path, "
+            "sha256(text) AS sha256 FROM documents ORDER BY path"
+        ),
+        "fts_index_doc_stats": (
+            "SELECT count(*) AS n_docs, "
+            "count(DISTINCT sha256(text)) AS n_distinct_sha FROM documents"
+        ),
+        "text_token_count": (
+            f"SELECT doc_id, {_N_TOKENS} AS n_tokens FROM documents"
+        ),
+        "text_token_count_bpeish": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces FROM documents"
+        ),
+        "text_stats": (
+            "SELECT doc_id, length(text) AS n_chars_actual, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars, "
+            f"{_N_TOKENS} AS n_tokens, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct({_WS_TOKENS})) END"
+            " AS uniq_tokens FROM documents"
+        ),
+        "dedup_exact_groups": (
+            "SELECT sha256(text) AS sha, min(doc_id) AS keeper_id, "
+            "count(*) AS group_size FROM documents GROUP BY sha256(text)"
+        ),
+        "dedup_exact_keep_first": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY sha256(text) ORDER BY doc_id"
+        ),
+        "dedup_ngram_jaccard_pairs": (
+            "WITH s AS (SELECT DISTINCT doc_id, unnest("
+            + _WS_TOKENS
+            + ") AS tok FROM documents WHERE doc_id < 50 AND trim(text) <> ''), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter_count, "
+            "any_value(za.n) AS a_size, any_value(zb.n) AS b_size "
+            "FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+            "JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5 "
+            "ORDER BY a_id, b_id"
+        ),
+        "ann_brute_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings ORDER BY vec_id LIMIT 4), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+            "FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank "
+            "FROM scored) "
+            "SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
+        ),
+        "multimodal_payload_sizes": (
+            "SELECT doc_id, strlen(text) AS payload_bytes FROM documents"
+        ),
+    }

@@ -1,0 +1,214 @@
+"""Benchmark harness.
+
+Default: one JSON line with headline timings over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32):
+  - synthetic code-corpus generation (cached), inverted-index build
+    (files/s, MB/s), reference-query-set execution (per-query seconds)
+  - documents-table ops (dedup, token stats, ANN)
+
+--scaling: runs the index build + query set twice in fresh Ray sessions at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency = rate32 / (4 * rate8)  (the sandbox stand-in for
+the N- vs 4N-node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/probe_ray_bench"
+
+
+def _sf() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus(rows: int) -> str:
+    """Cached deterministic synthetic corpus (parallel generation)."""
+    import ray
+
+    d = os.path.join(BENCH_ROOT, f"corpus_{rows}")
+    marker = os.path.join(d, "_done")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+
+    from probe_ray.data.synth import make_rows
+
+    import pyarrow.parquet as pq
+
+    @ray.remote
+    def gen(part: int, start: int, count: int) -> str:
+        p = os.path.join(d, f"part-{part:05d}.parquet")
+        pq.write_table(make_rows(start, count), p)
+        return p
+
+    nfiles = 16
+    per = (rows + nfiles - 1) // nfiles
+    futs = []
+    start = 0
+    for f in range(nfiles):
+        count = min(per, rows - start)
+        if count <= 0:
+            break
+        futs.append(gen.remote(f, start, count))
+        start += count
+    ray.get(futs)
+    open(marker, "w").close()
+    return d
+
+
+def _corpus_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def run_headline(num_cpus: int, rows: int, tag: str) -> dict:
+    """Fresh Ray session: build index over the synthetic corpus + run the
+    reference query set. Returns timings."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        log_to_driver=False,
+    )
+    try:
+        from probe_ray.index.build import IndexConfig, build_index
+        from probe_ray.ops.fts import REFERENCE_QUERIES
+        from probe_ray.search.searcher import IndexReader
+
+        corpus = _corpus(rows)
+        nbytes = _corpus_bytes(corpus)
+        idx = os.path.join(BENCH_ROOT, f"index_{rows}_{tag}")
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        build_index(
+            [corpus],
+            idx,
+            IndexConfig(num_waves=2, subshards=max(4, num_cpus // 4)),
+        )
+        build_s = time.time() - t0
+
+        rd = IndexReader(idx)
+        qtimes = {}
+        # warm (loads docstats caches etc.)
+        rd.search("setTools", k=10)
+        for name, q in REFERENCE_QUERIES.items():
+            t1 = time.time()
+            rd.search(q, k=10)
+            qtimes[f"fts_{name}"] = round(time.time() - t1, 4)
+        return {
+            "build_seconds": round(build_s, 3),
+            "docs_per_sec": round(rows / build_s, 1),
+            "mb_per_sec": round(nbytes / 1e6 / build_s, 2),
+            "rows": rows,
+            "corpus_bytes": nbytes,
+            "query_seconds": qtimes,
+            "query_p50": round(
+                sorted(qtimes.values())[len(qtimes) // 2], 4
+            ),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_sf_ops(num_cpus: int) -> dict:
+    """documents/embeddings-table operator timings over SF_DIR."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        log_to_driver=False,
+    )
+    try:
+        from probe_ray.ops import ann, dedup, text
+
+        out = {}
+        for name, fn in [
+            ("dedup_exact", lambda: dedup.exact_dedup_groups(SF_DIR).count()),
+            ("text_stats", lambda: text.text_stats(SF_DIR).count()),
+            ("ann_brute_topk", lambda: ann.ann_brute_topk(SF_DIR).num_rows),
+            ("minhash_pairs", lambda: dedup.minhash_lsh_pairs(SF_DIR).count()),
+        ]:
+            t0 = time.time()
+            fn()
+            out[name] = round(time.time() - t0, 3)
+        return out
+    finally:
+        ray.shutdown()
+
+
+def main():
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    sf = _sf()
+    rows = max(2000, int(200_000 * sf))
+
+    if "--scaling" in sys.argv:
+        lo_cpus, hi_cpus = 8, 32
+        lo = run_headline(lo_cpus, rows, f"c{lo_cpus}")
+        hi = run_headline(hi_cpus, rows, f"c{hi_cpus}")
+        eff = (hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"]))
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sf": sf,
+                    "rows": rows,
+                    "low": {"num_cpus": lo_cpus, **lo},
+                    "high": {"num_cpus": hi_cpus, **hi},
+                }
+            )
+        )
+        return
+
+    head = run_headline(NUM_CPUS, rows, f"c{NUM_CPUS}")
+    ops = run_sf_ops(NUM_CPUS)
+    queries = dict(head["query_seconds"])
+    queries.update(ops)
+    total = head["build_seconds"] + sum(ops.values()) + sum(
+        head["query_seconds"].values()
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "index build + reference query set + doc ops wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "build_seconds": head["build_seconds"],
+                "build_docs_per_sec": head["docs_per_sec"],
+                "build_mb_per_sec": head["mb_per_sec"],
+                "query_p50": head["query_p50"],
+                "corpus_rows": head["rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

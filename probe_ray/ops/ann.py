@@ -1,0 +1,206 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k: the query matrix is broadcast once (ray.put /
+closure capture — small side), each batch does one f64 matmul, per-batch
+top-k, tiny driver merge. The LSH-bucketed variant is the scale path: docs
+hashed into hyperplane buckets once (index build), queries probe only
+their bucket (+ optional neighbors)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_matrix(sf_dir: str, nq: int) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by(
+        [("vec_id", "ascending")]
+    )
+    ids = t.column("vec_id").to_pylist()[:nq]
+    vecs = np.array(t.column("embedding").to_pylist()[:nq], dtype=np.float64)
+    return vecs, ids
+
+
+def ann_brute_topk(sf_dir: str, k: int = 5, nq: int = 4):
+    """Exact cosine top-k for the first nq vectors as queries:
+    (query_id, rank, vec_id). Scores omitted on purpose: integer output is
+    stable under the driver's cross-engine value hashing; ordering is
+    (sim desc, vec_id asc)."""
+    q, q_ids = _query_matrix(sf_dir, nq)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn @ mn.T  # (nq, batch)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([q_ids[qi]] * kk)
+            out_v.extend(vec_ids[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = _read_embeddings(sf_dir).map_batches(fn, batch_format="pyarrow")
+    all_rows = parts.take_all()
+    by_q: dict[int, list] = {}
+    for r in all_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["sim"]), int(r["vec_id"]))
+        )
+    out = {"query_id": [], "rank": [], "vec_id": []}
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda p: (-p[0], p[1]))[:k]
+        for rank, (_, vid) in enumerate(ranked, 1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+        }
+    )
+
+
+N_PLANES = 8
+_rng = np.random.default_rng(777)
+
+
+def _planes(dim: int) -> np.ndarray:
+    return np.random.default_rng(777).normal(size=(N_PLANES, dim))
+
+
+def ann_lsh_buckets(sf_dir: str):
+    """Hyperplane-LSH bucket assignment (the ANN scale path's index):
+    (vec_id, bucket)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        planes = _planes(m.shape[1])
+        bits = (m @ planes.T) > 0
+        bucket = bits @ (1 << np.arange(N_PLANES))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 5, nq: int = 4):
+    """Approximate cosine top-k probing only the query's LSH bucket.
+    (query_id, rank, vec_id) — approximate by design (scale path)."""
+    q, q_ids = _query_matrix(sf_dir, nq)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    planes = _planes(q.shape[1])
+    q_buckets = (((q @ planes.T) > 0) @ (1 << np.arange(N_PLANES))).astype(int)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        buckets = (((m @ planes.T) > 0) @ (1 << np.arange(N_PLANES))).astype(int)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = buckets == q_buckets[qi]
+            if not mask.any():
+                continue
+            s = qn[qi] @ mn[mask].T
+            ids_m = vec_ids[mask]
+            kk = min(k, len(ids_m))
+            part = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            out_q.extend([q_ids[qi]] * len(part))
+            out_v.extend(ids_m[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = _read_embeddings(sf_dir).map_batches(fn, batch_format="pyarrow")
+    rows = parts.take_all()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["sim"]), int(r["vec_id"]))
+        )
+    out = {"query_id": [], "rank": [], "vec_id": []}
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda p: (-p[0], p[1]))[:k]
+        for rank, (_, vid) in enumerate(ranked, 1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+        }
+    )
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.8, max_id: int = 500):
+    """Embedding-cosine near-duplicate pairs (a_id, b_id) for vec_id <
+    max_id: exact blockwise matmul (each batch vs broadcast matrix)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    keep = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v < max_id]
+    ids_all = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)[keep]
+    m_all = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[keep]
+    mn_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        sel = vec_ids < max_id
+        vec_ids = vec_ids[sel]
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)[sel]
+        if len(m) == 0:
+            return pa.table(
+                {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+            )
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn_all.T
+        a_out, b_out = [], []
+        for i in range(len(vec_ids)):
+            hits = np.flatnonzero(sims[i] >= threshold)
+            for j in hits:
+                if vec_ids[i] < ids_all[j]:
+                    a_out.append(int(vec_ids[i]))
+                    b_out.append(int(ids_all[j]))
+        return pa.table(
+            {
+                "a_id": pa.array(a_out, pa.int64()),
+                "b_id": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .sort(["a_id", "b_id"])
+    )

@@ -1,0 +1,170 @@
+"""Text-analysis operators over the ``documents`` table (training-data
+pipeline components; all streaming map_batches, no driver-side loops).
+
+Integer-valued outputs wherever an operator is oracle-checked via DuckDB
+(float hashing across engines is not stable)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+_ALPHA = re.compile(r"[A-Za-z]")
+_DIGIT = re.compile(r"[0-9]")
+# BPE-ish token pieces: words, numbers, single punctuation
+_BPEISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (documents are synthetic English-ish; profile list kept small)
+_LANG_PROFILES = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "en", "que"},
+}
+
+
+def _read_documents(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_count(sf_dir: str):
+    """Whitespace token count per document (doc_id, n_tokens)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [len(_WS.split(t.strip())) if t.strip() else 0 for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def token_count_bpeish(sf_dir: str):
+    """Sub-word-ish token count (regex BPE approximation): (doc_id, n_pieces)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [len(_BPEISH.findall(t)) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n, pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def text_stats(sf_dir: str):
+    """(doc_id, n_chars_actual, alpha_chars, digit_chars, n_tokens,
+    uniq_tokens) — quality-scoring raw counts, all integers."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows = {
+            "doc_id": batch.column("doc_id"),
+            "n_chars_actual": pa.array([len(t) for t in texts], pa.int64()),
+            "alpha_chars": pa.array(
+                [len(_ALPHA.findall(t)) for t in texts], pa.int64()
+            ),
+            "digit_chars": pa.array(
+                [len(_DIGIT.findall(t)) for t in texts], pa.int64()
+            ),
+            "n_tokens": pa.array(
+                [len(_WS.split(t.strip())) if t.strip() else 0 for t in texts],
+                pa.int64(),
+            ),
+            "uniq_tokens": pa.array(
+                [
+                    len(set(_WS.split(t.strip()))) if t.strip() else 0
+                    for t in texts
+                ],
+                pa.int64(),
+            ),
+        }
+        return pa.table(rows)
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str):
+    """Heuristic quality score per doc (doc_id, score milli-units int):
+    rewards unique-token ratio and alpha ratio, penalizes very short docs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            toks = _WS.split(t.strip()) if t.strip() else []
+            n = len(toks)
+            uniq = len(set(toks))
+            alpha = len(_ALPHA.findall(t))
+            ratio_u = uniq / n if n else 0.0
+            ratio_a = alpha / len(t) if t else 0.0
+            length_ok = 1.0 if n >= 20 else n / 20.0
+            out.append(int(round(1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok))))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "quality_milli": pa.array(out, pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str):
+    """Stop-word-profile language guess (doc_id, lang_guess)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            toks = set(w.lower() for w in _WS.split(t.strip())[:200])
+            best, best_n = "unknown", 0
+            for lang, prof in _LANG_PROFILES.items():
+                hits = len(toks & prof)
+                if hits > best_n:
+                    best, best_n = lang, hits
+            out.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_guess": pa.array(out, pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint(sf_dir: str):
+    """64-bit rolling-hash document fingerprint (doc_id, fp)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = []
+        for t in texts:
+            h = np.uint64(1469598103934665603)
+            prime = np.uint64(1099511628211)
+            with np.errstate(over="ignore"):
+                for b in t.encode()[:4096]:
+                    h = (h ^ np.uint64(b)) * prime
+            fps.append(int(h & np.uint64(0x7FFFFFFFFFFFFFFF)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(fps, pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
