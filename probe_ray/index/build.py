@@ -7,27 +7,35 @@ of the reference's per-query rayon scan, search_runner.rs:215-1560):
     -> split deterministically into WAVES (the checkpoint/lineage unit)
     -> per wave:
        read_parquet(fragments)
-         -> map_batches(TokenizeEmit, batch_format="pyarrow")   # stateless
-              emits posting rows (subshard, term, salt, doc_hash, tf)
-              and doc rows    (subshard, doc_hash, repo, path, commit,
-                               lang, sha256, doc_len)
+         -> map_batches(TokenizePartial, batch_format="pyarrow")  # stateless
+              per batch emits PARTIAL POSTING RUNS — one row per
+              (subshard, term): sorted doc-hash ids + tf bytes — and doc
+              rows (subshard, doc_hash, repo, path, commit, lang, sha256,
+              doc_len)
          -> written to an intermediate parquet (tokenize runs ONCE; the
             intermediate is also the wave's resume artifact)
-       doc rows -> groupby(subshard) -> docstats files
-              (docs sorted by doc_hash; row position = dense local id)
-       posting rows -> groupby([subshard, term, salt])   # THE wide shuffle
-              -> encode sorted partial runs (local ids via docmap lookup)
-         -> groupby([subshard, term]) -> ordered merge of salted runs
-              -> delta+varint payload + tf bitmap + block-max metadata
-         -> postings parquet per (wave, subshard), sorted by term
+       -> groupby(subshard)                       # THE wide shuffle (one!)
+            .map_groups(finalize_subshard)
+              - doc rows: sort by doc_hash -> docstats file
+                (row position = dense local id)
+              - partial runs: per term, ORDERED MERGE of the sorted runs
+                (codec.merge_runs) -> delta+varint payload + tf bitmap +
+                block-max metadata -> postings file sorted by term
        wave manifest {fragments, n_docs, n_tokens, per-subshard metrics,
                       status} written atomically -> re-runs skip done waves.
+    -> global term dictionary: groupby(term).sum(df) over the per-subshard
+       postings -> dict/ parquet sorted by term (row-group-prunable df
+       lookups at query time; no postings scan needed for idf).
 
-Skew: hot terms ("return", "fn", ... appear in ~every doc) are salted at
-emit time when their batch-local document frequency exceeds
-``hot_batch_frac`` of the batch, bounding any single shuffle group to
-~1/salt_buckets of a subshard; the second, cheap groupby merges the sorted
-runs (ordered merge, codec.merge_runs).
+Skew: hot terms ("return", "fn", ... appear in ~every doc) never form a
+shuffle group of their own — the shuffle key is the *subshard* (uniform by
+doc hash), and a hot term is just a long pre-sorted run per input batch,
+merged vectorized. This is the salted-partial-postings design with
+salt = source batch: partial aggregation happens inside map_batches (runs
+deduplicate the term string per batch and pre-sort ids), and the single
+groupby performs the ordered merge. Any one group's size is bounded by
+wave_bytes / subshards — both knobs in IndexConfig, scaled so a group fits
+a worker's heap at 100 TB (more waves = less memory, same total work).
 
 Doc ids: doc_hash = first 8 bytes of sha256(repo NUL path) masked to 63
 bits; dense local id = rank of doc_hash within its (wave, subshard). Final
@@ -38,6 +46,7 @@ file walk (ranking.rs:406-418, search_runner.rs:1697-1741).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -47,21 +56,21 @@ from dataclasses import asdict, dataclass
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
 from .codec import block_meta, encode_varint_deltas, merge_runs, pack_tf
 
-DOC_ROW_TERM = ""  # tokenize() never emits an empty-string term
+# Parquet row-group size for postings files: small groups => the query
+# stage's term-filtered reads prune to a few row groups per term.
+POSTINGS_ROW_GROUP = 2048
+DICT_ROW_GROUP = 16384
 
 
 @dataclass
 class IndexConfig:
     num_waves: int = 2
     subshards: int = 4  # per wave
-    salt_buckets: int = 8
-    hot_batch_frac: float = 0.25
     tokenize_batch_size: int = 256
     # Mirrors the reference's 1 MB file cap (search_runner.rs:1774) when set.
     max_content_bytes: int | None = None
@@ -72,8 +81,13 @@ def doc_hash64(repo: str, path: str) -> int:
     return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
-class TokenizeEmit:
-    """Stateless-per-batch tokenizer stage (actor pool for warm caches)."""
+class TokenizePartial:
+    """Stateless-per-batch tokenizer stage emitting partial posting runs.
+
+    One output row per (subshard, term) per batch (ids sorted by doc_hash,
+    so the finalize stage's merge is an ordered merge of sorted runs), plus
+    one doc row per input document.
+    """
 
     def __init__(self, cfg: IndexConfig):
         self.cfg = cfg
@@ -87,73 +101,87 @@ class TokenizeEmit:
         contents = batch.column("content").to_pylist()
         n = len(repos)
 
-        doc_hashes = np.empty(n, dtype=np.int64)
+        doc_hashes = np.fromiter(
+            (doc_hash64(repos[i], paths[i]) for i in range(n)),
+            dtype=np.int64,
+            count=n,
+        )
+        # sort docs by doc_hash so per-term id runs are sorted by construction
+        order = np.argsort(doc_hashes, kind="stable")
+
         doc_lens = np.empty(n, dtype=np.int32)
         shas: list[str] = []
-        per_doc_tf: list[dict[str, int]] = []
-        batch_df: dict[str, int] = {}
-        for i in range(n):
+        runs: dict[tuple[int, str], tuple[list[int], list[int]]] = {}
+        sub_arr = np.empty(n, dtype=np.int32)
+        for j in range(n):
+            i = int(order[j])
             content = contents[i]
-            if cfg.max_content_bytes is not None and len(content) > cfg.max_content_bytes:
+            if (
+                cfg.max_content_bytes is not None
+                and len(content) > cfg.max_content_bytes
+            ):
                 content = ""
             toks = preprocess_text_with_filename(content, paths[i])
             tf: dict[str, int] = {}
             for t in toks:
                 tf[t] = tf.get(t, 0) + 1
-            per_doc_tf.append(tf)
-            doc_lens[i] = len(toks)
-            doc_hashes[i] = doc_hash64(repos[i], paths[i])
-            shas.append(hashlib.sha256(contents[i].encode()).hexdigest())
-            for t in tf:
-                batch_df[t] = batch_df.get(t, 0) + 1
-
-        hot_cut = max(2.0, cfg.hot_batch_frac * n)
-        hot = {t for t, c in batch_df.items() if c >= hot_cut}
-
-        sub = ((doc_hashes >> 32) % cfg.subshards).astype(np.int32)
-        out_sub: list[int] = []
-        out_term: list[str] = []
-        out_salt: list[int] = []
-        out_hash: list[int] = []
-        out_tf: list[int] = []
-        for i in range(n):
             dh = int(doc_hashes[i])
-            s = int(sub[i])
-            salt_of_doc = dh % cfg.salt_buckets
-            for t, f in per_doc_tf[i].items():
-                out_sub.append(s)
-                out_term.append(t)
-                out_salt.append(salt_of_doc if t in hot else 0)
-                out_hash.append(dh)
-                out_tf.append(f)
+            s = (dh >> 32) % cfg.subshards
+            sub_arr[i] = s
+            doc_lens[i] = len(toks)
+            for t, f in tf.items():
+                run = runs.get((s, t))
+                if run is None:
+                    run = ([], [])
+                    runs[(s, t)] = run
+                run[0].append(dh)
+                run[1].append(f)
+        for i in range(n):
+            shas.append(hashlib.sha256(contents[i].encode()).hexdigest())
 
-        n_post = len(out_term)
-        nulls_str = pa.nulls(n_post, pa.string())
-        nulls_i32 = pa.nulls(n_post, pa.int32())
-        posting = pa.table(
+        keys = sorted(runs.keys())
+        r_sub = np.empty(len(keys), dtype=np.int32)
+        r_term: list[str] = []
+        r_n = np.empty(len(keys), dtype=np.int64)
+        r_ids: list[bytes] = []
+        r_tfs: list[bytes] = []
+        for idx, (s, t) in enumerate(keys):
+            ids, tfs = runs[(s, t)]
+            r_sub[idx] = s
+            r_term.append(t)
+            r_n[idx] = len(ids)
+            r_ids.append(np.asarray(ids, dtype=np.uint64).tobytes())
+            r_tfs.append(np.asarray(tfs, dtype=np.uint8).tobytes())
+
+        npart = len(keys)
+        nulls_str = pa.nulls(npart, pa.string())
+        partial = pa.table(
             {
-                "subshard": pa.array(out_sub, pa.int32()),
-                "term": pa.array(out_term, pa.string()),
-                "salt": pa.array(out_salt, pa.int32()),
-                "doc_hash": pa.array(out_hash, pa.int64()),
-                "tf": pa.array(out_tf, pa.int32()),
-                "is_doc": pa.array(np.zeros(n_post, dtype=bool)),
+                "subshard": pa.array(r_sub),
+                "is_doc": pa.array(np.zeros(npart, dtype=bool)),
+                "term": pa.array(r_term, pa.string()),
+                "n": pa.array(r_n),
+                "ids": pa.array(r_ids, pa.binary()),
+                "tfs": pa.array(r_tfs, pa.binary()),
+                "doc_hash": pa.array(np.zeros(npart, dtype=np.int64)),
                 "repo": nulls_str,
                 "path": nulls_str,
                 "commit": nulls_str,
                 "lang": nulls_str,
                 "sha256": nulls_str,
-                "doc_len": nulls_i32,
+                "doc_len": pa.nulls(npart, pa.int32()),
             }
         )
+        empty_bin = pa.array([b""] * n, pa.binary())
         docs = pa.table(
             {
-                "subshard": pa.array(sub),
-                "term": pa.array([DOC_ROW_TERM] * n, pa.string()),
-                "salt": pa.array(np.zeros(n, dtype=np.int32)),
-                "doc_hash": pa.array(doc_hashes),
-                "tf": pa.array(np.zeros(n, dtype=np.int32)),
+                "subshard": pa.array(sub_arr),
                 "is_doc": pa.array(np.ones(n, dtype=bool)),
+                "term": pa.array([""] * n, pa.string()),
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+                "ids": empty_bin,
+                "tfs": empty_bin,
+                "doc_hash": pa.array(doc_hashes),
                 "repo": pa.array(repos, pa.string()),
                 "path": pa.array(paths, pa.string()),
                 "commit": pa.array(commits, pa.string()),
@@ -162,10 +190,10 @@ class TokenizeEmit:
                 "doc_len": pa.array(doc_lens),
             }
         )
-        return pa.concat_tables([posting, docs])
+        return pa.concat_tables([partial, docs])
 
 
-# --- docmap cache (worker-process global; Ray reuses worker processes) -----
+# --- per-worker caches (Ray reuses worker processes) -----------------------
 
 _DOCMAP_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
 
@@ -173,6 +201,12 @@ _DOCMAP_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
 def _docstats_path(out_dir: str, wave: int, subshard: int) -> str:
     return os.path.join(
         out_dir, "waves", f"w{wave:04d}", "docstats", f"sub-{subshard:04d}.parquet"
+    )
+
+
+def _postings_path(out_dir: str, wave: int, subshard: int) -> str:
+    return os.path.join(
+        out_dir, "waves", f"w{wave:04d}", "postings", f"sub-{subshard:04d}.parquet"
     )
 
 
@@ -188,98 +222,111 @@ def _load_docmap(out_dir: str, wave: int, subshard: int) -> np.ndarray:
     return hit
 
 
-def build_docstats_group(group: pa.Table, *, out_dir: str, wave: int) -> pa.Table:
-    """One group = all docs of one (wave, subshard). Sort by doc_hash,
-    write the docstats file atomically, return a metrics row."""
+def _write_atomic(table: pa.Table, path: str, row_group_size: int | None = None):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=row_group_size)
+    os.replace(tmp, path)
+
+
+def finalize_subshard(group: pa.Table, *, out_dir: str, wave: int) -> pa.Table:
+    """One group = one (wave, subshard): write docstats + merged postings,
+    return a metrics row. Atomic file writes make re-runs idempotent."""
     sub = int(group.column("subshard")[0].as_py())
-    order = pc.sort_indices(group, sort_keys=[("doc_hash", "ascending")])
-    g = group.take(order)
-    hashes = g.column("doc_hash").to_numpy()
+
+    is_doc = group.column("is_doc").to_numpy(zero_copy_only=False)
+    docs = group.filter(pa.array(is_doc))
+    parts = group.filter(pa.array(~is_doc))
+
+    # --- docstats: sorted by doc_hash; row position = dense local id ------
+    order = pc.sort_indices(docs, sort_keys=[("doc_hash", "ascending")])
+    docs = docs.take(order)
+    hashes = docs.column("doc_hash").to_numpy()
     if len(np.unique(hashes)) != len(hashes):
         raise RuntimeError(
             f"doc_hash collision in wave {wave} subshard {sub}; "
             "widen the hash before indexing at this scale"
         )
-    out = pa.table(
+    _write_atomic(
+        docs.select(
+            ["doc_hash", "repo", "path", "commit", "lang", "sha256", "doc_len"]
+        ),
+        _docstats_path(out_dir, wave, sub),
+    )
+    docmap = hashes  # sorted int64
+
+    # --- postings: ordered merge of partial runs per term -----------------
+    t_order = pc.sort_indices(parts, sort_keys=[("term", "ascending")])
+    parts = parts.take(t_order)
+    terms = parts.column("term").to_pylist()
+    ns = parts.column("n").to_numpy()
+    ids_col = parts.column("ids").to_pylist()
+    tfs_col = parts.column("tfs").to_pylist()
+
+    o_term: list[str] = []
+    o_df: list[int] = []
+    o_maxtf: list[int] = []
+    o_payload: list[bytes] = []
+    o_tfbits: list[bytes] = []
+    o_blast: list[bytes] = []
+    o_bmaxtf: list[bytes] = []
+    n_postings = 0
+
+    i = 0
+    nrows = len(terms)
+    while i < nrows:
+        j = i
+        while j < nrows and terms[j] == terms[i]:
+            j += 1
+        runs = [
+            (
+                np.frombuffer(ids_col[r], dtype=np.uint64),
+                np.frombuffer(tfs_col[r], dtype=np.uint8),
+            )
+            for r in range(i, j)
+        ]
+        hids, tfs = merge_runs(runs)
+        # doc_hash -> dense local id (docmap sorted => mapping is monotone,
+        # so local ids stay sorted)
+        local = np.searchsorted(docmap, hids.astype(np.int64)).astype(np.uint64)
+        blk_last, blk_maxtf = block_meta(local, tfs)
+        o_term.append(terms[i])
+        o_df.append(len(local))
+        o_maxtf.append(int(tfs.max()) if len(tfs) else 0)
+        o_payload.append(encode_varint_deltas(local))
+        o_tfbits.append(pack_tf(tfs))
+        o_blast.append(blk_last)
+        o_bmaxtf.append(blk_maxtf)
+        n_postings += len(local)
+        i = j
+
+    nt = len(o_term)
+    posting_tbl = pa.table(
         {
-            "doc_hash": g.column("doc_hash"),
-            "repo": g.column("repo"),
-            "path": g.column("path"),
-            "commit": g.column("commit"),
-            "lang": g.column("lang"),
-            "sha256": g.column("sha256"),
-            "doc_len": g.column("doc_len"),
+            "wave": pa.array([wave] * nt, pa.int32()),
+            "subshard": pa.array([sub] * nt, pa.int32()),
+            "term": pa.array(o_term, pa.string()),
+            "df": pa.array(o_df, pa.int64()),
+            "max_tf": pa.array(o_maxtf, pa.int32()),
+            "payload": pa.array(o_payload, pa.binary()),
+            "tf_bits": pa.array(o_tfbits, pa.binary()),
+            "blk_last": pa.array(o_blast, pa.binary()),
+            "blk_maxtf": pa.array(o_bmaxtf, pa.binary()),
         }
     )
-    path = _docstats_path(out_dir, wave, sub)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    dl = g.column("doc_len").to_numpy()
+    _write_atomic(
+        posting_tbl, _postings_path(out_dir, wave, sub), POSTINGS_ROW_GROUP
+    )
+
+    dl = docs.column("doc_len").to_numpy()
     return pa.table(
         {
             "subshard": pa.array([sub], pa.int32()),
-            "n_docs": pa.array([len(g)], pa.int64()),
+            "n_docs": pa.array([len(docs)], pa.int64()),
             "n_tokens": pa.array([int(dl.sum())], pa.int64()),
             "min_dlen": pa.array([int(dl.min()) if len(dl) else 0], pa.int64()),
-        }
-    )
-
-
-def encode_run_group(group: pa.Table, *, out_dir: str, wave: int) -> pa.Table:
-    """One group = (subshard, term, salt): map doc_hash -> dense local id,
-    sort, emit a raw sorted run (merged and compressed in the next stage)."""
-    sub = int(group.column("subshard")[0].as_py())
-    term = group.column("term")[0].as_py()
-    salt = int(group.column("salt")[0].as_py())
-    docmap = _load_docmap(out_dir, wave, sub)
-    hashes = group.column("doc_hash").to_numpy()
-    tfs = group.column("tf").to_numpy()
-    local = np.searchsorted(docmap, hashes).astype(np.uint64)
-    order = np.argsort(local, kind="stable")
-    local = local[order]
-    tfs = tfs[order]
-    return pa.table(
-        {
-            "subshard": pa.array([sub], pa.int32()),
-            "term": pa.array([term], pa.string()),
-            "salt": pa.array([salt], pa.int32()),
-            "n": pa.array([len(local)], pa.int64()),
-            "ids": pa.array([local.tobytes()], pa.binary()),
-            "tfs": pa.array([tfs.astype(np.uint8).tobytes()], pa.binary()),
-        }
-    )
-
-
-def merge_posting_group(group: pa.Table, *, wave: int) -> pa.Table:
-    """One group = (subshard, term): ordered merge of salted runs ->
-    final compressed posting row with block-max metadata."""
-    sub = int(group.column("subshard")[0].as_py())
-    term = group.column("term")[0].as_py()
-    runs = []
-    ids_col = group.column("ids").to_pylist()
-    tfs_col = group.column("tfs").to_pylist()
-    for ids_b, tfs_b in zip(ids_col, tfs_col):
-        runs.append(
-            (
-                np.frombuffer(ids_b, dtype=np.uint64),
-                np.frombuffer(tfs_b, dtype=np.uint8),
-            )
-        )
-    ids, tfs = merge_runs(runs)
-    blk_last, blk_maxtf = block_meta(ids, tfs)
-    return pa.table(
-        {
-            "wave": pa.array([wave], pa.int32()),
-            "subshard": pa.array([sub], pa.int32()),
-            "term": pa.array([term], pa.string()),
-            "df": pa.array([len(ids)], pa.int64()),
-            "max_tf": pa.array([int(tfs.max()) if len(tfs) else 0], pa.int32()),
-            "payload": pa.array([encode_varint_deltas(ids)], pa.binary()),
-            "tf_bits": pa.array([pack_tf(tfs)], pa.binary()),
-            "blk_last": pa.array([blk_last], pa.binary()),
-            "blk_maxtf": pa.array([blk_maxtf], pa.binary()),
+            "n_terms": pa.array([nt], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
         }
     )
 
@@ -329,8 +376,6 @@ def build_index(
 ) -> dict:
     """Build (or resume) the index. ``fail_after_wave`` injects a failure
     after N completed waves (resume tests, FIXTURES.md SS6)."""
-    import ray.data
-
     cfg = cfg or IndexConfig()
     files = list_fragments(input_paths)
     if not files:
@@ -351,6 +396,8 @@ def build_index(
         if fail_after_wave is not None and done >= fail_after_wave:
             raise RuntimeError(f"injected failure after {done} waves")
 
+    _build_dictionary(out_dir, len(waves))
+
     # Global manifest from wave manifests.
     n_docs = n_tokens = 0
     min_dlen = None
@@ -365,7 +412,7 @@ def build_index(
             min_dlen = wmin if min_dlen is None else min(min_dlen, wmin)
         wave_entries.append(wm)
     manifest = {
-        "version": 1,
+        "version": 2,
         "input_files": files,
         "config": asdict(cfg),
         "n_docs": n_docs,
@@ -401,11 +448,10 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
             wave_files, columns=["repo", "path", "commit", "lang", "content"]
         )
         out = ds.map_batches(
-            TokenizeEmit(cfg),
+            TokenizePartial(cfg),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.tokenize_batch_size,
-            concurrency=None,
         )
         import shutil
 
@@ -414,19 +460,10 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
         steps["tokenized"] = "done"
         _write_json_atomic(wm_path, wm)
 
-    if steps.get("docstats") != "done":
-        docs = ray.data.read_parquet(
-            tok_dir,
-            columns=[
-                "subshard", "doc_hash", "repo", "path", "commit", "lang",
-                "sha256", "doc_len",
-            ],
-            filter=pc.field("is_doc") == True,  # noqa: E712
-        )
-        import functools
-
-        metrics = docs.groupby("subshard").map_groups(
-            functools.partial(build_docstats_group, out_dir=out_dir, wave=wave),
+    if steps.get("finalized") != "done":
+        inter = ray.data.read_parquet(tok_dir)
+        metrics = inter.groupby("subshard").map_groups(
+            functools.partial(finalize_subshard, out_dir=out_dir, wave=wave),
             batch_format="pyarrow",
         )
         rows = metrics.take_all()
@@ -439,36 +476,74 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
                     "subshard": int(r["subshard"]),
                     "n_docs": int(r["n_docs"]),
                     "n_tokens": int(r["n_tokens"]),
+                    "n_terms": int(r["n_terms"]),
+                    "n_postings": int(r["n_postings"]),
                 }
                 for r in rows
             ),
             key=lambda x: x["subshard"],
         )
-        steps["docstats"] = "done"
-        _write_json_atomic(wm_path, wm)
-
-    post_dir = os.path.join(wdir, "postings")
-    if steps.get("postings") != "done":
-        import functools
-        import shutil
-
-        posts = ray.data.read_parquet(
-            tok_dir,
-            columns=["subshard", "term", "salt", "doc_hash", "tf"],
-            filter=pc.field("is_doc") == False,  # noqa: E712
-        )
-        runs = posts.groupby(["subshard", "term", "salt"]).map_groups(
-            functools.partial(encode_run_group, out_dir=out_dir, wave=wave),
-            batch_format="pyarrow",
-        )
-        merged = runs.groupby(["subshard", "term"]).map_groups(
-            functools.partial(merge_posting_group, wave=wave),
-            batch_format="pyarrow",
-        )
-        shutil.rmtree(post_dir, ignore_errors=True)
-        merged.write_parquet(post_dir)
-        steps["postings"] = "done"
+        steps["finalized"] = "done"
         _write_json_atomic(wm_path, wm)
 
     wm["status"] = "done"
     _write_json_atomic(wm_path, wm)
+
+
+def _dict_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "dict")
+
+
+def _build_dictionary(out_dir: str, num_waves: int) -> None:
+    """Global (term, df) dictionary, sorted by term, for query-time idf
+    lookups with parquet row-group pruning (no postings scan per query)."""
+    import ray.data
+
+    ddir = _dict_dir(out_dir)
+    marker = os.path.join(ddir, "_done")
+    if os.path.exists(marker):
+        return
+    paths = []
+    for w in range(num_waves):
+        d = os.path.join(_wave_dir(out_dir, w), "postings")
+        paths.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+    ds = ray.data.read_parquet(paths, columns=["term", "df"])
+    agg = ds.groupby("term").sum("df").sort("term")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "df": batch.column("sum(df)").cast(pa.int64()),
+            }
+        )
+
+    import shutil
+
+    shutil.rmtree(ddir, ignore_errors=True)
+    agg.map_batches(rename, batch_format="pyarrow").write_parquet(
+        ddir, row_group_size=DICT_ROW_GROUP
+    )
+    open(marker, "w").close()
+
+
+def lookup_df(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """df for the given terms from the sorted dictionary (row-group pruned)."""
+    import pyarrow.dataset as pads
+
+    if not terms:
+        return {}
+    dset = pads.dataset(
+        [
+            os.path.join(_dict_dir(index_dir), f)
+            for f in sorted(os.listdir(_dict_dir(index_dir)))
+            if f.endswith(".parquet")
+        ]
+    )
+    t = dset.to_table(filter=pads.field("term").isin(terms))
+    return {
+        term: int(df)
+        for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+    }

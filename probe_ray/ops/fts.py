@@ -64,12 +64,18 @@ def corpus_parquet(sf_dir: str) -> str:
 
 
 def ensure_index(sf_dir: str) -> str:
+    import json
+    import shutil
+
     corpus = corpus_parquet(sf_dir)
     idx = os.path.join(_cache_dir(sf_dir), "index")
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
-        build_index(
-            [corpus], idx, IndexConfig(num_waves=2, subshards=4)
-        )
+    mpath = os.path.join(idx, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            if json.load(f).get("version") == 2:
+                return idx
+        shutil.rmtree(idx, ignore_errors=True)
+    build_index([corpus], idx, IndexConfig(num_waves=2, subshards=4))
     return idx
 
 

@@ -6,58 +6,79 @@ Query flow (SURVEY.md SS4.2 "query job"):
   tokenization, hazard H2) are answered by the exact distributed scan path
   (probe_ray.search.scan) instead of the index.
 
-  index path:
-    read_parquet(postings, filter=term.isin(query_terms))  # predicate
-      pushdown; only matched posting rows leave storage
-    -> global df per term aggregated driver-side (tiny)
-    -> groupby([wave, subshard]).map_groups(score_group)   # each partition
-         scored independently with global stats; docstats cached per worker
-    -> driver merges per-partition top-k by (score desc, repo, path)
+  index path (stateful actor pool — the "shared index" case where raw Ray
+  actors beat a per-query Dataset: segment state persists across queries):
+    driver: df for the query terms from the sorted term dictionary
+            (parquet row-group pruning; no postings scan) -> global idfs
+    -> SegmentWorker actor pool, created once per IndexReader; each actor
+       owns a static set of (wave, subshard) segments and caches their
+       docstats in memory across queries
+    -> per segment: term-filtered parquet read of the postings (row-group
+       pruned by the sorted term column) -> exact block-max top-k scoring
+    -> driver merges the per-segment top-k tables (tiny) by
+       (score desc, repo, path).
 
-Exactness optimizations inside a partition:
+Exactness optimizations inside a segment:
   - required-term narrowing: candidates = intersection of required-term
     postings (cheap sorted-array intersect) — other docs are excluded by
     score_expr anyway.
   - block-max pruning: candidates appearing ONLY in "hot" postings are
     kept only if their block upper bound (idf * impact(block max_tf,
-    subshard min doc_len)) summed with the other hot terms' global upper
-    bounds can reach the partition-local threshold established by scoring
-    the rare-term candidates first. Skipped blocks are never varint-decoded
+    min doc_len)) summed with the other hot terms' global upper bounds can
+    reach the segment-local threshold established by scoring the rare-term
+    candidates first. Skipped blocks are never varint-decoded
     (block-aligned codec). Both steps discard only provably sub-threshold
     docs => results identical to exhaustive scoring.
 
 Result ordering: (score desc, repo asc, path asc) — the distributed
 equivalent of the reference's (score desc, doc index asc) over its sorted
 file walk (ranking.rs:406-418).
+
+Field filters: `filters={"lang": ..., "repo": ..., "path": ...}` narrow the
+result set by document metadata (lang = exact match, repo/path =
+substring). Scoring statistics (N, df, avgdl) stay corpus-global — filters
+select from the corpus-wide ranking, mirroring how the reference's
+filename/language CLI flags pre-filter its file walk without changing BM25
+stats scope (file_list_cache.rs:461-556). The reference *parses* field
+prefixes in queries but ignores them during evaluation
+(elastic_query.rs:357-364); parity mode does the same, so field filtering
+is exposed only through this explicit API.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from probe_ray.index.build import _docstats_path
+from probe_ray.index.build import (
+    _docstats_path,
+    _postings_path,
+    lookup_df,
+)
 from probe_ray.index.codec import (
-    BLOCK,
     decode_selected_blocks,
     decode_varint_deltas,
     unpack_tf,
 )
-from probe_ray.query.bm25 import QueryPlan, create_query_plan, idf as idf_fn
+from probe_ray.query.bm25 import MAX_QUERY_TERMS, QueryPlan, create_query_plan, idf as idf_fn
+from probe_ray.query.parser import walk_terms
 from probe_ray.search.scoring import max_impact, score_ast, zero_match_included
 
-# Partition-local candidate count above which a term is treated as "hot"
+# Segment-local candidate count above which a term is treated as "hot"
 # (block-max pruned) when it is not required/excluded.
 HOT_DF = 8192
 
 _DOCSTATS_CACHE: dict[tuple[str, int, int], pa.Table] = {}
+
+RESULT_COLS = [
+    "query", "score", "repo", "path", "commit", "lang", "sha256", "doc_len",
+]
 
 
 def _load_docstats(index_dir: str, wave: int, subshard: int) -> pa.Table:
@@ -77,6 +98,7 @@ class _QuerySpec:
     plan: QueryPlan
     idfs: dict[str, float]
     need_fill: bool
+    filters: dict[str, str] = field(default_factory=dict)
 
 
 def _intersect_sorted(arrays: list[np.ndarray]) -> np.ndarray:
@@ -88,30 +110,45 @@ def _intersect_sorted(arrays: list[np.ndarray]) -> np.ndarray:
     return out
 
 
-def score_group(
-    group: pa.Table,
+def _filter_mask(stats: pa.Table, filters: dict[str, str]) -> np.ndarray | None:
+    """Boolean mask over the docstats rows for metadata field filters."""
+    if not filters:
+        return None
+    mask = None
+    for fld, val in filters.items():
+        if fld == "lang":
+            m = pc.equal(stats.column("lang"), val)
+        else:
+            m = pc.match_substring(stats.column(fld), val)
+        arr = m.to_numpy(zero_copy_only=False)
+        mask = arr if mask is None else (mask & arr)
+    return mask
+
+
+def score_segment(
+    postings: pa.Table,
     *,
     index_dir: str,
+    wave: int,
+    sub: int,
     specs: list[_QuerySpec],
     k: int,
     avgdl: float,
     min_dlen: int,
 ) -> pa.Table:
-    """Score one (wave, subshard) partition for every query; return its
-    top-k rows per query (comparator: -score, repo, path)."""
-    wave = int(group.column("wave")[0].as_py())
-    sub = int(group.column("subshard")[0].as_py())
+    """Score one (wave, subshard) segment for every query; return its
+    top-k rows per query (comparator: -score, repo, path), plus zero-match
+    fill rows for specs whose AST includes empty docs at score 0."""
     stats = _load_docstats(index_dir, wave, sub)
     doc_len_all = stats.column("doc_len").to_numpy().astype(np.float64)
-    n_local = len(doc_len_all)
 
-    terms = group.column("term").to_pylist()
+    terms = postings.column("term").to_pylist()
     by_term: dict[str, int] = {t: i for i, t in enumerate(terms)}
-    dfs = group.column("df").to_numpy()
-    payloads = group.column("payload").to_pylist()
-    tf_bits = group.column("tf_bits").to_pylist()
-    blk_last = group.column("blk_last").to_pylist()
-    blk_maxtf = group.column("blk_maxtf").to_pylist()
+    dfs = postings.column("df").to_numpy()
+    payloads = postings.column("payload").to_pylist()
+    tf_bits = postings.column("tf_bits").to_pylist()
+    blk_last = postings.column("blk_last").to_pylist()
+    blk_maxtf = postings.column("blk_maxtf").to_pylist()
 
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -126,44 +163,27 @@ def score_group(
             decoded[t] = hit
         return hit
 
-    out_rows = {
-        "query": [], "score": [], "repo": [], "path": [], "commit": [],
-        "lang": [], "sha256": [], "doc_len": [], "wave": [], "subshard": [],
-        "is_fill": [],
-    }
+    out_rows = {c: [] for c in RESULT_COLS}
 
-    def emit(name: str, scores: np.ndarray, cand: np.ndarray, fill_mask=None):
+    def emit(name: str, scores: np.ndarray, cand: np.ndarray):
         take = stats.take(pa.array(cand.astype(np.int64)))
         out_rows["query"].extend([name] * len(cand))
         out_rows["score"].extend(scores.tolist())
-        out_rows["repo"].extend(take.column("repo").to_pylist())
-        out_rows["path"].extend(take.column("path").to_pylist())
-        out_rows["commit"].extend(take.column("commit").to_pylist())
-        out_rows["lang"].extend(take.column("lang").to_pylist())
-        out_rows["sha256"].extend(take.column("sha256").to_pylist())
-        out_rows["doc_len"].extend(
-            take.column("doc_len").to_numpy().tolist()
-        )
-        out_rows["wave"].extend([wave] * len(cand))
-        out_rows["subshard"].extend([sub] * len(cand))
-        out_rows["is_fill"].extend(
-            [False] * len(cand) if fill_mask is None else fill_mask
-        )
+        for col in ("repo", "path", "commit", "lang", "sha256"):
+            out_rows[col].extend(take.column(col).to_pylist())
+        out_rows["doc_len"].extend(take.column("doc_len").to_numpy().tolist())
 
     for spec in specs:
         plan = spec.plan
+        fmask = _filter_mask(stats, spec.filters)
         q_terms = [t for t in plan.term_indices if t in by_term]
         required_kws: set[str] = set()
-        from probe_ray.query.parser import walk_terms
-
         for tnode in walk_terms(plan.ast):
             if tnode.required and not tnode.excluded:
                 required_kws.update(tnode.keywords)
-        # A required keyword with no posting anywhere in this partition =>
-        # no doc here can match (score 0 for it => None) unless it has df>0
-        # globally but not locally — still no local matches.
         if required_kws and any(t not in by_term for t in required_kws):
-            # no candidates can pass; zero-match fill impossible (required)
+            # a required keyword has no posting in this segment => no doc
+            # here can match; zero-match fill impossible (required => None)
             continue
 
         if required_kws:
@@ -196,8 +216,21 @@ def score_group(
                 arr[hit] = tfs[pos_c[hit]]
             return arr
 
+        if spec.need_fill:
+            # zero-match docs are included at score 0: decode everything
+            # (these queries — only-excluded / field-only — are rare and
+            # inherently corpus-wide)
+            for t in hot_terms:
+                full_decode(t)
+            hot_terms, rare_terms = [], q_terms
+            cand_parts = [full_decode(t)[0] for t in q_terms]
+            cand = (
+                np.unique(np.concatenate(cand_parts))
+                if cand_parts
+                else np.empty(0, dtype=np.uint64)
+            )
+
         if required_kws or not hot_terms:
-            # exact scoring over cand with all terms fully decoded
             tf_arrays = {t: tf_for(t, cand) for t in q_terms}
             scores, included = score_ast(
                 plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
@@ -217,9 +250,7 @@ def score_group(
                 )
                 need = need[need < len(last)]
                 hot_blocks_needed[t] = need
-                ids_sel, pos_sel = decode_selected_blocks(
-                    payloads[i], n, need
-                )
+                ids_sel, pos_sel = decode_selected_blocks(payloads[i], n, need)
                 tf_all = unpack_tf(tf_bits[i], n)
                 hot_data[t] = (ids_sel, tf_all[pos_sel])
 
@@ -238,8 +269,8 @@ def score_group(
             scores, included = score_ast(
                 plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
             )
-            # threshold from phase A
-            inc_scores = scores[included]
+            inc = included if fmask is None else (included & fmask[cand.astype(np.int64)])
+            inc_scores = scores[inc]
             if len(inc_scores) >= k:
                 theta = np.partition(inc_scores, -k)[-k]
             else:
@@ -265,13 +296,21 @@ def score_group(
                         for m in maxtf
                     ]
                 )
-                keep = np.flatnonzero(ub_blocks >= theta) if theta > -np.inf else np.arange(len(last))
+                keep = (
+                    np.flatnonzero(ub_blocks >= theta)
+                    if theta > -np.inf
+                    else np.arange(len(last))
+                )
                 keep = np.union1d(keep, hot_blocks_needed[t])
                 ids_sel, pos_sel = decode_selected_blocks(payloads[i], n, keep)
                 tf_all = unpack_tf(tf_bits[i], n)
                 hot_data[t] = (ids_sel, tf_all[pos_sel])
                 extra_parts.append(ids_sel)
-            extra = np.unique(np.concatenate(extra_parts)) if extra_parts else np.empty(0, np.uint64)
+            extra = (
+                np.unique(np.concatenate(extra_parts))
+                if extra_parts
+                else np.empty(0, np.uint64)
+            )
             if len(cand):
                 extra = extra[~np.isin(extra, cand, assume_unique=True)]
             if len(extra):
@@ -284,24 +323,49 @@ def score_group(
                 scores = np.concatenate([scores, s2])
                 included = np.concatenate([included, inc2])
 
-        cand = cand[included]
-        scores = scores[included]
-        if len(cand) == 0:
-            continue
-        # top-k by (-score, repo, path): sort by score first, cut to the
-        # tie-window at the k-th score, then break ties with strings.
-        if len(cand) > k:
-            order = np.argsort(-scores, kind="stable")
-            kth = scores[order[k - 1]]
-            s_sorted = scores[order]
-            cnt = int(np.searchsorted(-s_sorted, -kth, side="right"))
-            keep = order[:cnt]
-            cand, scores = cand[keep], scores[keep]
-        take = stats.take(pa.array(cand.astype(np.int64)))
-        repo_arr = np.asarray(take.column("repo").to_pylist(), dtype=object)
-        path_arr = np.asarray(take.column("path").to_pylist(), dtype=object)
-        order = np.lexsort((path_arr, repo_arr, -scores))[:k]
-        emit(spec.name, scores[order], cand[order])
+        if fmask is not None and len(cand):
+            included = included & fmask[cand.astype(np.int64)]
+        kept = cand[included]
+        kept_scores = scores[included]
+        if len(kept):
+            # top-k by (-score, repo, path): cut to the tie-window at the
+            # k-th score, then break ties with strings.
+            if len(kept) > k:
+                order = np.argsort(-kept_scores, kind="stable")
+                kth = kept_scores[order[k - 1]]
+                s_sorted = kept_scores[order]
+                cnt = int(np.searchsorted(-s_sorted, -kth, side="right"))
+                sel = order[:cnt]
+                kept, kept_scores = kept[sel], kept_scores[sel]
+            take = stats.take(pa.array(kept.astype(np.int64)))
+            repo_arr = np.asarray(take.column("repo").to_pylist(), dtype=object)
+            path_arr = np.asarray(take.column("path").to_pylist(), dtype=object)
+            order = np.lexsort((path_arr, repo_arr, -kept_scores))[:k]
+            emit(spec.name, kept_scores[order], kept[order])
+
+        if spec.need_fill:
+            # zero-match docs (no query term present) => score 0, included.
+            nloc = len(doc_len_all)
+            in_cand = np.zeros(nloc, dtype=bool)
+            if len(cand):
+                in_cand[cand.astype(np.int64)] = True
+            fill_ids = np.flatnonzero(~in_cand)
+            if fmask is not None:
+                fill_ids = fill_ids[fmask[fill_ids]]
+            if len(fill_ids):
+                take = stats.take(pa.array(fill_ids))
+                repo_arr = np.asarray(
+                    take.column("repo").to_pylist(), dtype=object
+                )
+                path_arr = np.asarray(
+                    take.column("path").to_pylist(), dtype=object
+                )
+                order = np.lexsort((path_arr, repo_arr))[:k]
+                emit(
+                    spec.name,
+                    np.zeros(len(order), dtype=np.float64),
+                    fill_ids[order].astype(np.uint64),
+                )
 
     return pa.table(
         {
@@ -313,42 +377,119 @@ def score_group(
             "lang": pa.array(out_rows["lang"], pa.string()),
             "sha256": pa.array(out_rows["sha256"], pa.string()),
             "doc_len": pa.array(out_rows["doc_len"], pa.int32()),
-            "wave": pa.array(out_rows["wave"], pa.int32()),
-            "subshard": pa.array(out_rows["subshard"], pa.int32()),
-            "is_fill": pa.array(out_rows["is_fill"], pa.bool_()),
         }
     )
 
 
-class IndexReader:
-    """Driver-side handle over a built index."""
+class SegmentWorker:
+    """Stateful query actor owning a static set of (wave, subshard)
+    segments. Docstats are cached in memory across queries; postings are
+    read per query with a term-IN filter (row-group pruned — the postings
+    files are sorted by term with small row groups)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, parts: list[tuple[int, int]],
+                 avgdl: float, min_dlen: int):
+        self.index_dir = index_dir
+        self.parts = parts
+        self.avgdl = avgdl
+        self.min_dlen = min_dlen
+        # warm the docstats cache up front (actor init = once)
+        for w, s in parts:
+            _load_docstats(index_dir, w, s)
+
+    def search(self, specs: list[_QuerySpec], k: int) -> pa.Table:
+        all_terms = sorted({t for sp in specs for t in sp.plan.term_indices})
+        tables = []
+        for w, s in self.parts:
+            if all_terms:
+                post = pq.read_table(
+                    _postings_path(self.index_dir, w, s),
+                    filters=[("term", "in", all_terms)],
+                )
+            else:
+                post = _empty_postings()
+            tables.append(
+                score_segment(
+                    post,
+                    index_dir=self.index_dir,
+                    wave=w,
+                    sub=s,
+                    specs=specs,
+                    k=k,
+                    avgdl=self.avgdl,
+                    min_dlen=self.min_dlen,
+                )
+            )
+        return pa.concat_tables(tables)
+
+
+class IndexReader:
+    """Driver-side handle over a built index with a persistent query
+    actor pool (created lazily on first search)."""
+
+    def __init__(self, index_dir: str, num_workers: int | None = None):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.min_dlen = self.manifest.get("min_dlen", 1)
+        self._num_workers = num_workers
+        self._workers: list | None = None
 
-    def _postings_paths(self) -> list[str]:
-        import glob
+    def _parts(self) -> list[tuple[int, int]]:
+        parts = []
+        for wm in self.manifest["waves"]:
+            for sm in wm.get("subshards", []):
+                parts.append((int(wm["wave"]), int(sm["subshard"])))
+        return parts
 
-        out: list[str] = []
-        for w in range(self.manifest["num_waves"]):
-            d = os.path.join(self.index_dir, "waves", f"w{w:04d}", "postings")
-            out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
-        return out
+    def _ensure_workers(self):
+        if self._workers is not None:
+            return
+        import ray
 
-    def search(self, query: str, k: int = 10) -> pa.Table:
-        return self.search_many({"q": query}, k)["q"]
+        parts = self._parts()
+        n = self._num_workers
+        if n is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n = int(os.environ.get("PROBE_RAY_QUERY_WORKERS", max(2, cpus // 2)))
+        n = max(1, min(n, len(parts)))
+        # Fractional reservation: query actors are bursty, and a pool that
+        # pins whole CPUs can starve concurrent Dataset jobs (index builds)
+        # on the same cluster.
+        worker_cpus = float(os.environ.get("PROBE_RAY_WORKER_CPUS", "0.5"))
+        Remote = ray.remote(num_cpus=worker_cpus)(SegmentWorker)
+        self._workers = [
+            Remote.remote(
+                self.index_dir, parts[i::n], self.avgdl, self.min_dlen
+            )
+            for i in range(n)
+        ]
 
-    def search_many(self, queries: dict[str, str], k: int = 10) -> dict[str, pa.Table]:
-        import ray.data
+    def close(self):
+        """Kill the query actor pool (frees its reserved resources)."""
+        import ray
 
-        from probe_ray.query.bm25 import MAX_QUERY_TERMS
+        for w in self._workers or []:
+            ray.kill(w)
+        self._workers = None
+
+    def search(self, query: str, k: int = 10,
+               filters: dict[str, str] | None = None) -> pa.Table:
+        return self.search_many({"q": query}, k, filters={"q": filters or {}})["q"]
+
+    def search_many(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        filters: dict[str, dict[str, str]] | None = None,
+    ) -> dict[str, pa.Table]:
+        import ray
+
         from probe_ray.search.scan import scan_search_many
 
+        filters = filters or {}
         plans: dict[str, QueryPlan] = {}
         scan_queries: dict[str, str] = {}
         results: dict[str, pa.Table] = {}
@@ -367,23 +508,13 @@ class IndexReader:
 
         if scan_queries:
             results.update(
-                scan_search_many(
-                    self.manifest["input_files"], scan_queries, k
-                )
+                scan_search_many(self.manifest["input_files"], scan_queries, k)
             )
         if not plans:
             return results
 
         all_terms = sorted({t for p in plans.values() for t in p.term_indices})
-        ds = ray.data.read_parquet(
-            self._postings_paths(),
-            filter=pc.field("term").isin(all_terms),
-        )
-        mat = ds.materialize()
-        df_rows = mat.select_columns(["term", "df"]).take_all()
-        df_global: dict[str, int] = {}
-        for r in df_rows:
-            df_global[r["term"]] = df_global.get(r["term"], 0) + int(r["df"])
+        df_global = lookup_df(self.index_dir, all_terms)
 
         specs = []
         for name, plan in plans.items():
@@ -398,38 +529,17 @@ class IndexReader:
                     plan=plan,
                     idfs=idfs,
                     need_fill=zero_match_included(plan.ast),
+                    filters=filters.get(name, {}),
                 )
             )
 
-        if mat.count() == 0:
-            parts: list[pa.Table] = []
-        else:
-            scored = mat.groupby(["wave", "subshard"]).map_groups(
-                functools.partial(
-                    score_group,
-                    index_dir=self.index_dir,
-                    specs=specs,
-                    k=k,
-                    avgdl=self.avgdl,
-                    min_dlen=self.min_dlen,
-                ),
-                batch_format="pyarrow",
-            )
-            parts = [pa.table(b) for b in scored.iter_batches(batch_format="pyarrow")]
-        merged = (
-            pa.concat_tables(parts)
-            if parts
-            else _empty_scored()
-        )
+        self._ensure_workers()
+        specs_ref = ray.put(specs)
+        futs = [w.search.remote(specs_ref, k) for w in self._workers]
+        merged = pa.concat_tables(ray.get(futs))
 
         for spec in specs:
             use = merged.filter(pc.equal(merged.column("query"), spec.name))
-            if spec.need_fill and use.num_rows < k:
-                fill = self._fill_rows(spec, mat, k - use.num_rows)
-                if fill is not None and fill.num_rows:
-                    use = pa.concat_tables(
-                        [use.select(fill.schema.names), fill]
-                    )
             idx = pc.sort_indices(
                 use,
                 sort_keys=[
@@ -438,93 +548,22 @@ class IndexReader:
                     ("path", "ascending"),
                 ],
             )[:k]
-            top = use.take(idx)
-            results[spec.name] = _finalize(top)
+            results[spec.name] = _finalize(use.take(idx))
         return results
 
-    def _docstats_files(self) -> list[str]:
-        files = []
-        for wm in self.manifest["waves"]:
-            w = wm["wave"]
-            for s in wm.get("subshards", []):
-                files.append(_docstats_path(self.index_dir, w, s["subshard"]))
-        return files
 
-    def _fill_rows(self, spec: _QuerySpec, mat, need: int) -> pa.Table | None:
-        """Zero-match docs (included at score 0 by the AST) in global
-        (repo, path) order — needed only when matches < k (rare queries:
-        only-excluded, field-only). Exact; heavy for hot excluded terms,
-        which is inherent to their semantics."""
-        import ray.data
-
-        from probe_ray.index.build import _load_docmap
-
-        cand_hashes: set[int] = set()
-        for r in mat.take_all():
-            if r["term"] not in spec.plan.term_indices:
-                continue
-            docmap = _load_docmap(self.index_dir, int(r["wave"]), int(r["subshard"]))
-            local = decode_varint_deltas(r["payload"], int(r["df"]))
-            cand_hashes.update(docmap[local.astype(np.int64)].tolist())
-
-        stats_ds = ray.data.read_parquet(
-            self._docstats_files(),
-            columns=["doc_hash", "repo", "path", "commit", "lang", "sha256", "doc_len"],
-        )
-        cand_arr = np.fromiter(cand_hashes, dtype=np.int64) if cand_hashes else None
-
-        def local_min(batch: pa.Table) -> pa.Table:
-            if cand_arr is not None and len(cand_arr):
-                keep = ~np.isin(batch.column("doc_hash").to_numpy(), cand_arr)
-                batch = batch.filter(pa.array(keep))
-            idx = pc.sort_indices(
-                batch, sort_keys=[("repo", "ascending"), ("path", "ascending")]
-            )[: need + 1]
-            return batch.take(idx)
-
-        got = pa.concat_tables(
-            [
-                pa.table(b)
-                for b in stats_ds.map_batches(
-                    local_min, batch_format="pyarrow"
-                ).iter_batches(batch_format="pyarrow")
-            ]
-        )
-        if got.num_rows == 0:
-            return None
-        idx = pc.sort_indices(
-            got, sort_keys=[("repo", "ascending"), ("path", "ascending")]
-        )[:need]
-        got = got.take(idx)
-        n = got.num_rows
-        return pa.table(
-            {
-                "query": pa.array([spec.name] * n, pa.string()),
-                "score": pa.array(np.zeros(n), pa.float64()),
-                "repo": got.column("repo"),
-                "path": got.column("path"),
-                "commit": got.column("commit"),
-                "lang": got.column("lang"),
-                "sha256": got.column("sha256"),
-                "doc_len": got.column("doc_len"),
-            }
-        )
-
-
-def _empty_scored() -> pa.Table:
+def _empty_postings() -> pa.Table:
     return pa.table(
         {
-            "query": pa.array([], pa.string()),
-            "score": pa.array([], pa.float64()),
-            "repo": pa.array([], pa.string()),
-            "path": pa.array([], pa.string()),
-            "commit": pa.array([], pa.string()),
-            "lang": pa.array([], pa.string()),
-            "sha256": pa.array([], pa.string()),
-            "doc_len": pa.array([], pa.int32()),
             "wave": pa.array([], pa.int32()),
             "subshard": pa.array([], pa.int32()),
-            "is_fill": pa.array([], pa.bool_()),
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "max_tf": pa.array([], pa.int32()),
+            "payload": pa.array([], pa.binary()),
+            "tf_bits": pa.array([], pa.binary()),
+            "blk_last": pa.array([], pa.binary()),
+            "blk_maxtf": pa.array([], pa.binary()),
         }
     )
 
