@@ -130,9 +130,18 @@ def minhash_signatures(sf_dir: str):
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+LSH_PARTITIONS = 64
+
+
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     """Near-duplicate candidate pairs via LSH banding, verified with the
-    minhash-estimated Jaccard: (a_id, b_id, est_sim_milli:int)."""
+    minhash-estimated Jaccard: (a_id, b_id, est_sim_milli:int).
+
+    The shuffle key is ``part = bucket % LSH_PARTITIONS`` — a bounded
+    partition count — NOT the bucket itself: per-bucket groups are almost
+    all singletons, and a group per bucket means one Python call per
+    bucket (micro-group overhead that dies at corpus scale). Within a
+    partition, equal-bucket runs are found by one vectorized sort."""
     sigs = minhash_signatures(sf_dir)
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -143,16 +152,21 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
         for did, sig in zip(doc_ids, sig_list):
             for b in range(N_BANDS):
                 chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
-                bucket = hashlib.blake2b(
-                    (str(b) + ":" + ",".join(map(str, chunk))).encode(),
-                    digest_size=8,
-                ).hexdigest()
+                bucket = int.from_bytes(
+                    hashlib.blake2b(
+                        (str(b) + ":" + ",".join(map(str, chunk))).encode(),
+                        digest_size=8,
+                    ).digest(),
+                    "big",
+                ) & 0x7FFF_FFFF_FFFF_FFFF
                 out_bucket.append(bucket)
                 out_doc.append(did)
                 out_sig.append(sig)
+        buckets = np.asarray(out_bucket, dtype=np.int64)
         return pa.table(
             {
-                "bucket": pa.array(out_bucket, pa.string()),
+                "part": pa.array(buckets % LSH_PARTITIONS),
+                "bucket": pa.array(buckets),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "sig": pa.array(out_sig, pa.list_(pa.int64())),
             }
@@ -161,22 +175,40 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     banded = sigs.map_batches(bands, batch_format="pyarrow")
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sig_list = group.column("sig").to_pylist()
-        uniq: dict[int, list[int]] = {}
-        for i, s in zip(ids, sig_list):
-            uniq.setdefault(i, s)
-        ids_u = sorted(uniq)
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("bucket", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        buckets = g.column("bucket").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        sig_mat = np.asarray(g.column("sig").to_pylist(), dtype=np.int64)
+        # run starts of equal-bucket spans
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
         a_out, b_out, sim_out = [], [], []
-        for i in range(len(ids_u)):
-            si = np.asarray(uniq[ids_u[i]])
-            for j in range(i + 1, len(ids_u)):
-                sj = np.asarray(uniq[ids_u[j]])
-                est = float((si == sj).mean())
-                if est >= threshold:
-                    a_out.append(ids_u[i])
-                    b_out.append(ids_u[j])
-                    sim_out.append(int(round(est * 1000)))
+        seen: set[tuple[int, int]] = set()
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run_ids = ids[s:e]
+            uniq, first_pos = np.unique(run_ids, return_index=True)
+            if len(uniq) < 2:
+                continue
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    key = (int(uniq[i]), int(uniq[j]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    si = sig_mat[s + first_pos[i]]
+                    sj = sig_mat[s + first_pos[j]]
+                    est = float((si == sj).mean())
+                    if est >= threshold:
+                        a_out.append(key[0])
+                        b_out.append(key[1])
+                        sim_out.append(int(round(est * 1000)))
         return pa.table(
             {
                 "a_id": pa.array(a_out, pa.int64()),
@@ -185,14 +217,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    cand = banded.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    cand = banded.groupby("part").map_groups(pairs, batch_format="pyarrow")
 
-    # distinct pairs (a pair can collide in several bands)
-    def key(batch: pa.Table) -> pa.Table:
-        return batch
-
-    import pyarrow.compute as pc
-
+    # distinct pairs (a pair can collide in buckets of different partitions)
     from ray.data.aggregate import Max
 
     agg = cand.groupby(["a_id", "b_id"]).aggregate(Max("est_sim_milli"))
@@ -264,8 +291,16 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
             for tok in set(_WS.split(t.strip()) if t.strip() else []):
                 out_tok.append(tok)
                 out_doc.append(did)
+        import zlib
+
+        part = np.fromiter(
+            (zlib.crc32(t.encode()) & (LSH_PARTITIONS - 1) for t in out_tok),
+            dtype=np.int64,
+            count=len(out_tok),
+        )
         return pa.table(
             {
+                "part": pa.array(part),
                 "tok": pa.array(out_tok, pa.string()),
                 "doc_id": pa.array(out_doc, pa.int64()),
             }
@@ -280,12 +315,27 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     sizes_ref = ray.put(sizes)
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
+        """One group = one token partition; equal-token runs found by one
+        vectorized sort (no per-token Python group calls)."""
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("tok", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        toks = np.asarray(g.column("tok").to_pylist(), dtype=object)
+        ids = g.column("doc_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        ends = np.r_[starts[1:], len(toks)]
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = ids[s:e]
+            for i in range(len(run)):
+                for j in range(i + 1, len(run)):
+                    a_out.append(int(run[i]))
+                    b_out.append(int(run[j]))
         return pa.table(
             {
                 "a_id": pa.array(a_out, pa.int64()),
@@ -295,7 +345,7 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
         )
 
     counted = (
-        posting.groupby("tok")
+        posting.groupby("part")
         .map_groups(pairs, batch_format="pyarrow")
         .groupby(["a_id", "b_id"])
         .aggregate(Sum("one"))
