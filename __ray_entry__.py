@@ -35,9 +35,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from probe_ray.ops import ann, dedup, fts, multimodal, text
+    from probe_ray.ops import ann, dedup, fts, multimodal, relational, text
 
     q: dict[str, Callable[[str], Any]] = {
+        # --- relational Dataset surface (partial agg, broadcast join,
+        # sort+limit, temporal bucketing) ---------------------------------
+        "rel_q1_pricing_summary": relational.q1_pricing_summary,
+        "rel_top_customers_by_revenue": relational.top_customers_by_revenue,
+        "rel_events_hourly_counts": relational.events_hourly_counts,
+        "rel_customers_per_region": relational.customers_per_region,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
         "fts_corpus_sha256": fts.corpus_sha256,
         "fts_index_doc_stats": fts.index_doc_stats,
@@ -76,8 +82,83 @@ _WS_TOKENS = "string_split_regex(trim(text), '\\s+')"
 _N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END"
 
 
+_MILLI = "CAST(floor({x} * 1000 + 0.5) AS BIGINT)"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "rel_q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "count(*) AS count_order, "
+            f"sum({_MILLI.format(x='l_quantity')}) AS sum_qty_milli, "
+            f"sum({_MILLI.format(x='l_extendedprice')}) AS sum_price_milli, "
+            f"sum({_MILLI.format(x='l_extendedprice * (1.0 - l_discount)')}) "
+            "AS sum_disc_price_milli "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "rel_top_customers_by_revenue": (
+            "SELECT o_custkey AS custkey, any_value(c.c_name) AS c_name, "
+            f"sum({_MILLI.format(x='o_totalprice')}) AS revenue_milli "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "GROUP BY o_custkey "
+            "ORDER BY revenue_milli DESC, custkey LIMIT 20"
+        ),
+        "rel_events_hourly_counts": (
+            "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, "
+            "count(*) AS n_events, "
+            f"sum({_MILLI.format(x='value')}) AS value_sum_milli "
+            "FROM events GROUP BY event_type, hour_id "
+            "ORDER BY event_type, hour_id"
+        ),
+        "rel_customers_per_region": (
+            "SELECT r.r_name, count(*) AS n_customers "
+            "FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "GROUP BY r.r_name ORDER BY r.r_name"
+        ),
+        "text_quality_score": (
+            "WITH s AS (SELECT doc_id, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END AS n, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(list_distinct({_WS_TOKENS})) END AS uniq, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha, "
+            "length(text) AS nchars FROM documents) "
+            "SELECT doc_id, CAST(floor(1000 * ("
+            "0.4 * (CASE WHEN n = 0 THEN 0.0 ELSE CAST(uniq AS DOUBLE) / n END) + "
+            "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
+            "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
+            ") + 0.5) AS BIGINT) AS quality_milli FROM s"
+        ),
+        "text_lang_id": (
+            "WITH s AS (SELECT doc_id, list_transform(list_slice("
+            f"{_WS_TOKENS}, 1, 200), x -> lower(x)) AS toks FROM documents), "
+            "h AS (SELECT doc_id, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('the','a','and','of','to','in','is','for','on','with')))) AS e, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('der','die','das','und','ist','nicht','ein','zu','mit')))) AS d, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('le','la','les','et','est','pas','un','une','dans')))) AS f, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('el','la','los','y','es','no','un','una','en','que')))) AS s2 "
+            "FROM s) "
+            "SELECT doc_id, CASE "
+            "WHEN e > 0 AND e >= d AND e >= f AND e >= s2 THEN 'en' "
+            "WHEN d > 0 AND d > e AND d >= f AND d >= s2 THEN 'de' "
+            "WHEN f > 0 AND f > e AND f > d AND f >= s2 THEN 'fr' "
+            "WHEN s2 > 0 AND s2 > e AND s2 > d AND s2 > f THEN 'es' "
+            "ELSE 'unknown' END AS lang_guess FROM h"
+        ),
+        "embedding_neardup_pairs": (
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id < 500 AND b.vec_id < 500 AND "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.8 "
+            "ORDER BY a_id, b_id"
+        ),
         "fts_corpus_sha256": (
             "SELECT printf('%s/doc_%08d.txt', source, doc_id) AS path, "
             "sha256(text) AS sha256 FROM documents ORDER BY path"

@@ -18,15 +18,18 @@ import sys
 
 
 def _ray_init():
+    """Returns (ray, owns_session): shutdown only a session we started —
+    under `ray job submit` (or tests) Ray is already initialised."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
-    return ray
+    if ray.is_initialized():
+        return ray, False
+    ray.init(address="local", include_dashboard=False)
+    return ray, True
 
 
 def cmd_build(args) -> int:
-    ray = _ray_init()
+    ray, owns = _ray_init()
     from probe_ray.index.build import IndexConfig, build_index
 
     cfg = IndexConfig(
@@ -47,12 +50,13 @@ def cmd_build(args) -> int:
             }
         )
     )
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 
 def cmd_search(args) -> int:
-    ray = _ray_init()
+    ray, owns = _ray_init()
     from probe_ray.search.searcher import IndexReader
 
     filters = {}
@@ -83,7 +87,8 @@ def cmd_search(args) -> int:
                     f"{row['repo']}/{row['path']}"
                 )
     rd.close()
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 

@@ -1,0 +1,228 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the generic Dataset operator surface (SURVEY.md SS3.5/3.6
+Ray mappings): partial aggregation inside map_batches before the wide
+groupby, broadcast small-side joins (driver-read lookup dict captured in
+the UDF closure — shipped once per worker via Ray's closure serialization,
+never per batch), sort + limit top-k, and temporal bucketing.
+
+Money/quantity outputs are converted to integer milli-units PER ROW
+(floor(x*1000+0.5), identical f64 expression in the DuckDB oracles) before
+summing, so distributed partial-sum order cannot perturb the result —
+integer sums are associative; float sums are not."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _milli(arr: np.ndarray) -> np.ndarray:
+    return np.floor(arr * 1000.0 + 0.5).astype(np.int64)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-flavored pricing summary per (l_returnflag, l_linestatus):
+    count_order, sum_qty_milli, sum_price_milli, sum_disc_price_milli.
+    Partial per-batch aggregation -> tiny global groupby (6 groups)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = _milli(batch.column("l_quantity").to_numpy())
+        price = _milli(batch.column("l_extendedprice").to_numpy())
+        disc_price = _milli(
+            (
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())
+            )
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "price": pa.array(price),
+                "disc_price": pa.array(disc_price),
+                "one": pa.array(np.ones(len(qty), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("one", "sum")]
+        )
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_sum"), Sum("price_sum"), Sum("disc_price_sum"), Sum("one_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "count_order": batch.column("sum(one_sum)").cast(pa.int64()),
+                "sum_qty_milli": batch.column("sum(qty_sum)").cast(pa.int64()),
+                "sum_price_milli": batch.column("sum(price_sum)").cast(pa.int64()),
+                "sum_disc_price_milli": batch.column("sum(disc_price_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def top_customers_by_revenue(sf_dir: str, k: int = 20):
+    """Top-k customers by total order value: partial sums by o_custkey,
+    global groupby, then a BROADCAST join against the small customer
+    dimension (read once on the driver, looked up inside map_batches),
+    sort desc + limit. (custkey, c_name, revenue_milli)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    names = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "custkey": batch.column("o_custkey"),
+                "rev": pa.array(_milli(batch.column("o_totalprice").to_numpy())),
+            }
+        )
+        return t.group_by(["custkey"]).aggregate([("rev", "sum")])
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum("rev_sum"))
+    )
+
+    def join_names(batch: pa.Table) -> pa.Table:
+        keys = batch.column("custkey").to_pylist()
+        return pa.table(
+            {
+                "custkey": batch.column("custkey"),
+                "c_name": pa.array([names.get(c) for c in keys], pa.string()),
+                "revenue_milli": batch.column("sum(rev_sum)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(join_names, batch_format="pyarrow")
+        .sort(["revenue_milli", "custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_hourly_counts(sf_dir: str):
+    """Per (event_type, hour bucket): event count + value sum in milli.
+    hour_id = epoch_us // 3600e6 (integer bucketing, exact)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # epoch us
+        hour_id = ts // 3_600_000_000
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour_id": pa.array(hour_id),
+                "value": pa.array(_milli(batch.column("value").to_numpy())),
+                "one": pa.array(np.ones(len(hour_id), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "hour_id"]).aggregate(
+            [("value", "sum"), ("one", "sum")]
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_id"])
+        .aggregate(Sum("value_sum"), Sum("one_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour_id": batch.column("hour_id"),
+                "n_events": batch.column("sum(one_sum)").cast(pa.int64()),
+                "value_sum_milli": batch.column("sum(value_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["event_type", "hour_id"]
+    )
+
+
+def customers_per_region(sf_dir: str):
+    """Customer count per region name via two chained broadcast lookups
+    (nation, region are tiny dimensions): (r_name, n_customers)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nat2reg = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    )
+    reg2name = dict(
+        zip(
+            region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()
+        rn = [reg2name.get(nat2reg.get(x)) for x in nk]
+        t = pa.table(
+            {
+                "r_name": pa.array(rn, pa.string()),
+                "one": pa.array(np.ones(len(rn), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["r_name"]).aggregate([("one", "sum")])
+
+    agg = (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(Sum("one_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": batch.column("r_name"),
+                "n_customers": batch.column("sum(one_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("r_name")

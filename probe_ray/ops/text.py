@@ -112,7 +112,10 @@ def quality_score(sf_dir: str):
             ratio_u = uniq / n if n else 0.0
             ratio_a = alpha / len(t) if t else 0.0
             length_ok = 1.0 if n >= 20 else n / 20.0
-            out.append(int(round(1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok))))
+            # floor(x+0.5), not round(): Python round() is banker's
+            # rounding and would diverge from the SQL oracle on exact .5
+            score = 1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok)
+            out.append(int(np.floor(score + 0.5)))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

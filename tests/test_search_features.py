@@ -1,0 +1,110 @@
+"""Field filters, CLI entrypoints, dictionary df lookups, actor-pool reuse."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.compute as pc
+import pytest
+
+
+@pytest.fixture(scope="module")
+def reader(built_index):
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(built_index[0])
+    yield rd
+    rd.close()
+
+
+def test_lang_filter_subsets_unfiltered(reader):
+    """Filtered results = unfiltered ranking restricted to matching docs
+    (corpus-global scoring stats: scores must be unchanged)."""
+    full = reader.search("error handler", k=100)
+    langs = set(full.column("lang").to_pylist())
+    assert len(langs) > 1, "fixture corpus should span languages"
+    lang = sorted(langs)[0]
+    filt = reader.search("error handler", k=100, filters={"lang": lang})
+    assert filt.num_rows > 0
+    assert set(filt.column("lang").to_pylist()) == {lang}
+    expect = full.filter(pc.equal(full.column("lang"), lang))
+    got = {(r["path"], r["score"]) for r in filt.to_pylist()}
+    want = {(r["path"], r["score"]) for r in expect.to_pylist()}
+    # every matching doc of the unfiltered top-k appears in the filtered
+    # top-k with an UNCHANGED score (corpus-global stats); the filtered
+    # list may legitimately surface extra docs from below the global top-k
+    assert want <= got, "filter changed scores or dropped docs"
+    assert len(got) >= len(want)
+
+
+def test_repo_substring_filter(reader):
+    full = reader.search("error", k=50)
+    repo = full.column("repo")[0].as_py()
+    filt = reader.search("error", k=50, filters={"repo": repo})
+    assert filt.num_rows > 0
+    assert all(repo in r for r in filt.column("repo").to_pylist())
+
+
+def test_dictionary_df_matches_postings(built_index):
+    """Global term dictionary df == sum of per-segment posting df."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from probe_ray.index.build import lookup_df
+
+    idx = built_index[0]
+    df_sum: dict[str, int] = {}
+    for f in glob.glob(os.path.join(idx, "waves", "*", "postings", "*.parquet")):
+        t = pq.read_table(f, columns=["term", "df"])
+        for term, d in zip(
+            t.column("term").to_pylist(), t.column("df").to_pylist()
+        ):
+            df_sum[term] = df_sum.get(term, 0) + int(d)
+    sample = sorted(df_sum)[:50] + sorted(df_sum)[-50:]
+    got = lookup_df(idx, sample)
+    assert got == {t: df_sum[t] for t in sample}
+
+
+def test_cli_search_json(built_index, capsys, ray_session):
+    from probe_ray.cli import main
+
+    rc = main(
+        ["search", "--index", built_index[0], "error handler", "-k", "3", "--json"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["query"] == "error handler"
+    assert 0 < len(rec["results"]) <= 3
+    assert rec["results"][0]["rank"] == 1
+    assert set(rec["results"][0]) >= {"rank", "score", "repo", "path", "sha256"}
+
+
+def test_cli_bad_filter(built_index, capsys, ray_session):
+    from probe_ray.cli import main
+
+    rc = main(
+        ["search", "--index", built_index[0], "x", "--filter", "bogus=1"]
+    )
+    assert rc == 2
+    assert "repo|path|lang" in capsys.readouterr().err
+
+
+def test_cli_build_resume_reports(small_corpus, tmp_path, capsys, ray_session):
+    from probe_ray.cli import main
+
+    out = str(tmp_path / "idx")
+    rc = main(
+        ["build", "--input", small_corpus, "--out", out, "--waves", "2",
+         "--subshards", "2"]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_docs"] == 300
+    # resume: second run must skip done waves (fast) and report same counts
+    rc = main(["build", "--input", small_corpus, "--out", out])
+    assert rc == 0
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["n_docs"] == rec["n_docs"]
