@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "ann_brute_topk": ann.ann_brute_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_lsh_buckets": ann.ann_lsh_buckets,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         # --- multimodal plumbing -----------------------------------------

@@ -75,6 +75,16 @@ def cmd_search(args) -> int:
     results = rd.search_many(
         queries, k=args.k, filters={n: filters for n in queries}
     )
+    if args.out:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.out, exist_ok=True)
+        for i, q in enumerate(args.query):
+            pq.write_table(
+                results[f"q{i}"], os.path.join(args.out, f"q{i}.parquet")
+            )
     for i, q in enumerate(args.query):
         t = results[f"q{i}"]
         if args.json:
@@ -110,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--filter", action="append", metavar="FIELD=VALUE")
     s.add_argument("--json", action="store_true")
+    s.add_argument("--out", help="also write results as parquet (one file per query)")
     s.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)

@@ -72,8 +72,12 @@ def _commit(repo: str) -> str:
     return hashlib.sha1(f"{repo}@snapshot".encode()).hexdigest()
 
 
-def make_rows(start: int, count: int, seed: int = 42) -> pa.Table:
-    """Rows [start, start+count) of the corpus — position-deterministic."""
+def make_rows(
+    start: int, count: int, seed: int = 42, stmt_scale: int = 1
+) -> pa.Table:
+    """Rows [start, start+count) of the corpus — position-deterministic.
+    ``stmt_scale`` multiplies statements per file (~1 KB × stmt_scale docs)
+    for compute-dominated benchmarking."""
     repos, paths, commits, langs, contents = [], [], [], [], []
     for i in range(start, start + count):
         rng = np.random.default_rng((seed << 32) ^ i)
@@ -89,7 +93,7 @@ def make_rows(start: int, count: int, seed: int = 42) -> pa.Table:
             f"_{i}.{EXT[lang]}"
         )
         path = f"{dirs}/{fname}"
-        n_stmts = int(rng.integers(5, 40))
+        n_stmts = int(rng.integers(5, 40)) * stmt_scale
         words: list[str] = []
         for _ in range(n_stmts):
             words.append(str(rng.choice(SYNTAX)))
@@ -118,7 +122,11 @@ def make_rows(start: int, count: int, seed: int = 42) -> pa.Table:
 
 
 def write_corpus(
-    out_dir: str, num_rows: int, num_files: int = 8, seed: int = 42
+    out_dir: str,
+    num_rows: int,
+    num_files: int = 8,
+    seed: int = 42,
+    stmt_scale: int = 1,
 ) -> list[str]:
     """Write the corpus as ``num_files`` parquet files; returns file paths."""
     import os
@@ -134,7 +142,7 @@ def write_corpus(
         if count <= 0:
             break
         p = os.path.join(out_dir, f"part-{f:05d}.parquet")
-        pq.write_table(make_rows(start, count, seed), p)
+        pq.write_table(make_rows(start, count, seed, stmt_scale), p)
         paths.append(p)
         start += count
     return paths

@@ -59,7 +59,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
-from .codec import block_meta, encode_varint_deltas, merge_runs, pack_tf
+from .codec import block_meta_multi, encode_varint_deltas_multi, pack_tf
 
 # Parquet row-group size for postings files: small groups => the query
 # stage's term-filtered reads prune to a few row groups per term.
@@ -71,7 +71,15 @@ DICT_ROW_GROUP = 16384
 class IndexConfig:
     num_waves: int = 2
     subshards: int = 4  # per wave
-    tokenize_batch_size: int = 256
+    # Docs per tokenize batch. Partial-run rows per batch ~ subshards x
+    # vocab, so the batch must be LARGE relative to subshards or the runs
+    # degenerate to near-singletons and the shuffle carries per-row
+    # overhead instead of payload. ~1k docs x ~10 KB ~ 10 MB per batch.
+    tokenize_batch_size: int = 1024
+    # Read-task count per wave. Default: 2x cluster CPUs. Without this, the
+    # fused read->tokenize stage is capped at one task per input FILE,
+    # which under-parallelizes waves with few large fragments.
+    read_blocks: int | None = None
     # Mirrors the reference's 1 MB file cap (search_runner.rs:1774) when set.
     max_content_bytes: int | None = None
 
@@ -229,10 +237,13 @@ def _write_atomic(table: pa.Table, path: str, row_group_size: int | None = None)
     os.replace(tmp, path)
 
 
-def finalize_subshard(group: pa.Table, *, out_dir: str, wave: int) -> pa.Table:
-    """One group = one (wave, subshard): write docstats + merged postings,
+def finalize_subshard(
+    group: pa.Table, *, out_dir: str, wave: int, sub: int | None = None
+) -> pa.Table:
+    """All rows of one (wave, subshard): write docstats + merged postings,
     return a metrics row. Atomic file writes make re-runs idempotent."""
-    sub = int(group.column("subshard")[0].as_py())
+    if sub is None:
+        sub = int(group.column("subshard")[0].as_py())
 
     is_doc = group.column("is_doc").to_numpy(zero_copy_only=False)
     docs = group.filter(pa.array(is_doc))
@@ -256,6 +267,11 @@ def finalize_subshard(group: pa.Table, *, out_dir: str, wave: int) -> pa.Table:
     docmap = hashes  # sorted int64
 
     # --- postings: ordered merge of partial runs per term -----------------
+    # Fully vectorized across ALL terms of the subshard: explode the runs
+    # into flat (term_id, doc_hash, tf) arrays, one lexsort = the ordered
+    # merge of every term's runs at once, one searchsorted for the
+    # hash->local-id mapping, and multi-term codec calls. Per-term Python
+    # loops here were the build's hot spot (one numpy-call set per term).
     t_order = pc.sort_indices(parts, sort_keys=[("term", "ascending")])
     parts = parts.take(t_order)
     terms = parts.column("term").to_pylist()
@@ -263,55 +279,54 @@ def finalize_subshard(group: pa.Table, *, out_dir: str, wave: int) -> pa.Table:
     ids_col = parts.column("ids").to_pylist()
     tfs_col = parts.column("tfs").to_pylist()
 
-    o_term: list[str] = []
-    o_df: list[int] = []
-    o_maxtf: list[int] = []
-    o_payload: list[bytes] = []
-    o_tfbits: list[bytes] = []
-    o_blast: list[bytes] = []
-    o_bmaxtf: list[bytes] = []
-    n_postings = 0
+    # unique terms + per-row term ids (rows are term-sorted)
+    uniq_terms: list[str] = []
+    row_tid = np.empty(len(terms), dtype=np.int64)
+    for r, t in enumerate(terms):
+        if not uniq_terms or t != uniq_terms[-1]:
+            uniq_terms.append(t)
+        row_tid[r] = len(uniq_terms) - 1
+    nt = len(uniq_terms)
 
-    i = 0
-    nrows = len(terms)
-    while i < nrows:
-        j = i
-        while j < nrows and terms[j] == terms[i]:
-            j += 1
-        runs = [
-            (
-                np.frombuffer(ids_col[r], dtype=np.uint64),
-                np.frombuffer(tfs_col[r], dtype=np.uint8),
-            )
-            for r in range(i, j)
-        ]
-        hids, tfs = merge_runs(runs)
-        # doc_hash -> dense local id (docmap sorted => mapping is monotone,
-        # so local ids stay sorted)
-        local = np.searchsorted(docmap, hids.astype(np.int64)).astype(np.uint64)
-        blk_last, blk_maxtf = block_meta(local, tfs)
-        o_term.append(terms[i])
-        o_df.append(len(local))
-        o_maxtf.append(int(tfs.max()) if len(tfs) else 0)
-        o_payload.append(encode_varint_deltas(local))
-        o_tfbits.append(pack_tf(tfs))
-        o_blast.append(blk_last)
-        o_bmaxtf.append(blk_maxtf)
-        n_postings += len(local)
-        i = j
+    exploded_ids = np.frombuffer(b"".join(ids_col), dtype=np.uint64)
+    exploded_tfs = np.frombuffer(b"".join(tfs_col), dtype=np.uint8)
+    val_tid = np.repeat(row_tid, ns)
+    order2 = np.lexsort((exploded_ids, val_tid))
+    sorted_hids = exploded_ids[order2]
+    sorted_tfs = exploded_tfs[order2]
+    term_lens = np.bincount(val_tid, minlength=nt).astype(np.int64)
+    term_starts = np.zeros(nt, dtype=np.int64)
+    np.cumsum(term_lens[:-1], out=term_starts[1:])
 
-    nt = len(o_term)
+    # doc_hash -> dense local id (docmap sorted => mapping is monotone,
+    # so per-term local ids stay sorted)
+    local = np.searchsorted(docmap, sorted_hids.astype(np.int64)).astype(
+        np.uint64
+    )
+    payloads = encode_varint_deltas_multi(local, term_lens)
+    blasts, bmaxtfs = block_meta_multi(local, sorted_tfs, term_lens)
+    maxtf_per_term = (
+        np.maximum.reduceat(sorted_tfs, term_starts).astype(np.int32)
+        if len(sorted_tfs)
+        else np.zeros(nt, dtype=np.int32)
+    )
+    tfbits = [
+        pack_tf(sorted_tfs[a : a + l])
+        for a, l in zip(term_starts, term_lens)
+    ]
+    n_postings = int(term_lens.sum())
+
     posting_tbl = pa.table(
         {
             "wave": pa.array([wave] * nt, pa.int32()),
             "subshard": pa.array([sub] * nt, pa.int32()),
-            "term": pa.array(o_term, pa.string()),
-            "df": pa.array(o_df, pa.int64()),
-            "max_tf": pa.array(o_maxtf, pa.int32()),
-            "payload": pa.array(o_payload, pa.binary()),
-            "tf_bits": pa.array(o_tfbits, pa.binary()),
-            "blk_last": pa.array(o_blast, pa.binary()),
-            "blk_maxtf": pa.array(o_bmaxtf, pa.binary()),
+            "term": pa.array(uniq_terms, pa.string()),
+            "df": pa.array(term_lens),
+            "max_tf": pa.array(maxtf_per_term),
+            "payload": pa.array(payloads, pa.binary()),
+            "tf_bits": pa.array(tfbits, pa.binary()),
+            "blk_last": pa.array(blasts, pa.binary()),
+            "blk_maxtf": pa.array(bmaxtfs, pa.binary()),
         }
     )
     _write_atomic(
@@ -442,10 +457,17 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
         wm = {"wave": wave, "fragments": wave_files, "status": "building", "steps": {}}
     steps = wm["steps"]
 
+    import ray
+
+    nblocks = cfg.read_blocks or max(
+        len(wave_files), int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
     tok_dir = os.path.join(wdir, "tokenized")
     if steps.get("tokenized") != "done":
         ds = ray.data.read_parquet(
-            wave_files, columns=["repo", "path", "commit", "lang", "content"]
+            wave_files,
+            columns=["repo", "path", "commit", "lang", "content"],
+            override_num_blocks=nblocks,
         )
         out = ds.map_batches(
             TokenizePartial(cfg),
@@ -456,17 +478,29 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
         import shutil
 
         shutil.rmtree(tok_dir, ignore_errors=True)
-        out.write_parquet(tok_dir)
+        # Hive-partitioned by subshard: the intermediate IS the exchange.
+        # The finalize stage reads each partition independently — a shuffle
+        # via storage, with no second in-memory all-to-all (the intermediate
+        # is already being written for resume; partitioning it is free).
+        out.write_parquet(tok_dir, partition_cols=["subshard"])
         steps["tokenized"] = "done"
         _write_json_atomic(wm_path, wm)
 
     if steps.get("finalized") != "done":
-        inter = ray.data.read_parquet(tok_dir)
-        metrics = inter.groupby("subshard").map_groups(
-            functools.partial(finalize_subshard, out_dir=out_dir, wave=wave),
-            batch_format="pyarrow",
+
+        @ray.remote
+        def finalize_task(sub: int) -> dict:
+            part_dir = os.path.join(tok_dir, f"subshard={sub}")
+            group = pq.read_table(part_dir)
+            m = finalize_subshard(group, out_dir=out_dir, wave=wave, sub=sub)
+            return m.to_pylist()[0]
+
+        subs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tok_dir)
+            if d.startswith("subshard=")
         )
-        rows = metrics.take_all()
+        rows = ray.get([finalize_task.remote(s) for s in subs])
         wm["n_docs"] = int(sum(r["n_docs"] for r in rows))
         wm["n_tokens"] = int(sum(r["n_tokens"] for r in rows))
         wm["min_dlen"] = int(min((r["min_dlen"] for r in rows), default=0))

@@ -121,6 +121,82 @@ def decode_selected_blocks(
     return np.concatenate(out_ids), np.concatenate(out_pos)
 
 
+def encode_varint_deltas_multi(
+    vals: np.ndarray, lens: np.ndarray
+) -> list[bytes]:
+    """Vectorized multi-posting encode: ``vals`` is the concatenation of
+    per-term sorted id arrays with lengths ``lens``. Byte-identical to
+    calling encode_varint_deltas per term (delta reset + absolute value at
+    every per-term BLOCK boundary), but all numpy passes run once over the
+    concatenation instead of once per term — the per-call overhead of
+    ~10 numpy ops on tiny arrays dominates a per-term loop."""
+    n = len(vals)
+    if n == 0:
+        return [b""] * len(lens)
+    vals = np.asarray(vals, dtype=np.uint64)
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    deltas = np.empty_like(vals)
+    deltas[1:] = vals[1:] - vals[:-1]
+    abs_mask = (pos_in_term % BLOCK) == 0
+    deltas[abs_mask] = vals[abs_mask]
+    bits = np.zeros(n, dtype=np.int64)
+    tmp = deltas.copy()
+    nonzero = tmp > 0
+    while nonzero.any():
+        bits[nonzero] += 1
+        tmp >>= np.uint64(1)
+        nonzero = tmp > 0
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    ends = np.cumsum(nbytes)
+    bstarts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nbytes.max())):
+        sel = nbytes > k
+        pos = bstarts[sel] + k
+        payload = (deltas[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1 > k).astype(np.uint8) << 7
+        out[pos] = payload.astype(np.uint8) | cont
+    term_b0 = bstarts[starts]
+    term_b1 = ends[starts + lens - 1]
+    return [out[a:b].tobytes() for a, b in zip(term_b0, term_b1)]
+
+
+def block_meta_multi(
+    vals: np.ndarray, tfs: np.ndarray, lens: np.ndarray
+) -> tuple[list[bytes], list[bytes]]:
+    """Vectorized multi-posting block_meta over the concatenation."""
+    lens = np.asarray(lens, dtype=np.int64)
+    n = len(vals)
+    if n == 0:
+        return [b""] * len(lens), [b""] * len(lens)
+    vals = np.asarray(vals, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint8)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nblocks = (lens + BLOCK - 1) // BLOCK
+    # global start index of every block of every term
+    blk_term = np.repeat(np.arange(len(lens)), nblocks)
+    blk_idx = np.arange(len(blk_term)) - np.repeat(
+        np.cumsum(nblocks) - nblocks, nblocks
+    )
+    blk_start = starts[blk_term] + blk_idx * BLOCK
+    blk_end = np.minimum(blk_start + BLOCK, (starts + lens)[blk_term])
+    last = vals[blk_end - 1]
+    maxtf = np.maximum.reduceat(tfs, blk_start) if len(blk_start) else np.empty(0, np.uint8)
+    # np.maximum.reduceat reduces [idx[i], idx[i+1]); our blocks are
+    # contiguous and cover all values, so boundaries line up exactly
+    blk_b = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=blk_b[1:])
+    out_last = [last[a:b].tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])]
+    out_maxtf = [
+        maxtf[a:b].astype(np.uint8).tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])
+    ]
+    return out_last, out_maxtf
+
+
 def pack_tf(tfs: np.ndarray) -> bytes:
     """tf in {1,2} -> bitmap (bit set => tf==2)."""
     return np.packbits((np.asarray(tfs) > 1).astype(np.uint8)).tobytes()

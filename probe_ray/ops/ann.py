@@ -163,6 +163,95 @@ def ann_lsh_topk(sf_dir: str, k: int = 5, nq: int = 4):
     )
 
 
+N_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic k-means (fixed seed + iteration count) over a
+    driver-side sample — at corpus scale the sample is
+    ds.random_sample(seed=...), centroids broadcast to every task."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))[:2048]
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(4242)
+    cent = mn[rng.choice(len(mn), size=min(N_CENTROIDS, len(mn)), replace=False)]
+    for _ in range(8):
+        assign = np.argmax(mn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mn[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 5, nq: int = 4):
+    """IVF approximate top-k: vectors assigned to their nearest centroid
+    (inverted lists); each query probes only its IVF_NPROBE closest
+    centroids' lists. Centroids broadcast once; assignment + scoring are
+    one map_batches pass. (query_id, rank, vec_id)."""
+    q, q_ids = _query_matrix(sf_dir, nq)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cent = _ivf_centroids(sf_dir)
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :IVF_NPROBE]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(mn @ cent.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, q_probe[qi])
+            if not mask.any():
+                continue
+            s = qn[qi] @ mn[mask].T
+            ids_m = vec_ids[mask]
+            kk = min(k, len(ids_m))
+            part = (
+                np.argpartition(-s, kk - 1)[:kk]
+                if len(s) > kk
+                else np.arange(len(s))
+            )
+            out_q.extend([q_ids[qi]] * len(part))
+            out_v.extend(ids_m[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    rows = _read_embeddings(sf_dir).map_batches(fn, batch_format="pyarrow").take_all()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["sim"]), int(r["vec_id"]))
+        )
+    out = {"query_id": [], "rank": [], "vec_id": []}
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda p: (-p[0], p[1]))[:k]
+        for rank, (_, vid) in enumerate(ranked, 1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+        }
+    )
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.8, max_id: int = 500):
     """Embedding-cosine near-duplicate pairs (a_id, b_id) for vec_id <
     max_id: exact blockwise matmul (each batch vs broadcast matrix)."""

@@ -106,17 +106,29 @@ DOC_QUERIES = {
 }
 
 
+_READER_CACHE: dict[str, IndexReader] = {}
+
+
+def _reader(idx: str) -> IndexReader:
+    """One IndexReader (and its persistent query actor pool) per index —
+    repeated queries() calls reuse warm actors instead of paying pool
+    startup per query."""
+    rd = _READER_CACHE.get(idx)
+    if rd is None:
+        rd = IndexReader(idx)
+        _READER_CACHE[idx] = rd
+    return rd
+
+
 def fts_search(sf_dir: str, name: str, k: int = 10) -> pa.Table:
     idx = ensure_index(sf_dir)
-    rd = IndexReader(idx)
     q = {**REFERENCE_QUERIES, **DOC_QUERIES}[name]
-    return rd.search(q, k=k)
+    return _reader(idx).search(q, k=k)
 
 
 def fts_search_all(sf_dir: str, k: int = 10) -> dict[str, pa.Table]:
     idx = ensure_index(sf_dir)
-    rd = IndexReader(idx)
-    return rd.search_many({**REFERENCE_QUERIES, **DOC_QUERIES}, k=k)
+    return _reader(idx).search_many({**REFERENCE_QUERIES, **DOC_QUERIES}, k=k)
 
 
 def corpus_sha256(sf_dir: str) -> pa.Table:

@@ -60,3 +60,33 @@ def test_block_meta():
     )
     assert np.frombuffer(last, np.uint64).tolist() == [127, 255, 299]
     assert np.frombuffer(maxtf, np.uint8).tolist() == [1, 2, 2]
+
+
+def test_multi_codec_byte_identity():
+    """encode_varint_deltas_multi / block_meta_multi must be byte-identical
+    to the per-term functions (the index build uses the multi variants; the
+    query path decodes with the single-posting layout)."""
+    from probe_ray.index.codec import (
+        block_meta_multi,
+        encode_varint_deltas_multi,
+    )
+
+    rng = np.random.default_rng(11)
+    arrays = []
+    for ln in [1, 2, 127, 128, 129, 257, 1000, 3]:
+        ids = np.sort(rng.choice(10**7, size=ln, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 3, size=ln).astype(np.uint8)
+        arrays.append((ids, tfs))
+    vals = np.concatenate([a[0] for a in arrays])
+    tfs_all = np.concatenate([a[1] for a in arrays])
+    lens = np.array([len(a[0]) for a in arrays])
+    assert encode_varint_deltas_multi(vals, lens) == [
+        encode_varint_deltas(a[0]) for a in arrays
+    ]
+    bl, bm = block_meta_multi(vals, tfs_all, lens)
+    singles = [block_meta(a[0], a[1]) for a in arrays]
+    assert bl == [s[0] for s in singles]
+    assert bm == [s[1] for s in singles]
+    # and decode round-trips per term
+    for (ids, _), payload in zip(arrays, encode_varint_deltas_multi(vals, lens)):
+        assert np.array_equal(decode_varint_deltas(payload, len(ids)), ids)
