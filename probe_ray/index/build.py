@@ -64,6 +64,17 @@ from .codec import block_meta_multi, encode_varint_deltas_multi, pack_tf
 # Parquet row-group size for postings files: small groups => the query
 # stage's term-filtered reads prune to a few row groups per term.
 POSTINGS_ROW_GROUP = 2048
+_T0 = time.time()
+
+
+def _t(msg: str, t0: float) -> float:
+    """Opt-in step timing to stderr (PROBE_RAY_TIMING=1)."""
+    now = time.time()
+    if os.environ.get("PROBE_RAY_TIMING"):
+        import sys
+
+        print(f"[build +{now - t0:6.2f}s] {msg}", file=sys.stderr, flush=True)
+    return now
 DICT_ROW_GROUP = 16384
 
 
@@ -399,19 +410,35 @@ def build_index(
     waves = [w for w in waves if w]
 
     os.makedirs(out_dir, exist_ok=True)
-    t0 = time.time()
+    global _T0
+    t0 = _T0 = time.time()
     done = 0
+    # Pipelined waves: wave w's finalize tasks (raw Ray futures) run WHILE
+    # wave w+1's tokenize Dataset job executes — the driver thread is busy
+    # with the Dataset job, the cluster interleaves both. Completion (and
+    # the wave manifest's "done") is committed in wave order.
+    pending: tuple | None = None
     for w, wave_files in enumerate(waves):
         wm_path = os.path.join(_wave_dir(out_dir, w), "wave_manifest.json")
         wm = _read_json(wm_path)
         if wm and wm.get("status") == "done" and wm.get("fragments") == wave_files:
             continue
-        _build_wave(wave_files, out_dir, w, cfg)
+        wm = _tokenize_wave(wave_files, out_dir, w, cfg)
+        if pending is not None:
+            _collect_finalize(out_dir, *pending)
+            pending = None
+            done += 1
+            if fail_after_wave is not None and done >= fail_after_wave:
+                raise RuntimeError(f"injected failure after {done} waves")
+        pending = _submit_finalize(out_dir, w, wm)
+    if pending is not None:
+        _collect_finalize(out_dir, *pending)
         done += 1
         if fail_after_wave is not None and done >= fail_after_wave:
             raise RuntimeError(f"injected failure after {done} waves")
 
     _build_dictionary(out_dir, len(waves))
+    _t("dictionary", _T0)
 
     # Global manifest from wave manifests.
     n_docs = n_tokens = 0
@@ -442,7 +469,21 @@ def build_index(
     return manifest
 
 
-def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig):
+def _finalize_task_impl(tok_dir: str, out_dir: str, wave: int, sub: int) -> dict:
+    part_dir = os.path.join(tok_dir, f"subshard={sub}")
+    group = pq.read_table(part_dir)
+    m = finalize_subshard(group, out_dir=out_dir, wave=wave, sub=sub)
+    return m.to_pylist()[0]
+
+
+def _tokenize_wave(
+    wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
+) -> dict:
+    """Blocking Dataset job: tokenize the wave into the Hive-partitioned
+    (by subshard) intermediate — the exchange happens via storage; the
+    finalize stage reads each partition independently with no second
+    in-memory all-to-all. The intermediate doubles as the resume artifact."""
+    import ray
     import ray.data
 
     wdir = _wave_dir(out_dir, wave)
@@ -457,13 +498,11 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
         wm = {"wave": wave, "fragments": wave_files, "status": "building", "steps": {}}
     steps = wm["steps"]
 
-    import ray
-
-    nblocks = cfg.read_blocks or max(
-        len(wave_files), int(ray.cluster_resources().get("CPU", 8)) * 2
-    )
-    tok_dir = os.path.join(wdir, "tokenized")
     if steps.get("tokenized") != "done":
+        nblocks = cfg.read_blocks or max(
+            len(wave_files), int(ray.cluster_resources().get("CPU", 8)) * 2
+        )
+        tok_dir = os.path.join(wdir, "tokenized")
         ds = ray.data.read_parquet(
             wave_files,
             columns=["repo", "path", "commit", "lang", "content"],
@@ -478,29 +517,38 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
         import shutil
 
         shutil.rmtree(tok_dir, ignore_errors=True)
-        # Hive-partitioned by subshard: the intermediate IS the exchange.
-        # The finalize stage reads each partition independently — a shuffle
-        # via storage, with no second in-memory all-to-all (the intermediate
-        # is already being written for resume; partitioning it is free).
         out.write_parquet(tok_dir, partition_cols=["subshard"])
         steps["tokenized"] = "done"
         _write_json_atomic(wm_path, wm)
+        _t(f"wave {wave} tokenize+write", _T0)
+    return wm
 
-    if steps.get("finalized") != "done":
 
-        @ray.remote
-        def finalize_task(sub: int) -> dict:
-            part_dir = os.path.join(tok_dir, f"subshard={sub}")
-            group = pq.read_table(part_dir)
-            m = finalize_subshard(group, out_dir=out_dir, wave=wave, sub=sub)
-            return m.to_pylist()[0]
+def _submit_finalize(out_dir: str, wave: int, wm: dict) -> tuple:
+    """Launch per-subshard finalize tasks (raw Ray futures) — they run
+    concurrently with the next wave's tokenize Dataset job."""
+    import ray
 
-        subs = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(tok_dir)
-            if d.startswith("subshard=")
-        )
-        rows = ray.get([finalize_task.remote(s) for s in subs])
+    if wm["steps"].get("finalized") == "done":
+        return (wave, wm, None)
+    tok_dir = os.path.join(_wave_dir(out_dir, wave), "tokenized")
+    subs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(tok_dir)
+        if d.startswith("subshard=")
+    )
+    task = ray.remote(_finalize_task_impl)
+    futs = [task.remote(tok_dir, out_dir, wave, s) for s in subs]
+    return (wave, wm, futs)
+
+
+def _collect_finalize(out_dir: str, wave: int, wm: dict, futs) -> None:
+    import ray
+
+    wm_path = os.path.join(_wave_dir(out_dir, wave), "wave_manifest.json")
+    if futs is not None:
+        rows = ray.get(futs)
+        _t(f"wave {wave} finalize ({len(rows)} subshards)", _T0)
         wm["n_docs"] = int(sum(r["n_docs"] for r in rows))
         wm["n_tokens"] = int(sum(r["n_tokens"] for r in rows))
         wm["min_dlen"] = int(min((r["min_dlen"] for r in rows), default=0))
@@ -517,9 +565,8 @@ def _build_wave(wave_files: list[str], out_dir: str, wave: int, cfg: IndexConfig
             ),
             key=lambda x: x["subshard"],
         )
-        steps["finalized"] = "done"
+        wm["steps"]["finalized"] = "done"
         _write_json_atomic(wm_path, wm)
-
     wm["status"] = "done"
     _write_json_atomic(wm_path, wm)
 
@@ -528,38 +575,64 @@ def _dict_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "dict")
 
 
+# Above this many (term, df) rows across segments the dictionary is built
+# with a Ray groupby(term) shuffle; below it, a driver-side pyarrow
+# aggregate is faster than two distributed barriers.
+DICT_DRIVER_MAX_ROWS = 20_000_000
+
+
 def _build_dictionary(out_dir: str, num_waves: int) -> None:
     """Global (term, df) dictionary, sorted by term, for query-time idf
     lookups with parquet row-group pruning (no postings scan per query)."""
-    import ray.data
-
     ddir = _dict_dir(out_dir)
     marker = os.path.join(ddir, "_done")
     if os.path.exists(marker):
         return
     paths = []
+    total_terms = 0
     for w in range(num_waves):
+        wm = _read_json(os.path.join(_wave_dir(out_dir, w), "wave_manifest.json"))
+        total_terms += sum(s.get("n_terms", 0) for s in (wm or {}).get("subshards", []))
         d = os.path.join(_wave_dir(out_dir, w), "postings")
         paths.extend(
             os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-        )
-    ds = ray.data.read_parquet(paths, columns=["term", "df"])
-    agg = ds.groupby("term").sum("df").sort("term")
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "term": batch.column("term"),
-                "df": batch.column("sum(df)").cast(pa.int64()),
-            }
         )
 
     import shutil
 
     shutil.rmtree(ddir, ignore_errors=True)
-    agg.map_batches(rename, batch_format="pyarrow").write_parquet(
-        ddir, row_group_size=DICT_ROW_GROUP
-    )
+    if total_terms and total_terms <= DICT_DRIVER_MAX_ROWS:
+        t = pq.ParquetDataset(paths).read(columns=["term", "df"])
+        agg = (
+            t.group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by([("term", "ascending")])
+        )
+        agg = agg.set_column(
+            1, "df", agg.column("df").cast(pa.int64())
+        )
+        os.makedirs(ddir, exist_ok=True)
+        pq.write_table(
+            agg, os.path.join(ddir, "dict.parquet"), row_group_size=DICT_ROW_GROUP
+        )
+    else:
+        import ray.data
+
+        ds = ray.data.read_parquet(paths, columns=["term", "df"])
+        agg_ds = ds.groupby("term").sum("df").sort("term")
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "term": batch.column("term"),
+                    "df": batch.column("sum(df)").cast(pa.int64()),
+                }
+            )
+
+        agg_ds.map_batches(rename, batch_format="pyarrow").write_parquet(
+            ddir, row_group_size=DICT_ROW_GROUP
+        )
     open(marker, "w").close()
 
 
