@@ -157,7 +157,7 @@ def oracle_sql() -> dict[str, str]:
             "ON a.vec_id < b.vec_id "
             "WHERE a.vec_id < 500 AND b.vec_id < 500 AND "
             "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])) >= 0.8 "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.42 "
             "ORDER BY a_id, b_id"
         ),
         "fts_corpus_sha256": (

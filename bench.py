@@ -51,7 +51,13 @@ def _corpus(rows: int, stmt_scale: int = 1, nfiles: int = 16) -> str:
     @ray.remote
     def gen(part: int, start: int, count: int) -> str:
         p = os.path.join(d, f"part-{part:05d}.parquet")
-        pq.write_table(make_rows(start, count, stmt_scale=stmt_scale), p)
+        # small row groups: parquet reads can only split AT row-group
+        # boundaries, and a single-row-group file caps the fused
+        # read->tokenize stage at one task per file
+        pq.write_table(
+            make_rows(start, count, stmt_scale=stmt_scale), p,
+            row_group_size=2048,
+        )
         return p
 
     per = (rows + nfiles - 1) // nfiles

@@ -94,15 +94,22 @@ def make_rows(
         )
         path = f"{dirs}/{fname}"
         n_stmts = int(rng.integers(5, 40)) * stmt_scale
+        # vectorized draws (one rng call per distribution per doc — a
+        # per-statement rng.choice loop is ~100x slower at stmt_scale>1)
+        syn_idx = rng.integers(len(SYNTAX), size=n_stmts)
+        ident_idx = rng.integers(len(IDENTIFIERS), size=n_stmts)
+        ncom = rng.integers(1, 5, size=n_stmts)
+        com_idx = rng.choice(len(COMMON_WORDS), size=int(ncom.sum()), p=_ZIPF_P)
         words: list[str] = []
-        for _ in range(n_stmts):
-            words.append(str(rng.choice(SYNTAX)))
-            words.append(str(rng.choice(IDENTIFIERS)))
-            words.extend(
-                rng.choice(COMMON_WORDS, size=int(rng.integers(1, 5)), p=_ZIPF_P)
-            )
+        ci = 0
+        for k in range(n_stmts):
+            words.append(SYNTAX[syn_idx[k]])
+            words.append(IDENTIFIERS[ident_idx[k]])
+            for j in range(ncom[k]):
+                words.append(COMMON_WORDS[com_idx[ci + j]])
+            ci += int(ncom[k])
         if rng.random() < 0.08:
-            words.append(str(rng.choice(RARE)))
+            words.append(RARE[int(rng.integers(len(RARE)))])
         words.append(f"salt_{seed}_{i}_{rng.integers(2**31)}")
         content = " ".join(words)
         repos.append(repo)
@@ -142,7 +149,10 @@ def write_corpus(
         if count <= 0:
             break
         p = os.path.join(out_dir, f"part-{f:05d}.parquet")
-        pq.write_table(make_rows(start, count, seed, stmt_scale), p)
+        # row-group-splittable files (see bench._corpus)
+        pq.write_table(
+            make_rows(start, count, seed, stmt_scale), p, row_group_size=2048
+        )
         paths.append(p)
         start += count
     return paths

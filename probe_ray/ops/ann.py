@@ -252,7 +252,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 5, nq: int = 4):
     )
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.8, max_id: int = 500):
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.42, max_id: int = 500):
     """Embedding-cosine near-duplicate pairs (a_id, b_id) for vec_id <
     max_id: exact blockwise matmul (each batch vs broadcast matrix)."""
     import pyarrow.parquet as pq
