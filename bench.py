@@ -106,6 +106,7 @@ def run_headline(
     stmt_scale: int = 1,
     subshards: int | None = None,
     run_queries: bool = True,
+    num_waves: int = 2,
 ) -> dict:
     """Fresh Ray session: build index over the synthetic corpus + run the
     reference query set. Returns timings."""
@@ -133,7 +134,7 @@ def run_headline(
             [corpus],
             idx,
             IndexConfig(
-                num_waves=2,
+                num_waves=num_waves,
                 subshards=subshards or max(4, num_cpus // 4),
             ),
         )
@@ -147,14 +148,21 @@ def run_headline(
                 "corpus_bytes": nbytes,
             }
 
+        from probe_ray.query.bm25 import create_query_plan
+
         rd = IndexReader(idx)
         qtimes = {}
-        # warm (loads docstats caches etc.)
+        # warm (starts the actor pool, loads docstats caches)
         rd.search("setTools", k=10)
         for name, q in REFERENCE_QUERIES.items():
-            t1 = time.time()
-            rd.search(q, k=10)
-            qtimes[f"fts_{name}"] = round(time.time() - t1, 4)
+            special = bool(create_query_plan(q).special_terms)
+            reps = 1 if special else 5  # scan-path queries re-read the corpus
+            samples = []
+            for _ in range(reps):
+                t1 = time.time()
+                rd.search(q, k=10)
+                samples.append(time.time() - t1)
+            qtimes[f"fts_{name}"] = round(sorted(samples)[len(samples) // 2], 4)
         return {
             "build_seconds": round(build_s, 3),
             "docs_per_sec": round(rows / build_s, 1),
@@ -165,6 +173,7 @@ def run_headline(
             "query_p50": round(
                 sorted(qtimes.values())[len(qtimes) // 2], 4
             ),
+            "query_max": round(max(qtimes.values()), 4),
         }
     finally:
         ray.shutdown()
@@ -213,7 +222,12 @@ def main():
         # stand-in for the same job on N- and 4N-node clusters.
         import ray
 
-        s_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "200000"))
+        # 1.5M docs x ~6.5 KB ≈ 10 GB of content. One wave: at this data
+        # size a finalize group is ~300 MB (10 GB / 32 subshards), well
+        # within worker memory, so a single wave is the correct production
+        # config — waves exist to bound group memory and give checkpoint
+        # granularity when the corpus is orders of magnitude larger.
+        s_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "1500000"))
         s_scale = int(os.environ.get("GRAFT_SCALING_STMTS", "8"))
         ray.init(address="local", include_dashboard=False, log_to_driver=False)
         _corpus(s_rows, s_scale)  # generate once with all cores
@@ -222,11 +236,11 @@ def main():
         lo_cpus, hi_cpus = 8, 32
         lo = run_headline(
             lo_cpus, s_rows, f"c{lo_cpus}", stmt_scale=s_scale,
-            subshards=32, run_queries=False,
+            subshards=32, run_queries=False, num_waves=1,
         )
         hi = run_headline(
             hi_cpus, s_rows, f"c{hi_cpus}", stmt_scale=s_scale,
-            subshards=32, run_queries=False,
+            subshards=32, run_queries=False, num_waves=1,
         )
         eff = (hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"]))
         print(
