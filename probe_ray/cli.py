@@ -71,31 +71,30 @@ def cmd_search(args) -> int:
         filters[fld] = val
 
     rd = IndexReader(args.index)
-    queries = {f"q{i}": q for i, q in enumerate(args.query)}
+    # multiple query args are ANDed into one query, mirroring the
+    # reference CLI (search_runner.rs:358-364)
+    joined = " AND ".join(args.query)
+    queries = {"q0": joined}
     results = rd.search_many(
         queries, k=args.k, filters={n: filters for n in queries}
     )
+    t = results["q0"]
     if args.out:
         import os
 
         import pyarrow.parquet as pq
 
         os.makedirs(args.out, exist_ok=True)
-        for i, q in enumerate(args.query):
-            pq.write_table(
-                results[f"q{i}"], os.path.join(args.out, f"q{i}.parquet")
+        pq.write_table(t, os.path.join(args.out, "results.parquet"))
+    if args.json:
+        print(json.dumps({"query": joined, "results": t.to_pylist()}))
+    else:
+        print(f"# {joined}")
+        for row in t.to_pylist():
+            print(
+                f"{row['rank']:3d}  {row['score']:.4f}  "
+                f"{row['repo']}/{row['path']}"
             )
-    for i, q in enumerate(args.query):
-        t = results[f"q{i}"]
-        if args.json:
-            print(json.dumps({"query": q, "results": t.to_pylist()}))
-        else:
-            print(f"# {q}")
-            for row in t.to_pylist():
-                print(
-                    f"{row['rank']:3d}  {row['score']:.4f}  "
-                    f"{row['repo']}/{row['path']}"
-                )
     rd.close()
     if owns:
         ray.shutdown()

@@ -58,7 +58,8 @@ def corpus_parquet(sf_dir: str) -> str:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
         fn, batch_format="pyarrow"
     )
-    ds.write_parquet(out)
+    # small row groups => the scan path's reads split across CPUs
+    ds.write_parquet(out, row_group_size=2048)
     open(marker, "w").close()
     return out
 

@@ -490,6 +490,13 @@ class IndexReader:
         from probe_ray.search.scan import scan_search_many
 
         filters = filters or {}
+        for fname, fs in filters.items():
+            bad = set(fs) - {"repo", "path", "lang"}
+            if bad:
+                raise ValueError(
+                    f"unknown filter field(s) {sorted(bad)} for query "
+                    f"{fname!r}; valid: repo, path, lang"
+                )
         plans: dict[str, QueryPlan] = {}
         scan_queries: dict[str, str] = {}
         results: dict[str, pa.Table] = {}

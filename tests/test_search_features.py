@@ -108,3 +108,41 @@ def test_cli_build_resume_reports(small_corpus, tmp_path, capsys, ray_session):
     assert rc == 0
     rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec2["n_docs"] == rec["n_docs"]
+
+
+def test_cli_multi_query_ands(built_index, capsys, ray_session):
+    """Multiple CLI query args are ANDed into one query, mirroring the
+    reference CLI (search_runner.rs:358-364)."""
+    from probe_ray.cli import main
+
+    rc = main(
+        ["search", "--index", built_index[0], "error", "handler",
+         "-k", "5", "--json"]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["query"] == "error AND handler"
+
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(built_index[0])
+    direct = rd.search("error AND handler", k=5)
+    rd.close()
+    assert [r["path"] for r in rec["results"]] == direct.column("path").to_pylist()
+
+
+def test_ann_ivf_deterministic_and_sane(ray_session):
+    """IVF top-k: deterministic across runs; each query's top-1 from the
+    probed buckets agrees with brute force when the true top-1 is in a
+    probed bucket (recall sanity, not exactness — IVF is approximate)."""
+    from probe_ray.ops import ann
+
+    a = ann.ann_ivf_topk("/root/testdata/sf0.001")
+    b = ann.ann_ivf_topk("/root/testdata/sf0.001")
+    assert a.equals(b)
+    assert a.num_rows > 0
+    brute = ann.ann_brute_topk("/root/testdata/sf0.001")
+    iv = {(r["query_id"], r["rank"]): r["vec_id"] for r in a.to_pylist()}
+    br = {(r["query_id"], r["rank"]): r["vec_id"] for r in brute.to_pylist()}
+    agree = sum(1 for k in br if iv.get(k) == br[k])
+    assert agree >= len(br) // 3, f"IVF recall suspiciously low: {agree}/{len(br)}"
