@@ -12,7 +12,9 @@ pipeline and only the rare special-term queries pay for it.
 Two passes over a small intermediate (written once; tokenization runs ONCE):
   pass 1: map_batches(tokenize + per-doc tf over query keywords)
           -> intermediate rows (repo, path, commit, lang, sha256, doc_len,
-             tf_<i> columns) + corpus stats (N, sum doc_len, df per kw)
+             tf_<i> columns) + per-batch STATS rows fused into the same
+             output (is_stats=True: N, sum doc_len, df per kw — computed
+             from the batch's own arrays, no second distributed pass)
   pass 2: map_batches(vectorized AST scoring with global stats)
           -> per-batch top-k -> driver merge.
 """
@@ -78,14 +80,38 @@ class _TfStage:
                 out["doc_len"].append(len(toks))
                 for t, j in self.kw_pos.items():
                     tf_cols[j].append(tf.get(t, 0))
+        # fused per-(batch, ctx) stats rows: n docs, sum doc_len, df per kw
+        n_ctx = len(ctxs)
+        ctx_vals = np.asarray(out["ctx"], dtype=np.int32)
+        dlen_vals = np.asarray(out["doc_len"], dtype=np.int64)
+        for ci in range(n_ctx):
+            m = ctx_vals == ci
+            out["ctx"].append(ci)
+            out["repo"].append(None)
+            out["path"].append(None)
+            out["commit"].append(None)
+            out["lang"].append(None)
+            out["sha256"].append(None)
+            out["doc_len"].append(int(dlen_vals[m].sum()))
+            for j in range(nk):
+                tf_cols[j].append(
+                    int((np.asarray(tf_cols[j], dtype=np.int64)[: len(m)][m] > 0).sum())
+                )
+        nrows = len(out["ctx"])
+        is_stats = [False] * (nrows - n_ctx) + [True] * n_ctx
+        n_col = [0] * (nrows - n_ctx) + [
+            int((ctx_vals == ci).sum()) for ci in range(n_ctx)
+        ]
         tbl = {
             "ctx": pa.array(out["ctx"], pa.int32()),
+            "is_stats": pa.array(is_stats, pa.bool_()),
+            "n": pa.array(n_col, pa.int64()),
             "repo": pa.array(out["repo"], pa.string()),
             "path": pa.array(out["path"], pa.string()),
             "commit": pa.array(out["commit"], pa.string()),
             "lang": pa.array(out["lang"], pa.string()),
             "sha256": pa.array(out["sha256"], pa.string()),
-            "doc_len": pa.array(out["doc_len"], pa.int32()),
+            "doc_len": pa.array(out["doc_len"], pa.int64()),
         }
         for j in range(nk):
             tbl[f"tf_{j}"] = pa.array(tf_cols[j], pa.int32())
@@ -126,39 +152,22 @@ def scan_search_many(
             seen_ctx[plan.special_terms] = len(seen_ctx)
         ctx_list.append((name, plan, seen_ctx[plan.special_terms]))
 
-    # global stats per ctx
-    def stats_batch(batch: pa.Table) -> pa.Table:
-        cols = {"ctx": [], "n": [], "sum_dlen": []}
-        dfc = [[] for _ in range(nk)]
-        ctx_arr = batch.column("ctx").to_numpy()
-        dlen = batch.column("doc_len").to_numpy()
-        for c in np.unique(ctx_arr):
-            m = ctx_arr == c
-            cols["ctx"].append(int(c))
-            cols["n"].append(int(m.sum()))
-            cols["sum_dlen"].append(int(dlen[m].sum()))
-            for j in range(nk):
-                dfc[j].append(
-                    int((batch.column(f"tf_{j}").to_numpy()[m] > 0).sum())
-                )
-        t = {k2: pa.array(v, pa.int64()) for k2, v in cols.items()}
-        for j in range(nk):
-            t[f"df_{j}"] = pa.array(dfc[j], pa.int64())
-        return pa.table(t)
+    # global stats per ctx from the fused stats rows: a distributed filter
+    # ships ONLY the tiny stats rows to the driver
+    def stats_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("is_stats"), True)
+        )
 
-    srows = [
-        r
-        for r in inter.map_batches(stats_batch, batch_format="pyarrow").take_all()
-    ]
     agg: dict[int, dict] = {}
-    for r in srows:
+    for r in inter.map_batches(stats_rows, batch_format="pyarrow").take_all():
         a = agg.setdefault(
             int(r["ctx"]), {"n": 0, "sum_dlen": 0, "df": [0] * nk}
         )
-        a["n"] += r["n"]
-        a["sum_dlen"] += r["sum_dlen"]
+        a["n"] += int(r["n"])
+        a["sum_dlen"] += int(r["doc_len"])
         for j in range(nk):
-            a["df"][j] += r[f"df_{j}"]
+            a["df"][j] += int(r[f"tf_{j}"])
 
     per_query = []
     for name, plan, ci in ctx_list:
@@ -173,6 +182,7 @@ def scan_search_many(
         per_query.append((name, plan, ci, avgdl, idfs))
 
     def score_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("is_stats"), False))
         ctx_arr = batch.column("ctx").to_numpy()
         dlen = batch.column("doc_len").to_numpy().astype(np.float64)
         tf_mat = {
