@@ -387,27 +387,45 @@ class SegmentWorker:
     read per query with a term-IN filter (row-group pruned — the postings
     files are sorted by term with small row groups)."""
 
+    POSTINGS_CACHE_TERMS = 8192  # per actor, across its segments
+
     def __init__(self, index_dir: str, parts: list[tuple[int, int]],
                  avgdl: float, min_dlen: int):
         self.index_dir = index_dir
         self.parts = parts
         self.avgdl = avgdl
         self.min_dlen = min_dlen
+        # (wave, sub, term) -> posting row dict, or None for absent terms
+        # (negative entries stop re-reads for terms a segment lacks; the
+        # index is immutable so entries never invalidate)
+        self._cache: dict[tuple[int, int, str], dict | None] = {}
         # warm the docstats cache up front (actor init = once)
         for w, s in parts:
             _load_docstats(index_dir, w, s)
+
+    def _postings_for(self, w: int, s: int, terms: list[str]) -> pa.Table:
+        missing = [t for t in terms if (w, s, t) not in self._cache]
+        if missing:
+            got = pq.read_table(
+                _postings_path(self.index_dir, w, s),
+                filters=[("term", "in", missing)],
+            )
+            if len(self._cache) > self.POSTINGS_CACHE_TERMS:
+                self._cache.clear()
+            for row in got.to_pylist():
+                self._cache[(w, s, row["term"])] = row
+            for t in missing:
+                self._cache.setdefault((w, s, t), None)
+        rows = [r for t in terms if (r := self._cache[(w, s, t)]) is not None]
+        if not rows:
+            return _empty_postings()
+        return pa.Table.from_pylist(rows, schema=_empty_postings().schema)
 
     def search(self, specs: list[_QuerySpec], k: int) -> pa.Table:
         all_terms = sorted({t for sp in specs for t in sp.plan.term_indices})
         tables = []
         for w, s in self.parts:
-            if all_terms:
-                post = pq.read_table(
-                    _postings_path(self.index_dir, w, s),
-                    filters=[("term", "in", all_terms)],
-                )
-            else:
-                post = _empty_postings()
+            post = self._postings_for(w, s, all_terms)
             tables.append(
                 score_segment(
                     post,
