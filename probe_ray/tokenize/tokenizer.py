@@ -27,6 +27,7 @@ frequency per document is in {0, 1, 2}.
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 
 from .stemmer import stem
@@ -180,29 +181,30 @@ def split_compound_word_for_filtering(
     return list(parts) if parts else [word]
 
 
+# [^\W_] == "isalnum() run": Python re defines \w as isalnum() plus
+# underscore, so its complement-minus-underscore is exactly the Unicode
+# alphanumeric runs the reference splits on (char-level is_alphanumeric,
+# tokenization.rs:2679-2700) — one C-level findall instead of a Python
+# per-character loop (was 60% of tokenizer time).
+_ALNUM_RUNS = re.compile(r"[^\W_]+", re.UNICODE)
+
+
 def _raw_tokens(text: str) -> tuple[list[str], set[str]]:
     """Whitespace split, then alnum-run split; '-'-prefixed words negate."""
+    if "-" not in text:
+        # no word can be negated; runs are identical computed text-wide
+        # (whitespace is non-alphanumeric, so word boundaries break runs)
+        return _ALNUM_RUNS.findall(text), set()
     tokens: list[str] = []
     negated: set[str] = set()
     for word in text.split():
-        is_neg = word.startswith("-")
-        if is_neg:
-            word = word[1:]
-        cur: list[str] = []
-        for c in word:
-            if c.isalnum():
-                cur.append(c)
-            elif cur:
-                tok = "".join(cur)
-                if is_neg:
-                    negated.add(tok.lower())
-                tokens.append(tok)
-                cur = []
-        if cur:
-            tok = "".join(cur)
-            if is_neg:
+        if word.startswith("-"):
+            runs = _ALNUM_RUNS.findall(word[1:])
+            for tok in runs:
                 negated.add(tok.lower())
-            tokens.append(tok)
+            tokens.extend(runs)
+        else:
+            tokens.extend(_ALNUM_RUNS.findall(word))
     return tokens, negated
 
 
