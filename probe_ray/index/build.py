@@ -453,8 +453,11 @@ def build_index(
         if wmin is not None:
             min_dlen = wmin if min_dlen is None else min(min_dlen, wmin)
         wave_entries.append(wm)
+    from probe_ray import ENGINE_VERSION
+
     manifest = {
         "version": 2,
+        "engine_version": ENGINE_VERSION,
         "input_files": files,
         "config": asdict(cfg),
         "n_docs": n_docs,

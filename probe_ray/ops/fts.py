@@ -68,13 +68,16 @@ def ensure_index(sf_dir: str) -> str:
     import json
     import shutil
 
+    from probe_ray import ENGINE_VERSION
+
     corpus = corpus_parquet(sf_dir)
     idx = os.path.join(_cache_dir(sf_dir), "index")
     mpath = os.path.join(idx, "manifest.json")
     if os.path.exists(mpath):
         with open(mpath) as f:
-            if json.load(f).get("version") == 2:
-                return idx
+            m = json.load(f)
+        if m.get("version") == 2 and m.get("engine_version") == ENGINE_VERSION:
+            return idx
         shutil.rmtree(idx, ignore_errors=True)
     build_index([corpus], idx, IndexConfig(num_waves=2, subshards=4))
     return idx
