@@ -227,7 +227,7 @@ def main():
         # within worker memory, so a single wave is the correct production
         # config — waves exist to bound group memory and give checkpoint
         # granularity when the corpus is orders of magnitude larger.
-        s_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "2500000"))
+        s_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "1500000"))
         s_scale = int(os.environ.get("GRAFT_SCALING_STMTS", "8"))
         ray.init(address="local", include_dashboard=False, log_to_driver=False)
         _corpus(s_rows, s_scale)  # generate once with all cores

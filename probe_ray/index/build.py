@@ -302,18 +302,25 @@ def finalize_subshard(
     exploded_ids = np.frombuffer(b"".join(ids_col), dtype=np.uint64)
     exploded_tfs = np.frombuffer(b"".join(tfs_col), dtype=np.uint8)
     val_tid = np.repeat(row_tid, ns)
-    order2 = np.lexsort((exploded_ids, val_tid))
-    sorted_hids = exploded_ids[order2]
+    # doc_hash -> dense local id FIRST (docmap sorted => monotone map, so
+    # (tid, local) order == (tid, hash) order), then pack both into one
+    # int64 key: a single argsort halves the memory traffic of a two-pass
+    # lexsort — finalize tasks are memory-bandwidth-bound when all CPUs
+    # run one.
+    local_all = np.searchsorted(
+        docmap, exploded_ids.astype(np.int64)
+    ).astype(np.uint64)
+    shift = max(1, len(docmap)).bit_length()
+    if nt <= 1 or (nt - 1).bit_length() + shift <= 63:
+        key = (val_tid.astype(np.uint64) << np.uint64(shift)) | local_all
+        order2 = np.argsort(key)  # (tid, local) pairs are unique
+    else:  # astronomically wide subshard: fall back to two-key sort
+        order2 = np.lexsort((local_all, val_tid))
+    local = local_all[order2]
     sorted_tfs = exploded_tfs[order2]
     term_lens = np.bincount(val_tid, minlength=nt).astype(np.int64)
     term_starts = np.zeros(nt, dtype=np.int64)
     np.cumsum(term_lens[:-1], out=term_starts[1:])
-
-    # doc_hash -> dense local id (docmap sorted => mapping is monotone,
-    # so per-term local ids stay sorted)
-    local = np.searchsorted(docmap, sorted_hids.astype(np.int64)).astype(
-        np.uint64
-    )
     payloads = encode_varint_deltas_multi(local, term_lens)
     blasts, bmaxtfs = block_meta_multi(local, sorted_tfs, term_lens)
     maxtf_per_term = (
@@ -540,7 +547,11 @@ def _submit_finalize(out_dir: str, wave: int, wm: dict) -> tuple:
         for d in os.listdir(tok_dir)
         if d.startswith("subshard=")
     )
-    task = ray.remote(_finalize_task_impl)
+    # Finalize is memory-bandwidth-bound (giant argsort + varint passes):
+    # one task per core saturates DRAM and RAISES wall time on wide nodes.
+    # Reserve ~2 cores' worth of bandwidth per task on 32-core nodes.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    task = ray.remote(num_cpus=max(1, cpus // 16))(_finalize_task_impl)
     futs = [task.remote(tok_dir, out_dir, wave, s) for s in subs]
     return (wave, wm, futs)
 
