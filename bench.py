@@ -74,6 +74,30 @@ def _corpus(rows: int, stmt_scale: int = 1, nfiles: int = 16) -> str:
     return d
 
 
+def _effective_parallelism(num_cpus: int) -> float:
+    """Calibration: how many CPUs' worth of cycles the host actually
+    delivers right now. This sandbox VM's hypervisor sometimes caps the
+    machine at ~a third of its vCPUs for minutes at a time; a scaling
+    ratio measured during such a window reflects the host, not the
+    engine — so every measurement self-reports this number."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def spin(n: int) -> float:
+        t0 = time.time()
+        x = 0
+        for i in range(n):
+            x += i * i
+        return time.time() - t0
+
+    n = 3_000_000
+    t_single = ray.get(spin.remote(n))
+    t0 = time.time()
+    singles = ray.get([spin.remote(n) for _ in range(num_cpus)])
+    wall = time.time() - t0
+    return round(num_cpus * min(min(singles), t_single) / wall, 2)
+
+
 def _warmup_ray_data():
     """One tiny Dataset round before timing: starts Ray Data's worker
     processes and executor so measured build time is steady-state engine
@@ -126,6 +150,7 @@ def run_headline(
 
         corpus = _corpus(rows, stmt_scale)
         _warmup_ray_data()
+        eff_par = _effective_parallelism(num_cpus)
         nbytes = _corpus_bytes(corpus)
         idx = os.path.join(BENCH_ROOT, f"index_{rows}_{tag}")
         shutil.rmtree(idx, ignore_errors=True)
@@ -146,6 +171,7 @@ def run_headline(
                 "mb_per_sec": round(nbytes / 1e6 / build_s, 2),
                 "rows": rows,
                 "corpus_bytes": nbytes,
+                "effective_parallelism": eff_par,
             }
 
         from probe_ray.query.bm25 import create_query_plan
@@ -191,14 +217,17 @@ def run_sf_ops(num_cpus: int) -> dict:
         log_to_driver=False,
     )
     try:
-        from probe_ray.ops import ann, dedup, text
+        from probe_ray.ops import ann, dedup, relational, text
 
         out = {}
         for name, fn in [
             ("dedup_exact", lambda: dedup.exact_dedup_groups(SF_DIR).count()),
             ("text_stats", lambda: text.text_stats(SF_DIR).count()),
             ("ann_brute_topk", lambda: ann.ann_brute_topk(SF_DIR).num_rows),
+            ("ann_ivf_topk", lambda: ann.ann_ivf_topk(SF_DIR).num_rows),
             ("minhash_pairs", lambda: dedup.minhash_lsh_pairs(SF_DIR).count()),
+            ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
+            ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),
         ]:
             t0 = time.time()
             fn()
