@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing -----------------------------------------
         "multimodal_payload_sizes": multimodal.payload_sizes,
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_frame_features": multimodal.frame_features,
+        "multimodal_resize_features": multimodal.resize_features,
     }
     # one entry per fulltext search of the reference query set (rows-only)
     for name in list(fts.REFERENCE_QUERIES) + list(fts.DOC_QUERIES):

@@ -88,6 +88,83 @@ def multimodal_features(sf_dir: str, concurrency: int = 2):
     )
 
 
+class FrameSampler:
+    """Actor-pool stage: video-style frame sampling plumbing.
+
+    Real frame decode (ffmpeg/cv2) is absent in this container; the
+    deterministic stand-in slices the payload into ``n_frames`` byte
+    ranges and 'decodes' each to a fixed-size feature. The Ray plumbing
+    is real: one input row fans out to one row per sampled frame
+    (batch-level flat-map), binary columns flow zero-copy, and the
+    'decoder' is initialised once per actor."""
+
+    def __init__(self, n_frames: int = 4, dim: int = 4):
+        self.n_frames = n_frames
+        self.dim = dim
+
+    def _frame_feature(self, chunk: bytes) -> list[int]:
+        h = hashlib.blake2b(chunk, digest_size=8 * self.dim).digest()
+        return [
+            int.from_bytes(h[i * 8 : (i + 1) * 8], "big") % 1000003
+            for i in range(self.dim)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_doc, out_frame, out_feat = [], [], []
+        for did, p in zip(doc_ids, payloads):
+            n = max(1, min(self.n_frames, len(p) or 1))
+            step = max(1, len(p) // n)
+            for f in range(n):
+                chunk = p[f * step : (f + 1) * step] or b"\x00"
+                out_doc.append(did)
+                out_frame.append(f)
+                out_feat.append(self._frame_feature(chunk))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+                "feature": pa.array(out_feat, pa.list_(pa.int64())),
+            }
+        )
+
+
+def frame_features(sf_dir: str, n_frames: int = 4, concurrency: int = 2):
+    """encode -> actor-pool frame sampling: (doc_id, frame_idx, feature).
+    One input row fans out to n_frames output rows."""
+    return encode_payloads(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def resize_features(sf_dir: str, out_dim: int = 2, concurrency: int = 2):
+    """'Resize' stage: average-pool the extracted feature vectors to a
+    smaller fixed dim (stand-in for image resize; deterministic ints):
+    (doc_id, feature list<int64> of out_dim)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        feats = np.asarray(batch.column("feature").to_pylist(), dtype=np.int64)
+        k = feats.shape[1] // out_dim
+        pooled = feats[:, : k * out_dim].reshape(len(feats), out_dim, k).mean(
+            axis=2
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "feature": pa.array(pooled.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    return multimodal_features(sf_dir, concurrency=concurrency).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def payload_sizes(sf_dir: str):
     """(doc_id, payload_bytes) — SQL-checkable (octet_length)."""
     import pyarrow.compute as pc

@@ -79,3 +79,20 @@ def test_oracle_parity(ray_session, duck, name):
         f"{name}: row count {len(ours)} != oracle {len(theirs)}"
     )
     assert ours == theirs, f"{name}: value mismatch vs oracle"
+
+
+def test_multimodal_frame_plumbing(ray_session):
+    """Frame sampling fans one doc out to n_frames rows, deterministically;
+    resize pools features to the target dim."""
+    from probe_ray.ops import multimodal
+
+    t1 = _to_table(multimodal.frame_features(SF_DIR, n_frames=3))
+    t2 = _to_table(multimodal.frame_features(SF_DIR, n_frames=3))
+    assert _canon(t1) == _canon(t2)
+    by_doc: dict[int, set] = {}
+    for r in t1.to_pylist():
+        by_doc.setdefault(r["doc_id"], set()).add(r["frame_idx"])
+    assert all(frames == {0, 1, 2} for frames in by_doc.values())
+
+    rz = _to_table(multimodal.resize_features(SF_DIR, out_dim=2))
+    assert all(len(r["feature"]) == 2 for r in rz.to_pylist()[:20])
