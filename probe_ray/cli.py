@@ -76,7 +76,8 @@ def cmd_search(args) -> int:
     joined = " AND ".join(args.query)
     queries = {"q0": joined}
     results = rd.search_many(
-        queries, k=args.k, filters={n: filters for n in queries}
+        queries, k=args.k, filters={n: filters for n in queries},
+        max_total_tokens=args.max_tokens,
     )
     t = results["q0"]
     if args.out:
@@ -117,6 +118,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("query", nargs="+")
     s.add_argument("-k", type=int, default=10)
+    s.add_argument(
+        "--max-tokens", type=int, default=None,
+        help="truncate results once their cumulative token count exceeds this",
+    )
     s.add_argument("--filter", action="append", metavar="FIELD=VALUE")
     s.add_argument("--json", action="store_true")
     s.add_argument("--out", help="also write results as parquet (one file per query)")

@@ -494,14 +494,19 @@ class IndexReader:
         self._workers = None
 
     def search(self, query: str, k: int = 10,
-               filters: dict[str, str] | None = None) -> pa.Table:
-        return self.search_many({"q": query}, k, filters={"q": filters or {}})["q"]
+               filters: dict[str, str] | None = None,
+               max_total_tokens: int | None = None) -> pa.Table:
+        return self.search_many(
+            {"q": query}, k, filters={"q": filters or {}},
+            max_total_tokens=max_total_tokens,
+        )["q"]
 
     def search_many(
         self,
         queries: dict[str, str],
         k: int = 10,
         filters: dict[str, dict[str, str]] | None = None,
+        max_total_tokens: int | None = None,
     ) -> dict[str, pa.Table]:
         import ray
 
@@ -573,7 +578,14 @@ class IndexReader:
                     ("path", "ascending"),
                 ],
             )[:k]
-            results[spec.name] = _finalize(use.take(idx))
+            top = use.take(idx)
+            if max_total_tokens is not None:
+                # reference K2 (search_limiter.rs:22-226): stop emitting
+                # results once the cumulative token budget is exhausted;
+                # doc_len is the engine's token count per document
+                cum = np.cumsum(top.column("doc_len").to_numpy())
+                top = top.slice(0, int(np.searchsorted(cum, max_total_tokens, "right")))
+            results[spec.name] = _finalize(top)
         return results
 
 

@@ -146,3 +146,30 @@ def test_ann_ivf_deterministic_and_sane(ray_session):
     br = {(r["query_id"], r["rank"]): r["vec_id"] for r in brute.to_pylist()}
     agree = sum(1 for k in br if iv.get(k) == br[k])
     assert agree >= len(br) // 3, f"IVF recall suspiciously low: {agree}/{len(br)}"
+
+
+def test_max_total_tokens_budget(reader):
+    """K2 parity surface: results truncate when the cumulative token
+    budget (doc_len sum) is exhausted, preserving rank order."""
+    full = reader.search("error handler", k=10)
+    assert full.num_rows > 2
+    lens = full.column("doc_len") if "doc_len" in full.column_names else None
+    # budget = tokens of the first two results -> exactly two rows survive
+    # (doc_len not in the finalized schema; recompute via a fresh search)
+    r_all = reader.search_many({"q": "error handler"}, k=10)["q"]
+    # use a budget between the 2nd and 3rd cumulative doc_len
+    import pyarrow.parquet as pq
+    import glob, os
+    stats = {}
+    for f in glob.glob(os.path.join(reader.index_dir, "waves", "*", "docstats", "*.parquet")):
+        t = pq.read_table(f, columns=["path", "doc_len"])
+        stats.update(zip(t.column("path").to_pylist(), t.column("doc_len").to_pylist()))
+    cum = 0
+    cuts = []
+    for row in r_all.to_pylist():
+        cum += stats[row["path"]]
+        cuts.append(cum)
+    budget = cuts[1]  # exactly the first two fit
+    lim = reader.search("error handler", k=10, max_total_tokens=budget)
+    assert lim.num_rows == 2
+    assert lim.column("path").to_pylist() == r_all.column("path").to_pylist()[:2]
