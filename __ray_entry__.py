@@ -90,19 +90,22 @@ _MILLI = "CAST(floor({x} * 1000 + 0.5) AS BIGINT)"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # NOTE: DuckDB sum(BIGINT) yields HUGEINT, which pandas renders as
+        # float ("42.0") and breaks string-based value hashing — every SUM
+        # is cast back to BIGINT.
         "rel_q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "count(*) AS count_order, "
-            f"sum({_MILLI.format(x='l_quantity')}) AS sum_qty_milli, "
-            f"sum({_MILLI.format(x='l_extendedprice')}) AS sum_price_milli, "
-            f"sum({_MILLI.format(x='l_extendedprice * (1.0 - l_discount)')}) "
+            f"CAST(sum({_MILLI.format(x='l_quantity')}) AS BIGINT) AS sum_qty_milli, "
+            f"CAST(sum({_MILLI.format(x='l_extendedprice')}) AS BIGINT) AS sum_price_milli, "
+            f"CAST(sum({_MILLI.format(x='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) "
             "AS sum_disc_price_milli "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"
         ),
         "rel_top_customers_by_revenue": (
             "SELECT o_custkey AS custkey, any_value(c.c_name) AS c_name, "
-            f"sum({_MILLI.format(x='o_totalprice')}) AS revenue_milli "
+            f"CAST(sum({_MILLI.format(x='o_totalprice')}) AS BIGINT) AS revenue_milli "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "GROUP BY o_custkey "
             "ORDER BY revenue_milli DESC, custkey LIMIT 20"
@@ -110,7 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_hourly_counts": (
             "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, "
             "count(*) AS n_events, "
-            f"sum({_MILLI.format(x='value')}) AS value_sum_milli "
+            f"CAST(sum({_MILLI.format(x='value')}) AS BIGINT) AS value_sum_milli "
             "FROM events GROUP BY event_type, hour_id "
             "ORDER BY event_type, hour_id"
         ),

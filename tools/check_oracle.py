@@ -3,8 +3,11 @@ entry at a given sf_dir and compare against oracle_sql() via DuckDB
 (row count + column names + order-insensitive value hash)."""
 
 import hashlib
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
