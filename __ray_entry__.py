@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_customers_by_revenue": relational.top_customers_by_revenue,
         "rel_events_hourly_counts": relational.events_hourly_counts,
         "rel_customers_per_region": relational.customers_per_region,
+        "rel_sessionize_events": relational.sessionize_events,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
         "fts_corpus_sha256": fts.corpus_sha256,
         "fts_index_doc_stats": fts.index_doc_stats,
@@ -122,6 +123,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "JOIN region r ON r.r_regionkey = n.n_regionkey "
             "GROUP BY r.r_name ORDER BY r.r_name"
+        ),
+        "rel_sessionize_events": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+            "OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts) ), "
+            "s AS (SELECT user_id, ts_us, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM e) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us "
+            "FROM s GROUP BY user_id, session_idx "
+            "ORDER BY user_id, session_idx"
         ),
         "text_quality_score": (
             "WITH s AS (SELECT doc_id, "

@@ -174,6 +174,88 @@ def events_hourly_counts(sf_dir: str):
     )
 
 
+SESSION_PARTITIONS = 64
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Windowed aggregate: split each user's event stream into sessions at
+    inactivity gaps > gap_minutes; one row per session
+    (user_id, session_idx, n_events, start_us, end_us).
+
+    The shuffle key is ``user_id % SESSION_PARTITIONS`` (bounded partition
+    count — one group per user would be a Python call per user); within a
+    partition one vectorized sort + diff finds every user's session
+    boundaries at once."""
+    from ray.data.aggregate import Sum  # noqa: F401  (doc: same family)
+
+    gap_us = gap_minutes * 60_000_000
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((uid % SESSION_PARTITIONS).astype(np.int64)),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"), ("ts_us", "ascending")]
+        )
+        g = group.take(order)
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts_us").to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_sess = new_user | (np.r_[False, (ts[1:] - ts[:-1]) > gap_us])
+        sess_id = np.cumsum(new_sess) - 1  # global within partition
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], n]
+        # session_idx = per-user 0-based counter
+        user_first_sess = sess_id[starts][
+            np.r_[True, uid[starts][1:] != uid[starts][:-1]]
+        ]
+        first_of_user = np.repeat(
+            user_first_sess,
+            np.diff(np.r_[np.flatnonzero(
+                np.r_[True, uid[starts][1:] != uid[starts][:-1]]
+            ), len(starts)]),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_idx": pa.array(
+                    sess_id[starts] - first_of_user, pa.int64()
+                ),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[ends - 1], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sessions, batch_format="pyarrow")
+        .sort(["user_id", "session_idx"])
+    )
+
+
 def customers_per_region(sf_dir: str):
     """Customer count per region name via two chained broadcast lookups
     (nation, region are tiny dimensions): (r_name, n_customers)."""

@@ -27,6 +27,7 @@ CASES = [
     "rel_top_customers_by_revenue",
     "rel_events_hourly_counts",
     "rel_customers_per_region",
+    "rel_sessionize_events",
     "text_quality_score",
     "text_lang_id",
     "text_token_count",
