@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_groups": dedup.exact_dedup_groups,
         "dedup_exact_keep_first": dedup.exact_dedup_keep_first,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_minhash_verified_pairs": dedup.minhash_verified_pairs,
         "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- similarity search -------------------------------------------

@@ -236,6 +236,77 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     return agg.map_batches(rename, batch_format="pyarrow").sort(["a_id", "b_id"])
 
 
+def minhash_verified_pairs(
+    sf_dir: str, cand_threshold: float = 0.35, jaccard_threshold: float = 0.5
+):
+    """The full canonical near-dup pipeline: LSH candidates (estimated
+    similarity >= cand_threshold) verified with EXACT shingle-set Jaccard —
+    only bucket-colliding pairs are ever verified. Returns
+    (a_id, b_id, jaccard_milli) with exact Jaccard >= jaccard_threshold.
+
+    The candidate set is tiny relative to the corpus, so verification
+    fetches only the candidate docs' shingles (broadcast id set, one
+    filtered pass) and compares pairs driver-side."""
+    import ray
+
+    cand = minhash_lsh_pairs(sf_dir, threshold=cand_threshold)
+    pairs = [(int(r["a_id"]), int(r["b_id"])) for r in cand.take_all()]
+    if not pairs:
+        return pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "jaccard_milli": pa.array([], pa.int64()),
+            }
+        )
+    need = sorted({i for p in pairs for i in p})
+    need_ref = ray.put(np.asarray(need, dtype=np.int64))
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        ids = batch.column("doc_id").to_numpy()
+        keep = np.isin(ids, wanted)
+        out_id, out_sh = [], []
+        for did, t in zip(
+            ids[keep].tolist(),
+            batch.filter(pa.array(keep)).column("text").to_pylist(),
+        ):
+            out_id.append(did)
+            out_sh.append(_shingles(t).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+            }
+        )
+
+    sh: dict[int, frozenset] = {}
+    for r in (
+        _read_documents(sf_dir)
+        .map_batches(shingle_rows, batch_format="pyarrow")
+        .take_all()
+    ):
+        sh[int(r["doc_id"])] = frozenset(r["shingles"])
+
+    a_out, b_out, j_out = [], [], []
+    for a, b in pairs:
+        sa, sb = sh[a], sh[b]
+        union = len(sa | sb)
+        jac = (len(sa & sb) / union) if union else 1.0
+        if jac >= jaccard_threshold:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(int(np.floor(jac * 1000 + 0.5)))
+    order = sorted(range(len(a_out)), key=lambda i: (a_out[i], b_out[i]))
+    return pa.table(
+        {
+            "a_id": pa.array([a_out[i] for i in order], pa.int64()),
+            "b_id": pa.array([b_out[i] for i in order], pa.int64()),
+            "jaccard_milli": pa.array([j_out[i] for i in order], pa.int64()),
+        }
+    )
+
+
 def simhash(sf_dir: str):
     """64-bit SimHash over whitespace tokens: (doc_id, simhash)."""
 
