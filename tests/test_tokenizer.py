@@ -132,3 +132,23 @@ def test_tokenize_totality_hypothesis():
         assert len(set(out)) == len(out)  # deduplicated
 
     run()
+
+
+def test_reference_test_tokenize_rs_expectations():
+    """Pinned from /root/reference/tests/test_tokenize.rs and
+    tokenization_tests.rs (query preprocessing + multi-word query)."""
+    from probe_ray.query.bm25 import create_query_plan
+
+    terms = set(create_query_plan("RPCStorageHandler").term_indices)
+    # camel split rpc/storage/handler; 'storage' is an exception term =>
+    # both unstemmed and stemmed forms are indexed
+    assert {"rpc", "storag", "handler"} <= terms
+
+    t2 = set(create_query_plan("ip whitelist").term_indices)
+    assert "ip" in t2
+    assert ("whitelist" in t2) or ({"white", "list"} <= t2)
+
+    assert tokenize("fruitlessly") == ["fruitless"]  # Snowball English
+    assert tokenize(
+        "class UserController extends BaseController implements UserInterface"
+    ) == ["user", "controller", "control", "base"]
