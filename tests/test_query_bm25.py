@@ -138,3 +138,43 @@ def test_lex_fallback():
     # lexer failure (no valid tokens) raises, weird chars are skipped
     ast = parse_query("@@@ foo").ast
     assert ast == Term(keywords=["foo"])
+
+
+def test_evaluate_nested_missing_optional_reference_cases():
+    """Pinned from elastic_query_evaluate_tests.rs:265-400 (nested,
+    missing-term, optional-mix, exact-term evaluation)."""
+    from probe_ray.query.parser import And, Or, Term, evaluate
+
+    def T(k, **kw):
+        return Term(keywords=[k], **kw)
+
+    idx5 = {t: i for i, t in enumerate(["a", "b", "c", "d", "e"])}
+    # a AND (b OR (c AND (d OR e)))
+    e = And(T("a"), Or(T("b"), And(T("c"), Or(T("d"), T("e")))))
+    assert evaluate(e, {0, 1}, idx5)
+    assert evaluate(e, {0, 2, 3}, idx5)
+    assert evaluate(e, {0, 2, 4}, idx5)
+    assert evaluate(e, {0, 1, 2, 3, 4}, idx5)
+    assert not evaluate(e, {1, 2, 3, 4}, idx5)
+    assert not evaluate(e, {0, 2}, idx5)
+
+    # term not in the index
+    idx2 = {"foo": 0, "bar": 1}
+    assert not evaluate(And(T("foo"), T("baz")), {0}, idx2)
+    assert evaluate(And(T("foo"), T("baz", excluded=True)), {0}, idx2)
+
+    # +required optional -excluded  == (req OR opt) AND NOT excl
+    idx3 = {"required": 0, "optional": 1, "excluded": 2}
+    e = And(
+        Or(T("required", required=True), T("optional")),
+        T("excluded", excluded=True),
+    )
+    assert evaluate(e, {0}, idx3)
+    assert evaluate(e, {0, 1}, idx3)
+    assert not evaluate(e, {1}, idx3)  # required missing => global fail
+    assert not evaluate(e, {0, 2}, idx3)
+
+    # exact term matches only the verbatim token
+    idxe = {"running": 0, "run": 1}
+    assert evaluate(T("running", exact=True), {0}, idxe)
+    assert not evaluate(T("running", exact=True), {1}, idxe)
