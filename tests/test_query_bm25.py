@@ -178,3 +178,31 @@ def test_evaluate_nested_missing_optional_reference_cases():
     idxe = {"running": 0, "run": 1}
     assert evaluate(T("running", exact=True), {0}, idxe)
     assert not evaluate(T("running", exact=True), {1}, idxe)
+
+
+def test_filter_tokenized_block_reference_cases():
+    """Pinned from tests/tokenized_block_filtering_tests.rs — the
+    candidate-keep decision is evaluate() over the block's matched-term
+    set (file_processing.rs:202-355 calls the same AST evaluation)."""
+    from probe_ray.query.bm25 import create_query_plan
+    from probe_ray.query.parser import evaluate
+
+    def keep(tokens, query):
+        plan = create_query_plan(query)
+        matched = {
+            i for t, i in plan.term_indices.items() if t in set(tokens)
+        }
+        return evaluate(plan.ast, matched, plan.term_indices)
+
+    block = ["ip", "whitelist", "config"]
+    assert keep(block, "ip AND whitelist")
+    assert keep(block, "ip OR port")
+    assert keep(block, "(ip OR port) AND config")
+    assert keep(block, "ip -test")
+    assert not keep(["ip", "whitelist", "test"], "ip -test")
+    big = ["ip", "whitelist", "config", "server"]
+    assert keep(big, "(ip OR port) AND (whitelist OR config) -test")
+    assert not keep(
+        ["port", "server"], "(ip OR port) AND (whitelist OR config) -test"
+    )
+    assert not keep([], "ip AND whitelist")

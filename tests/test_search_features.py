@@ -173,3 +173,25 @@ def test_max_total_tokens_budget(reader):
     lim = reader.search("error handler", k=10, max_total_tokens=budget)
     assert lim.num_rows == 2
     assert lim.column("path").to_pylist() == r_all.column("path").to_pylist()[:2]
+
+
+def test_search_determinism_fresh_readers(built_index, ray_session):
+    """Analog of tests/search_determinism_tests.rs (50 identical binary
+    runs): repeated searches through FRESH readers/actor pools must be
+    byte-identical tables."""
+    from probe_ray.search.searcher import IndexReader
+
+    results = []
+    for _ in range(3):
+        rd = IndexReader(built_index[0])
+        results.append(
+            rd.search_many(
+                {"a": "error handler", "b": "(auth OR login) +config",
+                 "c": "yaml workflow agent"},
+                k=10,
+            )
+        )
+        rd.close()
+    for name in ("a", "b", "c"):
+        assert results[0][name].equals(results[1][name])
+        assert results[0][name].equals(results[2][name])
