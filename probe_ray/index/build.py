@@ -46,7 +46,6 @@ file walk (ranking.rs:406-418, search_runner.rs:1697-1741).
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import json
 import os
