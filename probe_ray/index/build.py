@@ -6,26 +6,32 @@ of the reference's per-query rayon scan, search_runner.rs:215-1560):
   input parquet fragments
     -> split deterministically into WAVES (the checkpoint/lineage unit)
     -> per wave:
-       read_parquet(fragments)
+       read_parquet(fragments, override_num_blocks≈2xCPUs)
          -> map_batches(TokenizePartial, batch_format="pyarrow")  # stateless
               per batch emits PARTIAL POSTING RUNS — one row per
               (subshard, term): sorted doc-hash ids + tf bytes — and doc
               rows (subshard, doc_hash, repo, path, commit, lang, sha256,
               doc_len)
-         -> written to an intermediate parquet (tokenize runs ONCE; the
-            intermediate is also the wave's resume artifact)
-       -> groupby(subshard)                       # THE wide shuffle (one!)
-            .map_groups(finalize_subshard)
+         -> write_parquet(tokenized/, partition_cols=["subshard"])
+              the Hive-partitioned intermediate IS the exchange (shuffle
+              via storage — it is being written for resume anyway) AND the
+              wave's resume artifact; tokenize runs ONCE
+       -> one raw Ray task per subshard: finalize_subshard
               - doc rows: sort by doc_hash -> docstats file
                 (row position = dense local id)
-              - partial runs: per term, ORDERED MERGE of the sorted runs
-                (codec.merge_runs) -> delta+varint payload + tf bitmap +
-                block-max metadata -> postings file sorted by term
+              - partial runs: ordered merge of ALL terms' sorted runs at
+                once (one packed-key argsort over the exploded postings)
+                -> delta+varint payload + tf bitmap + block-max metadata
+                via the vectorized multi-term codec -> postings file
+                sorted by term
+              (these tasks overlap the NEXT wave's tokenize Dataset job;
+               each reserves cpus//16 CPUs — they are memory-bandwidth
+               bound, and full-width concurrency raises wall time)
        wave manifest {fragments, n_docs, n_tokens, per-subshard metrics,
                       status} written atomically -> re-runs skip done waves.
-    -> global term dictionary: groupby(term).sum(df) over the per-subshard
-       postings -> dict/ parquet sorted by term (row-group-prunable df
-       lookups at query time; no postings scan needed for idf).
+    -> global (term, df) dictionary sorted by term (driver-side pyarrow
+       aggregate under 20M rows, Ray groupby(term) above) — row-group-
+       prunable idf lookups at query time; no postings scan per query.
 
 Skew: hot terms ("return", "fn", ... appear in ~every doc) never form a
 shuffle group of their own — the shuffle key is the *subshard* (uniform by
