@@ -175,10 +175,32 @@ def rank_files(
     rows: list[tuple[str, str]],  # (path, content) in corpus order
     query: str,
 ) -> list[tuple[int, float]]:
-    """Whole-file ranking oracle: doc tokens = content ++ path tokens."""
+    """Whole-file END-TO-END oracle: doc tokens = content ++ path tokens;
+    boolean evaluate() GATES inclusion before ranking — the reference CLI
+    composition (filter_tokenized_block then rank_search_results,
+    file_processing.rs:1333-1367 -> ranking). rank_documents alone stays
+    scoring-only for ranking.rs fixture parity.
+
+    Stats (N, df, avgdl) are computed over the WHOLE corpus, matching the
+    engine's index-manifest stats scope (SURVEY H3)."""
+    from .parser import evaluate, is_only_excluded_terms
+
     res = parse_query(query, False)
     toks = [
         preprocess_text_with_filename(content, path, res.special_terms)
         for path, content in rows
     ]
-    return rank_documents(None, query, pre_tokenized=toks)
+    scored = rank_documents(None, query, pre_tokenized=toks)
+    plan = create_query_plan(query)
+    only_excl = is_only_excluded_terms(plan.ast)
+    out = []
+    for i, s in scored:
+        tokset = set(toks[i])
+        matched = {
+            idx for t, idx in plan.term_indices.items() if t in tokset
+        }
+        if not matched and not only_excl:
+            continue
+        if evaluate(plan.ast, matched, plan.term_indices):
+            out.append((i, s))
+    return out

@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from probe_ray.query.bm25 import MAX_QUERY_TERMS, QueryPlan, create_query_plan, idf as idf_fn
-from probe_ray.search.scoring import score_ast, zero_match_included
+from probe_ray.query.parser import is_only_excluded_terms
+from probe_ray.search.scoring import eval_mask, score_ast
 from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
 
 
@@ -199,10 +200,17 @@ def scan_search_many(
                 continue
             tfs = {t: v[m] for t, v in tf_mat.items()}
             scores, included = score_ast(plan.ast, tfs, dlen[m], avgdl, idfs)
+            # reference-CLI composition: boolean evaluate() gates inclusion
+            # (filter_tokenized_block), scoring ranks the survivors; docs
+            # matching nothing survive only for only-excluded queries
+            present = {t: v > 0 for t, v in tfs.items()}
+            gate = eval_mask(plan.ast, present, int(m.sum()))
             anym = np.zeros(int(m.sum()), dtype=bool)
             for t in plan.term_indices:
                 anym |= tfs[t] > 0
-            keep_mask = included & (anym | zero_match_included(plan.ast))
+            keep_mask = included & gate & (
+                anym | is_only_excluded_terms(plan.ast)
+            )
             idxs = np.flatnonzero(m)[keep_mask]
             scores = scores[keep_mask]
             if len(idxs) > k:

@@ -65,6 +65,64 @@ def score_ast(
     return np.where(li, ls, 0.0) + np.where(ri, rs, 0.0), li | ri
 
 
+def eval_mask(
+    expr: Expr, present: dict[str, np.ndarray], n: int
+) -> np.ndarray:
+    """Vectorized evaluate() (elastic_query.rs:365-443 / parser.evaluate):
+    the reference CLI GATES results with boolean evaluation before ranking
+    (filter_tokenized_block, file_processing.rs:202-355), so the engine
+    applies the same gate to scored candidates. ``present[kw]`` is a bool
+    array over the candidate axis; missing keywords count as absent.
+
+    The caller handles the zero-match rule (docs matching nothing are kept
+    only for only-excluded queries) — candidates here have >=1 match by
+    construction."""
+    from probe_ray.query.parser import walk_terms
+
+    has_req = any(t.required and not t.excluded for t in walk_terms(expr))
+
+    def falses():
+        return np.zeros(n, dtype=bool)
+
+    def trues():
+        return np.ones(n, dtype=bool)
+
+    def rec(e: Expr) -> np.ndarray:
+        if isinstance(e, Term):
+            if not e.keywords:
+                return trues() if e.excluded else falses()
+            arrs = [present.get(kw, None) for kw in e.keywords]
+            any_p = falses()
+            all_p = trues()
+            for a in arrs:
+                if a is None:
+                    all_p = falses()
+                else:
+                    any_p |= a
+                    all_p &= a
+            if e.excluded:
+                return ~any_p
+            if e.required:
+                return all_p
+            if has_req:
+                return trues()  # optional auto-true when a required exists
+            return all_p  # needs at least one AND then all => all
+        if isinstance(e, And):
+            return rec(e.left) & rec(e.right)
+        return rec(e.left) | rec(e.right)
+
+    mask = rec(expr)
+    if has_req:
+        # Lucene-style global rule: every required term (anywhere in the
+        # AST) must be fully present
+        for t in walk_terms(expr):
+            if t.required and not t.excluded:
+                for kw in t.keywords:
+                    a = present.get(kw)
+                    mask &= a if a is not None else falses()
+    return mask
+
+
 def _empty_score(expr: Expr):
     if isinstance(expr, Term):
         if expr.excluded:

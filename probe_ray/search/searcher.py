@@ -67,8 +67,8 @@ from probe_ray.index.codec import (
     unpack_tf,
 )
 from probe_ray.query.bm25 import MAX_QUERY_TERMS, QueryPlan, create_query_plan, idf as idf_fn
-from probe_ray.query.parser import walk_terms
-from probe_ray.search.scoring import max_impact, score_ast, zero_match_included
+from probe_ray.query.parser import is_only_excluded_terms, walk_terms
+from probe_ray.search.scoring import eval_mask, max_impact, score_ast
 
 # Segment-local candidate count above which a term is treated as "hot"
 # (block-max pruned) when it is not required/excluded.
@@ -230,10 +230,19 @@ def score_segment(
                 else np.empty(0, dtype=np.uint64)
             )
 
+        def gate(tf_arrays_: dict, scores_: np.ndarray, inc_: np.ndarray):
+            """Reference-CLI composition: boolean evaluate() gates the
+            candidates, scoring ranks the survivors."""
+            present = {t: (a > 0) for t, a in tf_arrays_.items()}
+            return scores_, inc_ & eval_mask(plan.ast, present, len(inc_))
+
         if required_kws or not hot_terms:
             tf_arrays = {t: tf_for(t, cand) for t in q_terms}
-            scores, included = score_ast(
-                plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
+            scores, included = gate(
+                tf_arrays,
+                *score_ast(
+                    plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
+                ),
             )
         else:
             # Phase A: rare candidates exact (hot tf via targeted blocks).
@@ -266,8 +275,11 @@ def score_segment(
 
             tf_arrays = {t: tf_for(t, cand) for t in rare_terms}
             tf_arrays.update({t: tf_hot(t, cand) for t in hot_terms})
-            scores, included = score_ast(
-                plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
+            scores, included = gate(
+                tf_arrays,
+                *score_ast(
+                    plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
+                ),
             )
             inc = included if fmask is None else (included & fmask[cand.astype(np.int64)])
             inc_scores = scores[inc]
@@ -316,8 +328,11 @@ def score_segment(
             if len(extra):
                 tf2 = {t: tf_for(t, extra) for t in rare_terms}
                 tf2.update({t: tf_hot(t, extra) for t in hot_terms})
-                s2, inc2 = score_ast(
-                    plan.ast, tf2, doc_len_all[extra], avgdl, spec.idfs
+                s2, inc2 = gate(
+                    tf2,
+                    *score_ast(
+                        plan.ast, tf2, doc_len_all[extra], avgdl, spec.idfs
+                    ),
                 )
                 cand = np.concatenate([cand, extra])
                 scores = np.concatenate([scores, s2])
@@ -558,7 +573,10 @@ class IndexReader:
                     name=name,
                     plan=plan,
                     idfs=idfs,
-                    need_fill=zero_match_included(plan.ast),
+                    # zero-match docs survive evaluate() ONLY for
+                    # only-excluded queries (elastic_query.rs:311 — empty
+                    # matched set fails unless every term is excluded)
+                    need_fill=is_only_excluded_terms(plan.ast),
                     filters=filters.get(name, {}),
                 )
             )
