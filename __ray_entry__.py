@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_verified_pairs": dedup.minhash_verified_pairs,
         "dedup_simhash": dedup.simhash,
+        "dedup_simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- similarity search -------------------------------------------
         "ann_brute_topk": ann.ann_brute_topk,

@@ -340,6 +340,94 @@ def simhash(sf_dir: str):
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 12):
+    """SimHash near-duplicate pairs: candidates = docs sharing any 16-bit
+    band of their 64-bit sketch (a doc within hamming distance d of
+    another shares at least one of 4 bands when d <= 3x16... pigeonhole:
+    d < 4 guarantees a shared band; larger d is best-effort recall),
+    verified by exact hamming distance <= max_hamming.
+    Returns (a_id, b_id, hamming)."""
+    sigs = simhash(sf_dir)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = batch.column("simhash").to_numpy().astype(np.uint64)
+        out_part, out_key, out_id, out_hash = [], [], [], []
+        for b in range(4):
+            chunk = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            key = (chunk << 2) | b  # band-tagged bucket
+            out_part.append(key % LSH_PARTITIONS)
+            out_key.append(key)
+            out_id.append(ids)
+            out_hash.append(h.astype(np.int64))
+        return pa.table(
+            {
+                "part": pa.array(np.concatenate(out_part)),
+                "bucket": pa.array(np.concatenate(out_key)),
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "simhash": pa.array(np.concatenate(out_hash)),
+            }
+        )
+
+    banded = sigs.map_batches(bands, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("bucket", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        buckets = g.column("bucket").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        hs = g.column("simhash").to_numpy().astype(np.uint64)
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        a_out, b_out, d_out = [], [], []
+        seen: set[tuple[int, int]] = set()
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    if ids[i] == ids[j]:
+                        continue
+                    key = (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if d <= max_hamming:
+                        a_out.append(key[0])
+                        b_out.append(key[1])
+                        d_out.append(d)
+        return pa.table(
+            {
+                "a_id": pa.array(a_out, pa.int64()),
+                "b_id": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    cand = banded.groupby("part").map_groups(pairs, batch_format="pyarrow")
+    agg = cand.groupby(["a_id", "b_id"]).aggregate(Min("hamming"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a_id": batch.column("a_id"),
+                "b_id": batch.column("b_id"),
+                "hamming": batch.column("min(hamming)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(["a_id", "b_id"])
+
+
 def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     """Distributed set-similarity join on whitespace-token sets for
     doc_id < max_doc_id: (a_id, b_id, inter_count, a_size, b_size).
