@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": text.text_stats,
         "text_quality_score": text.quality_score,
         "text_lang_id": text.lang_id,
+        "text_lang_id_ngram": text.lang_id_ngram,
         "text_fingerprint": text.fingerprint,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,

@@ -150,6 +150,48 @@ def lang_id(sf_dir: str):
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+# character-trigram profiles (top trigrams of each language's common
+# function words) for the n-gram language heuristic
+_NGRAM_PROFILES = {
+    "en": ["the", "ing", "and", " th", "he ", "ion", " of", "of ", "nd ", "ed "],
+    "de": ["der", "ein", "ich", "sch", "die", "und", "en ", "er ", "ch ", "nd "],
+    "fr": ["les", "ent", "de ", "es ", " de", "ion", "que", " le", "la ", "et "],
+    "es": ["de ", " de", "los", "ión", "ent", "es ", "la ", " la", "el ", " el"],
+}
+
+
+def lang_id_ngram(sf_dir: str):
+    """Character-trigram language heuristic (the classic n-gram profile
+    method, cf. Cavnar & Trenkle 1994): score = count of profile trigrams
+    present, weighted by rank; ties broken by profile order.
+    (doc_id, lang_guess). Deterministic; rows-only driver check."""
+    profiles = [
+        (lang, {g: len(grams) - i for i, g in enumerate(grams)})
+        for lang, grams in _NGRAM_PROFILES.items()
+    ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            t_low = t.lower()[:2000]
+            grams = {t_low[i : i + 3] for i in range(max(0, len(t_low) - 2))}
+            best, best_score = "unknown", 0
+            for lang, prof in profiles:
+                score = sum(w for g, w in prof.items() if g in grams)
+                if score > best_score:
+                    best, best_score = lang, score
+            out.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_guess": pa.array(out, pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(sf_dir: str):
     """64-bit rolling-hash document fingerprint (doc_id, fp)."""
 
