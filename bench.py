@@ -262,7 +262,12 @@ def main():
         _corpus(s_rows, s_scale)  # generate once with all cores
         ray.shutdown()
 
-        lo_cpus, hi_cpus = 8, 32
+        # N vs 4N CPU levels; override when the host is delivering fewer
+        # effective CPUs than the default hi level (see
+        # _effective_parallelism) — a 3-vs-12 run inside the host's real
+        # capacity is honest, a 8-vs-32 run against a 13-CPU cap is not.
+        lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", str(4 * lo_cpus)))
         lo = run_headline(
             lo_cpus, s_rows, f"c{lo_cpus}", stmt_scale=s_scale,
             subshards=32, run_queries=False, num_waves=1,
@@ -275,7 +280,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+                    "metric": f"index-build scaling efficiency ({lo_cpus} -> {hi_cpus} cpus)",
                     "value": round(eff, 3),
                     "unit": "ratio",
                     "rows": s_rows,
