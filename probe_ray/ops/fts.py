@@ -92,6 +92,7 @@ REFERENCE_QUERIES = {
     "required": "+api +process load",
     "and_pair": "ip AND whitelist",
     "quoted_exact": '"JWTMiddleware"',
+    "quoted_with_negative": '"setTools" -database',
     "camel_compound": "RPCStorageHandler",
     "camel_exception": "enableFirewallWhitelist",
     "determinism_stressor": "yaml workflow agent multi-agent user input",

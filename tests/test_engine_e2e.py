@@ -31,6 +31,10 @@ QUERIES = [
     "yaml workflow agent multi-agent user input",
     "keyword",
     "nonexistent_xyz",
+    # quoted term with negative keyword (both special-term paths at once,
+    # tests/quoted_term_with_negative_keyword_tests.rs)
+    '"setTools" -database',
+    'apiClient -"yamlLoader"',
 ]
 
 
