@@ -206,3 +206,20 @@ def test_filter_tokenized_block_reference_cases():
         ["port", "server"], "(ip OR port) AND (whitelist OR config) -test"
     )
     assert not keep([], "ip AND whitelist")
+
+
+def test_negative_compound_word_reference_cases():
+    """Pinned from tests/negative_compound_word_tests.rs:216-245 —
+    excluded compound terms are kept verbatim (no compound splitting) and
+    registered as dynamic special terms."""
+    from probe_ray.query.bm25 import create_query_plan
+
+    p = create_query_plan("-networkfirewall")
+    assert "networkfirewall" in p.excluded_terms
+    assert "networkfirewall" in p.special_terms
+    assert "network" not in p.excluded_terms
+    assert "firewall" not in p.excluded_terms
+
+    p2 = create_query_plan("settings AND -networkfirewall")
+    assert "networkfirewall" in p2.excluded_terms
+    assert "set" in p2.term_indices  # settings -> stemmed positive term
