@@ -500,6 +500,13 @@ class IndexReader:
             for i in range(n)
         ]
 
+    def search_dataset(self, query: str, k: int = 10, **kw):
+        """search() returning a ray.data.Dataset — for composing results
+        into downstream Dataset pipelines (write_parquet, joins, ...)."""
+        import ray.data
+
+        return ray.data.from_arrow(self.search(query, k=k, **kw))
+
     def close(self):
         """Kill the query actor pool (frees its reserved resources)."""
         import ray

@@ -195,3 +195,14 @@ def test_search_determinism_fresh_readers(built_index, ray_session):
     for name in ("a", "b", "c"):
         assert results[0][name].equals(results[1][name])
         assert results[0][name].equals(results[2][name])
+
+
+def test_search_dataset_roundtrip(reader, tmp_path):
+    ds = reader.search_dataset("error handler", k=5)
+    out = str(tmp_path / "results")
+    ds.write_parquet(out)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out).to_table().sort_by([("rank", "ascending")])
+    direct = reader.search("error handler", k=5)
+    assert t.select(direct.schema.names).equals(direct)
