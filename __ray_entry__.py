@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_corpus_sha256": fts.corpus_sha256,
         "fts_index_doc_stats": fts.index_doc_stats,
         "fts_term_df_topk": fts.term_df_topk,
+        "fts_extract": fts.fts_extract,
         # --- text analysis ------------------------------------------------
         "text_token_count": text.token_count,
         "text_token_count_bpeish": text.token_count_bpeish,
@@ -81,6 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for name in list(fts.REFERENCE_QUERIES) + list(fts.DOC_QUERIES):
         q[f"fts_search_{name}"] = (
             lambda sf_dir, _n=name: fts.fts_search(sf_dir, _n)
+        )
+    # block-granularity search (line-heuristic windows + node-type boost)
+    for name in fts.BLOCK_QUERIES:
+        q[f"fts_search_{name}"] = (
+            lambda sf_dir, _n=name: fts.fts_search_blocks(sf_dir, _n)
         )
     return q
 

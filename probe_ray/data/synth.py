@@ -64,6 +64,8 @@ RARE = [
 ]
 
 NUM_REPOS = 8
+# bump when generated content changes — consumers key caches on this
+CORPUS_VERSION = 2
 _ZIPF_W = 1.0 / np.arange(1, len(COMMON_WORDS) + 1) ** 0.9
 _ZIPF_P = _ZIPF_W / _ZIPF_W.sum()
 
@@ -100,18 +102,22 @@ def make_rows(
         ident_idx = rng.integers(len(IDENTIFIERS), size=n_stmts)
         ncom = rng.integers(1, 5, size=n_stmts)
         com_idx = rng.choice(len(COMMON_WORDS), size=int(ncom.sum()), p=_ZIPF_P)
-        words: list[str] = []
+        # one statement per LINE: block extraction (search/blocks.py)
+        # operates on line-heuristic context windows, so the corpus needs
+        # real line structure (a single joined line would also trip the
+        # reference's 500-char line cap and blank the whole doc)
+        stmts: list[str] = []
         ci = 0
         for k in range(n_stmts):
-            words.append(SYNTAX[syn_idx[k]])
-            words.append(IDENTIFIERS[ident_idx[k]])
+            words = [SYNTAX[syn_idx[k]], IDENTIFIERS[ident_idx[k]]]
             for j in range(ncom[k]):
                 words.append(COMMON_WORDS[com_idx[ci + j]])
             ci += int(ncom[k])
+            stmts.append(" ".join(words))
         if rng.random() < 0.08:
-            words.append(RARE[int(rng.integers(len(RARE)))])
-        words.append(f"salt_{seed}_{i}_{rng.integers(2**31)}")
-        content = " ".join(words)
+            stmts.append(RARE[int(rng.integers(len(RARE)))])
+        stmts.append(f"salt_{seed}_{i}_{rng.integers(2**31)}")
+        content = "\n".join(stmts)
         repos.append(repo)
         paths.append(path)
         commits.append(_commit(repo))

@@ -15,14 +15,23 @@ import pyarrow as pa
 def _read_embeddings(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # column-pruned at the read: every operator here needs only
+    # (vec_id, embedding), never the label column
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
 
 def _query_matrix(sf_dir: str, nq: int) -> tuple[np.ndarray, list[int]]:
-    import pyarrow.parquet as pq
+    """First ``nq`` vectors by vec_id as the query set — pushed-down
+    read: only the matching row groups and the two needed columns leave
+    storage (vec_ids are dense from 0, so ``vec_id < nq`` is exact)."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by(
-        [("vec_id", "ascending")]
+    t = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < nq)
+        .sort_by([("vec_id", "ascending")])
     )
     ids = t.column("vec_id").to_pylist()[:nq]
     vecs = np.array(t.column("embedding").to_pylist()[:nq], dtype=np.float64)
@@ -169,11 +178,15 @@ IVF_NPROBE = 4
 
 def _ivf_centroids(sf_dir: str) -> np.ndarray:
     """Deterministic k-means (fixed seed + iteration count) over a
-    driver-side sample — at corpus scale the sample is
-    ds.random_sample(seed=...), centroids broadcast to every task."""
-    import pyarrow.parquet as pq
+    sample of the first 2048 vectors — pushed-down read (only the
+    sample's row groups are fetched); centroids broadcast to every
+    task. At corpus scale swap the id-prefix sample for
+    ds.random_sample(seed=...) — the k-means itself is unchanged."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < 2048
+    )
     order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))[:2048]
     m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -254,13 +267,16 @@ def ann_ivf_topk(sf_dir: str, k: int = 5, nq: int = 4):
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.42, max_id: int = 500):
     """Embedding-cosine near-duplicate pairs (a_id, b_id) for vec_id <
-    max_id: exact blockwise matmul (each batch vs broadcast matrix)."""
-    import pyarrow.parquet as pq
+    max_id: exact blockwise matmul (each batch vs broadcast matrix).
+    The broadcast side is a pushed-down read of just the vec_id<max_id
+    row groups + needed columns, never the full table."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    keep = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v < max_id]
-    ids_all = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)[keep]
-    m_all = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[keep]
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < max_id
+    )
+    ids_all = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m_all = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     mn_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -288,8 +304,12 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.42, max_id: int = 
             }
         )
 
+    import ray.data
+
     return (
-        _read_embeddings(sf_dir)
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         .map_batches(fn, batch_format="pyarrow")
         .sort(["a_id", "b_id"])
     )

@@ -82,21 +82,36 @@ _A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
 
-def _shingles(text: str, k: int = 3) -> np.ndarray:
+def _shingles(
+    text: str, k: int = 3, cache: dict[str, int] | None = None
+) -> np.ndarray:
+    """Hashed k-token shingle set. ``cache`` (shingle -> hash) amortizes
+    blake2b across the docs of one batch — near-duplicate docs share most
+    shingles, so a dup-heavy corpus hashes each distinct shingle once."""
     toks = _WS.split(text.strip()) if text.strip() else []
     if len(toks) < k:
         grams = {" ".join(toks)} if toks else set()
     else:
         grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    out = np.fromiter(
-        (
+    if cache is None:
+        it = (
             int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
             & _MERSENNE
             for g in grams
-        ),
-        dtype=np.uint64,
-        count=len(grams),
-    )
+        )
+        return np.fromiter(it, dtype=np.uint64, count=len(grams))
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        h = cache.get(g)
+        if h is None:
+            h = (
+                int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                )
+                & _MERSENNE
+            )
+            cache[g] = h
+        out[i] = h
     return out
 
 
@@ -115,8 +130,9 @@ def minhash_signatures(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        cache: dict[str, int] = {}
         sigs = [
-            _minhash(_shingles(t)).astype(np.int64) for t in texts
+            _minhash(_shingles(t, cache=cache)).astype(np.int64) for t in texts
         ]
         return pa.table(
             {
@@ -244,92 +260,195 @@ def minhash_verified_pairs(
     only bucket-colliding pairs are ever verified. Returns
     (a_id, b_id, jaccard_milli) with exact Jaccard >= jaccard_threshold.
 
-    The candidate set is tiny relative to the corpus, so verification
-    fetches only the candidate docs' shingles (broadcast id set, one
-    filtered pass) and compares pairs driver-side."""
-    import ray
-
+    Fully distributed — the candidate set never materializes on the
+    driver (on a heavy-dup corpus it is NOT tiny). Two bounded-partition
+    shuffles:
+      1. doc-keyed (dpart = doc_id % P): each doc's shingle set meets the
+         candidate-pair requests that reference it (a union + groupby is
+         the repartition join), emitting one (pair, side, shingles) row
+         per request;
+      2. pair-keyed (ppart = hash(a,b) % P): both sides of a pair land in
+         one group; equal-pair runs are found by one vectorized sort and
+         verified with exact sorted-array intersection.
+    Shuffle volume is one pass of shingle data + O(candidate pairs)."""
     cand = minhash_lsh_pairs(sf_dir, threshold=cand_threshold)
-    pairs = [(int(r["a_id"]), int(r["b_id"])) for r in cand.take_all()]
-    if not pairs:
+
+    def requests(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        doc = np.concatenate([a, b])
+        pa_ids = np.concatenate([a, a])
+        pb_ids = np.concatenate([b, b])
         return pa.table(
             {
-                "a_id": pa.array([], pa.int64()),
-                "b_id": pa.array([], pa.int64()),
-                "jaccard_milli": pa.array([], pa.int64()),
+                "dpart": pa.array(doc % LSH_PARTITIONS),
+                "doc_id": pa.array(doc, pa.int64()),
+                "a_id": pa.array(pa_ids, pa.int64()),
+                "b_id": pa.array(pb_ids, pa.int64()),
+                "shingles": pa.array([[]] * len(doc), pa.list_(pa.uint64())),
             }
         )
-    need = sorted({i for p in pairs for i in p})
-    need_ref = ray.put(np.asarray(need, dtype=np.int64))
+
+    req = cand.map_batches(requests, batch_format="pyarrow")
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
         ids = batch.column("doc_id").to_numpy()
-        keep = np.isin(ids, wanted)
-        out_id, out_sh = [], []
-        for did, t in zip(
-            ids[keep].tolist(),
-            batch.filter(pa.array(keep)).column("text").to_pylist(),
-        ):
-            out_id.append(did)
-            out_sh.append(_shingles(t).tolist())
+        cache: dict[str, int] = {}
+        shs = [
+            sorted(_shingles(t, cache=cache).tolist())
+            for t in batch.column("text").to_pylist()
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+                "dpart": pa.array(ids % LSH_PARTITIONS),
+                "doc_id": pa.array(ids, pa.int64()),
+                "a_id": pa.array(np.full(len(ids), -1), pa.int64()),
+                "b_id": pa.array(np.full(len(ids), -1), pa.int64()),
+                "shingles": pa.array(shs, pa.list_(pa.uint64())),
             }
         )
 
-    sh: dict[int, frozenset] = {}
-    for r in (
-        _read_documents(sf_dir)
-        .map_batches(shingle_rows, batch_format="pyarrow")
-        .take_all()
-    ):
-        sh[int(r["doc_id"])] = frozenset(r["shingles"])
+    docs_sh = _read_documents(sf_dir).map_batches(
+        shingle_rows, batch_format="pyarrow"
+    )
 
-    a_out, b_out, j_out = [], [], []
-    for a, b in pairs:
-        sa, sb = sh[a], sh[b]
-        union = len(sa | sb)
-        jac = (len(sa & sb) / union) if union else 1.0
-        if jac >= jaccard_threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(int(np.floor(jac * 1000 + 0.5)))
-    order = sorted(range(len(a_out)), key=lambda i: (a_out[i], b_out[i]))
-    return pa.table(
-        {
-            "a_id": pa.array([a_out[i] for i in order], pa.int64()),
-            "b_id": pa.array([b_out[i] for i in order], pa.int64()),
-            "jaccard_milli": pa.array([j_out[i] for i in order], pa.int64()),
-        }
+    def attach(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_doc = pc.equal(group.column("a_id"), -1)
+        doc_rows = group.filter(is_doc)
+        req_rows = group.filter(pc.invert(is_doc))
+        if req_rows.num_rows == 0:
+            return pa.table(
+                {
+                    "ppart": pa.array([], pa.int64()),
+                    "a_id": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        sh = dict(
+            zip(
+                doc_rows.column("doc_id").to_pylist(),
+                doc_rows.column("shingles").to_pylist(),
+            )
+        )
+        a = req_rows.column("a_id").to_numpy()
+        b = req_rows.column("b_id").to_numpy()
+        ppart = ((a * 1_000_003 + b) % LSH_PARTITIONS).astype(np.int64)
+        return pa.table(
+            {
+                "ppart": pa.array(ppart),
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "shingles": pa.array(
+                    [sh.get(d, []) for d in req_rows.column("doc_id").to_pylist()],
+                    pa.list_(pa.uint64()),
+                ),
+            }
+        )
+
+    sided = (
+        req.union(docs_sh)
+        .groupby("dpart")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("a_id", "ascending"), ("b_id", "ascending")]
+        )
+        g = group.take(order)
+        a = g.column("a_id").to_numpy()
+        b = g.column("b_id").to_numpy()
+        shs = g.column("shingles").to_pylist()
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        ends = np.r_[starts[1:], len(a)]
+        a_out, b_out, j_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s != 2:  # pair needs exactly both sides' shingle rows
+                continue
+            sa = np.asarray(shs[s], dtype=np.uint64)
+            sb = np.asarray(shs[s + 1], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = (inter / union) if union else 1.0
+            if jac >= jaccard_threshold:
+                a_out.append(int(a[s]))
+                b_out.append(int(b[s]))
+                j_out.append(int(np.floor(jac * 1000 + 0.5)))
+        return pa.table(
+            {
+                "a_id": pa.array(a_out, pa.int64()),
+                "b_id": pa.array(b_out, pa.int64()),
+                "jaccard_milli": pa.array(j_out, pa.int64()),
+            }
+        )
+
+    return (
+        sided.groupby("ppart")
+        .map_groups(verify, batch_format="pyarrow")
+        .sort(["a_id", "b_id"])
     )
 
 
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 def simhash(sf_dir: str):
-    """64-bit SimHash over whitespace tokens: (doc_id, simhash)."""
+    """64-bit SimHash over whitespace tokens: (doc_id, simhash).
+
+    Vectorized per batch: each DISTINCT token in the batch is hashed
+    once (corpus vocabularies are tiny relative to token counts), its
+    64-bit pattern unpacked to a +/-1 sign matrix once, and each doc's
+    accumulator is a single (distinct-tokens) x (64) matvec weighted by
+    per-doc token counts — no per-token Python loop in the hot path.
+    Bit-identical to the scalar definition (bit b set iff acc[b] > 0,
+    masked to 63 bits)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            toks = _WS.split(t.strip()) if t.strip() else []
-            acc = np.zeros(64, dtype=np.int64)
+        doc_toks = [
+            _WS.split(t.strip()) if t.strip() else [] for t in texts
+        ]
+        vocab: dict[str, int] = {}
+        flat_idx = []
+        doc_bounds = [0]
+        for toks in doc_toks:
             for tok in toks:
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                        "big",
-                    )
+                j = vocab.get(tok)
+                if j is None:
+                    j = len(vocab)
+                    vocab[tok] = j
+                flat_idx.append(j)
+            doc_bounds.append(len(flat_idx))
+        # one blake2b per distinct token in the batch
+        hashes = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
                 )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            val = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    val |= 1 << b
-            out.append(val & 0x7FFFFFFFFFFFFFFF)
+                for tok in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        # (V, 64) sign matrix: +1 where bit set, -1 otherwise
+        signs = (
+            ((hashes[:, None] & _POW2[None, :]) != 0).astype(np.int64) * 2 - 1
+        )
+        flat = np.asarray(flat_idx, dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i in range(len(texts)):
+            seg = flat[doc_bounds[i] : doc_bounds[i + 1]]
+            if len(seg) == 0:
+                continue
+            u, c = np.unique(seg, return_counts=True)
+            acc = c @ signs[u]  # (64,) weighted sign sum
+            val = int(((acc > 0).astype(np.uint64) * _POW2).sum())
+            out[i] = val & 0x7FFFFFFFFFFFFFFF
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -64,14 +64,41 @@ def corpus_parquet(sf_dir: str) -> str:
     return out
 
 
-def ensure_index(sf_dir: str) -> str:
+def code_corpus_parquet(sf_dir: str) -> str:
+    """Deterministic synthetic source-code table in the BASELINE.json
+    input_hint shape (repo, path, commit, lang, content), scaled to the
+    sf_dir's documents row count and cached under /tmp.
+
+    The code-flavored reference query set (camelCase identifiers, stop
+    words as syntax, quoted exacts) is vacuous against the documents
+    table's 31-word English vocabulary; this corpus — the same generator
+    the in-repo bit-equal rank-identity suite uses — gives every
+    reference query shape real hits in driver-visible results."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from probe_ray.data.synth import CORPUS_VERSION, write_corpus
+
+    out = os.path.join(_cache_dir(sf_dir), f"code_corpus_v{CORPUS_VERSION}")
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    write_corpus(out, max(1000, 4 * n_docs), num_files=8)
+    with open(marker, "w") as f:
+        f.write(str(CORPUS_VERSION))
+    return out
+
+
+def _ensure_index_at(corpus: str, idx: str) -> str:
     import json
     import shutil
 
     from probe_ray import ENGINE_VERSION
 
-    corpus = corpus_parquet(sf_dir)
-    idx = os.path.join(_cache_dir(sf_dir), "index")
     mpath = os.path.join(idx, "manifest.json")
     if os.path.exists(mpath):
         with open(mpath) as f:
@@ -83,6 +110,21 @@ def ensure_index(sf_dir: str) -> str:
     return idx
 
 
+def ensure_index(sf_dir: str) -> str:
+    return _ensure_index_at(
+        corpus_parquet(sf_dir), os.path.join(_cache_dir(sf_dir), "index")
+    )
+
+
+def ensure_code_index(sf_dir: str) -> str:
+    from probe_ray.data.synth import CORPUS_VERSION
+
+    return _ensure_index_at(
+        code_corpus_parquet(sf_dir),
+        os.path.join(_cache_dir(sf_dir), f"code_index_v{CORPUS_VERSION}"),
+    )
+
+
 REFERENCE_QUERIES = {
     "single_term": "setTools",
     "and": "error AND handling",
@@ -91,8 +133,13 @@ REFERENCE_QUERIES = {
     "excluded": "database -sqlite",
     "required": "+api +process load",
     "and_pair": "ip AND whitelist",
-    "quoted_exact": '"JWTMiddleware"',
-    "quoted_with_negative": '"setTools" -database',
+    # quoted terms are kept verbatim and matched against stemmed tokens
+    # (reference query.rs:81-199 + file_processing.rs:202-279), so only
+    # stem-identity words can hit — quoted camelCase with a divergent stem
+    # (e.g. "JWTMiddleware") returns 0 by reference semantics and is
+    # pinned in tests/test_engine_e2e.py instead of here
+    "quoted_exact": '"whitelist"',
+    "quoted_with_negative": '"hashmap" -database',
     "camel_compound": "RPCStorageHandler",
     "camel_exception": "enableFirewallWhitelist",
     "determinism_stressor": "yaml workflow agent multi-agent user input",
@@ -100,14 +147,19 @@ REFERENCE_QUERIES = {
     "empty_result": "nonexistent_xyz",
 }
 
-# documents-table-flavored queries (the synthetic documents text is
-# data-engineering English, not code — still exercises the same paths)
+# documents-table-flavored queries: every query shape again, phrased in
+# the documents table's known vocabulary so each (except the negative
+# control) returns rows in driver-visible results
 DOC_QUERIES = {
-    "docs_single": "shuffle",
+    "docs_single": "vector",
     "docs_and": "hash AND join",
     "docs_or": "scan OR filter OR sort",
+    "docs_grouped": "(hash OR merge) AND (join OR sort)",
     "docs_required": "+table +row merge",
-    "docs_excluded": "partition -window",
+    "docs_excluded": "customer -window",
+    "docs_quoted_exact": '"batch"',
+    "docs_quoted_with_negative": '"batch" -dup',
+    "docs_rare_idf": "dup",
 }
 
 
@@ -125,15 +177,79 @@ def _reader(idx: str) -> IndexReader:
     return rd
 
 
+def close_readers() -> None:
+    """Kill the cached readers' actor pools, releasing their reserved
+    CPUs back to Dataset jobs. Call when done querying (tests, tools) —
+    a 2-pool cache holds cpus//2 x PROBE_RAY_WORKER_CPUS CPUs."""
+    for rd in _READER_CACHE.values():
+        rd.close()
+    _READER_CACHE.clear()
+
+
 def fts_search(sf_dir: str, name: str, k: int = 10) -> pa.Table:
-    idx = ensure_index(sf_dir)
-    q = {**REFERENCE_QUERIES, **DOC_QUERIES}[name]
-    return _reader(idx).search(q, k=k)
+    """REFERENCE_QUERIES run against the synthetic code-table index
+    (their vocabulary), DOC_QUERIES against the documents-table index."""
+    if name in REFERENCE_QUERIES:
+        return _reader(ensure_code_index(sf_dir)).search(
+            REFERENCE_QUERIES[name], k=k
+        )
+    return _reader(ensure_index(sf_dir)).search(DOC_QUERIES[name], k=k)
 
 
 def fts_search_all(sf_dir: str, k: int = 10) -> dict[str, pa.Table]:
-    idx = ensure_index(sf_dir)
-    return _reader(idx).search_many({**REFERENCE_QUERIES, **DOC_QUERIES}, k=k)
+    out = _reader(ensure_code_index(sf_dir)).search_many(REFERENCE_QUERIES, k=k)
+    out.update(_reader(ensure_index(sf_dir)).search_many(DOC_QUERIES, k=k))
+    return out
+
+
+# block-granularity search over the code corpus (search/blocks.py —
+# line-heuristic context windows + node-type boosts); rows-only checks
+BLOCK_QUERIES = {
+    "blocks_single": "setTools",
+    "blocks_and": "error AND handling",
+    "blocks_camel": "RPCStorageHandler",
+    "blocks_quoted": '"whitelist"',
+    "blocks_excluded": "database -sqlite",
+}
+
+
+def fts_search_blocks(sf_dir: str, name: str, k: int = 10) -> pa.Table:
+    import glob as _glob
+
+    from probe_ray.search.blocks import search_blocks
+
+    idx = ensure_code_index(sf_dir)
+    corpus = code_corpus_parquet(sf_dir)
+    files = sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+    t = search_blocks(_reader(idx), files, BLOCK_QUERIES[name], k=k)
+    return t.drop_columns(["code"])  # stable, compact driver surface
+
+
+def fts_extract(sf_dir: str) -> pa.Table:
+    """`probe extract` analog (search/extract.py) over the code corpus:
+    whole-file, line-range, line+context and #symbol specs against the
+    three lexicographically-first corpus paths — deterministic, rows-only
+    (line extraction semantics are pinned by tests/test_extract.py)."""
+    import pyarrow.dataset as pads
+
+    from probe_ray.search.extract import extract
+
+    corpus = code_corpus_parquet(sf_dir)
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    first = (
+        pads.dataset(files)
+        .to_table(columns=["repo", "path"])
+        .sort_by([("repo", "ascending"), ("path", "ascending")])
+        .column("path")
+        .to_pylist()[:3]
+    )
+    specs = [
+        first[0],  # whole file
+        f"{first[1]}:2-4",  # line range
+        f"{first[2]}:3",  # single line + context
+        f"{first[0]}#salt",  # symbol text-search (every doc has a salt token)
+    ]
+    return extract(files, specs, context_lines=2)
 
 
 def corpus_sha256(sf_dir: str) -> pa.Table:
@@ -173,20 +289,34 @@ def index_doc_stats(sf_dir: str) -> pa.Table:
 
 
 def term_df_topk(sf_dir: str, k: int = 20) -> pa.Table:
-    """Top-k document-frequency terms from the postings (term, df) —
-    index introspection; ties broken by term asc."""
+    """Top-k document-frequency terms: (term, df), ties broken by term asc.
+
+    Reads the build's global sorted dictionary (``dict/*.parquet``,
+    columns term+df already aggregated — index/build.py:603) one row
+    group at a time, keeping a running vectorized top-k: bounded memory
+    regardless of vocabulary size, and no postings file is touched."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     idx = ensure_index(sf_dir)
-    df: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(idx, "waves", "*", "postings", "*.parquet"))):
-        t = pq.read_table(f, columns=["term", "df"])
-        for term, d in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
-            df[term] = df.get(term, 0) + int(d)
-    top = sorted(df.items(), key=lambda p: (-p[1], p[0]))[:k]
+    best: pa.Table | None = None
+    for f in sorted(glob.glob(os.path.join(idx, "dict", "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=["term", "df"])
+            cand = t if best is None else pa.concat_tables([best, t])
+            order = pc.sort_indices(
+                cand,
+                sort_keys=[("df", "descending"), ("term", "ascending")],
+            )
+            best = cand.take(order.slice(0, k))
+    if best is None:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
     return pa.table(
         {
-            "term": pa.array([t for t, _ in top], pa.string()),
-            "df": pa.array([d for _, d in top], pa.int64()),
+            "term": best.column("term"),
+            "df": best.column("df").cast(pa.int64()),
         }
     )

@@ -1,0 +1,232 @@
+"""Block extraction + ranking conformance.
+
+Pinned fixtures:
+  - filter_tokenized_block cases from
+    reference tests/tokenized_block_filtering_tests.rs
+  - determine_fallback_node_type rule table from
+    reference src/search/file_processing.rs:358-422
+  - window merging thresholds from file_processing.rs:568-648
+  - test-file patterns from file_list_cache.rs:227-260
+
+Rank identity: the distributed search_blocks pipeline (index-guided
+candidates -> map_batches extraction -> re-rank) must equal the pure
+scalar oracle (rank_files candidates -> sequential extraction -> same
+re-rank) on the synthetic code corpus — same blocks, same order, same
+f64 scores."""
+
+from __future__ import annotations
+
+import pytest
+
+from probe_ray.query.bm25 import create_query_plan
+from probe_ray.search.blocks import (
+    determine_fallback_node_type,
+    extract_blocks,
+    filter_tokenized_block,
+    is_test_file,
+    merge_context_windows,
+    node_type_boost,
+)
+
+# --- filter_tokenized_block pinned cases (tokenized_block_filtering_tests.rs)
+
+FILTER_CASES = [
+    (["ip", "whitelist", "config"], "ip AND whitelist", True),
+    (["ip", "whitelist", "config"], "ip OR port", True),
+    (["ip", "whitelist", "config"], "(ip OR port) AND config", True),
+    (["ip", "whitelist", "config"], "ip -test", True),
+    (["ip", "whitelist", "test"], "ip -test", False),
+    (
+        ["ip", "whitelist", "config", "server"],
+        "(ip OR port) AND (whitelist OR config) -test",
+        True,
+    ),
+    (["port", "server"], "(ip OR port) AND (whitelist OR config) -test", False),
+    ([], "ip AND whitelist", False),
+]
+
+
+@pytest.mark.parametrize("tokens,query,expected", FILTER_CASES)
+def test_filter_tokenized_block_pinned(tokens, query, expected):
+    plan = create_query_plan(query)
+    assert filter_tokenized_block(tokens, plan) is expected, (tokens, query)
+
+
+# --- determine_fallback_node_type rule table -------------------------------
+
+NODE_TYPE_CASES = [
+    ("// a comment", "rs", "comment"),
+    ("# python comment", "py", "comment"),
+    ("# not a comment in rust", "rs", "code"),
+    ('"""docstring', "py", "comment"),
+    ("fn handle_request(x: u32) {", "rs", "function"),
+    ("func main() {", "go", "function"),
+    ("function doThing() {", "js", "function"),
+    ("def process(data):", "py", "function"),
+    ("public void run()", "java", "function"),
+    ("class Foo:", "py", "class"),
+    ("struct Point {", "rs", "class"),
+    ("enum Color {", "js", "class"),
+    ("import os", "py", "import"),
+    ("use std::fs;", "rs", "import"),
+    ("#include <stdio.h>", "c", "import"),
+    ("let x = 1;", "rs", "variable_declaration"),
+    ("total = a + b", "py", "variable_declaration"),
+    ("x == y", "py", "code"),
+    ("if x > 0 {", "rs", "control_flow"),
+    ("while running:", "py", "control_flow"),
+    ("return value;", "rs", "code"),
+]
+
+
+@pytest.mark.parametrize("line,ext,expected", NODE_TYPE_CASES)
+def test_fallback_node_type(line, ext, expected):
+    assert determine_fallback_node_type(line, ext) == expected, line
+
+
+def test_fallback_rule_order():
+    # comment wins over function ("// fn foo()" is a comment);
+    # function wins over variable_declaration ("fn f() { x = 1 }" has '=')
+    assert determine_fallback_node_type("// fn foo()", "rs") == "comment"
+    assert determine_fallback_node_type("fn f(x) { let y = x }", "rs") == "function"
+
+
+# --- window merging --------------------------------------------------------
+
+
+def test_merge_few_windows_threshold_1():
+    # <=5 windows: merge only overlapping/adjacent (threshold 1)
+    w = merge_context_windows([10, 40], 100)
+    assert w == [([10], 5, 15), ([40], 35, 45)]
+    # overlapping windows merge
+    w = merge_context_windows([10, 14], 100)
+    assert w == [([10, 14], 5, 19)]
+    # gap of exactly threshold merges: [5,15] and [16,26] are adjacent
+    w = merge_context_windows([10, 21], 100)
+    assert w == [([10, 21], 5, 26)]
+
+
+def test_merge_clamps_to_file():
+    assert merge_context_windows([1], 3) == [([1], 1, 3)]
+    assert merge_context_windows([3], 3) == [([3], 1, 3)]
+
+
+def test_merge_many_windows_aggressive():
+    # merge condition: next_start <= cur_end + threshold, i.e. spacing
+    # l2-l1 <= 2*context + threshold
+    # 6 windows -> threshold context+1=6; spacing 16 merges (16 <= 16)
+    lines = [10, 26, 42, 58, 74, 90]
+    w = merge_context_windows(lines, 200)
+    assert len(w) == 1 and w[0][0] == lines
+    # 11 windows -> threshold context+3=8; spacing 18 merges (18 <= 18)
+    lines11 = list(range(10, 10 + 11 * 18, 18))
+    w = merge_context_windows(lines11, 1000)
+    assert len(w) == 1
+    # the same spacing with only 6 windows (threshold 6): 18 > 16 -> all
+    # separate — the dynamic threshold is observable
+    w = merge_context_windows(lines11[:6], 1000)
+    assert len(w) == 6
+
+
+# --- test-file detection ----------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "path,expected",
+    [
+        ("src/lib_test.rs", True),
+        ("src/test_util.py", True),
+        ("src/app.spec.ts", True),
+        ("pkg/tests/helper.go", True),
+        ("pkg/__tests__/x.js", True),
+        ("src/FooTest.java", True),
+        ("src/contest.rs", False),
+        ("src/main.rs", False),
+        ("src/testing.py", False),
+    ],
+)
+def test_is_test_file(path, expected):
+    assert is_test_file(path) is expected, path
+
+
+def test_extract_skips_test_context():
+    plan = create_query_plan("keyword")
+    content = "#[test]\nfn test_keyword_thing() {\n  keyword\n}\n"
+    assert extract_blocks("r", "src/a.rs", content, plan, allow_tests=False) == []
+    got = extract_blocks("r", "src/a.rs", content, plan, allow_tests=True)
+    assert len(got) == 1
+
+
+def test_node_type_boosts():
+    assert node_type_boost("function_item", 1, 10) == 2.0
+    assert node_type_boost("struct_item", 1, 10) == 1.8
+    assert node_type_boost("variable_declaration", 1, 10) == 1.3
+    assert node_type_boost("comment", 1, 10) == 0.5
+    assert node_type_boost("doc_comment", 1, 10) == 1.2  # multi-line
+    assert node_type_boost("doc_comment", 1, 3) == 1.0  # short
+    assert node_type_boost("test_function", 1, 10) == 0.7
+    assert node_type_boost("function", 1, 10) == 1.0  # fallback type: default
+    assert node_type_boost("class", 1, 10) == 1.0  # explicit 1.0 group
+
+
+# --- rank identity: distributed vs scalar ----------------------------------
+
+BLOCK_QUERIES = [
+    "setTools",
+    "error AND handling",
+    "RPCStorageHandler",
+    '"whitelist"',
+    "database -sqlite",
+    "(error OR exception) AND (handle OR process)",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_triples(corpus_rows):
+    t = corpus_rows
+    return list(
+        zip(
+            t.column("repo").to_pylist(),
+            t.column("path").to_pylist(),
+            t.column("content").to_pylist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("query", BLOCK_QUERIES)
+def test_block_rank_identity(query, built_index, small_corpus, corpus_triples):
+    import glob
+    import os
+
+    from probe_ray.search.blocks import search_blocks, search_blocks_scalar
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(built_index[0])
+    files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))
+    got = search_blocks(rd, files, query, k=10)
+    exp = search_blocks_scalar(corpus_triples, query, k=10)
+    assert got.num_rows == exp.num_rows, query
+    assert got.num_rows > 0, f"vacuous block query: {query}"
+    assert got.equals(exp), (
+        query,
+        got.to_pydict(),
+        exp.to_pydict(),
+    )
+
+
+def test_blocks_are_line_ranged(built_index, small_corpus):
+    import glob
+    import os
+
+    from probe_ray.search.blocks import search_blocks
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(built_index[0])
+    files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))
+    t = search_blocks(rd, files, "error AND handling", k=10)
+    starts = t.column("start_line").to_pylist()
+    ends = t.column("end_line").to_pylist()
+    assert all(1 <= s <= e for s, e in zip(starts, ends))
+    # blocks are windows, not whole files
+    codes = t.column("code").to_pylist()
+    assert all(c.count("\n") == e - s for c, s, e in zip(codes, starts, ends))

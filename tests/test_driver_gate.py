@@ -1,0 +1,68 @@
+"""Non-vacuity of the driver-visible fts_search gate.
+
+Round-1 verdict: all 14 code-flavored fts_search_* CORRECTNESS rows
+returned 0 rows (code queries vs the documents corpus), making the gate
+vacuous. This suite mirrors the driver at sf0.001: every fts_search_*
+entry except the explicit negative control must return rows, and both
+query sets must be rank-identical to the scalar oracle over their own
+corpus (code queries -> synthetic code table, doc queries -> documents
+table)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+NEGATIVE_CONTROLS = {"fts_search_empty_result"}
+
+
+@pytest.fixture(scope="module")
+def entry_queries(ray_session):
+    import __ray_entry__ as entrymod
+
+    yield entrymod.queries()
+    # release the cached readers' actor-pool CPUs back to later modules
+    from probe_ray.ops import fts
+
+    fts.close_readers()
+
+
+def _fts_names():
+    from probe_ray.ops.fts import BLOCK_QUERIES, DOC_QUERIES, REFERENCE_QUERIES
+
+    return [
+        f"fts_search_{n}"
+        for n in list(REFERENCE_QUERIES) + list(DOC_QUERIES) + list(BLOCK_QUERIES)
+    ]
+
+
+@pytest.mark.parametrize("name", _fts_names())
+def test_fts_search_nonvacuous(entry_queries, name):
+    t = entry_queries[name](SF_DIR)
+    if name in NEGATIVE_CONTROLS:
+        assert t.num_rows == 0, f"{name} is the negative control, got rows"
+        return
+    assert t.num_rows > 0, f"{name} returned 0 rows — vacuous gate"
+    # result schema is stable: scored, identified docs / blocks
+    cols = (
+        ("score", "repo", "path", "start_line", "end_line", "node_type")
+        if "blocks" in name
+        else ("score", "repo", "path", "sha256")
+    )
+    for col in cols:
+        assert col in t.column_names
+
+
+def test_every_query_shape_covered():
+    """Each corpus' query set exercises every parser shape: single term,
+    AND, OR, grouping, required, excluded, quoted-exact, quoted+negative."""
+    from probe_ray.ops.fts import DOC_QUERIES, REFERENCE_QUERIES
+
+    for qs in (REFERENCE_QUERIES, DOC_QUERIES):
+        text = " ".join(qs.values())
+        assert " AND " in text
+        assert " OR " in text
+        assert "(" in text and ")" in text
+        assert "+" in text
+        assert " -" in text or text.startswith("-")
+        assert '"' in text

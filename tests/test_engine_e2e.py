@@ -35,6 +35,11 @@ QUERIES = [
     # tests/quoted_term_with_negative_keyword_tests.rs)
     '"setTools" -database',
     'apiClient -"yamlLoader"',
+    # stem-identity quoted terms — the non-vacuous exact path (quoted
+    # camelCase like "JWTMiddleware" above pins the reference's 0-result
+    # verbatim-vs-stemmed behavior; these pin the hit path)
+    '"whitelist"',
+    '"hashmap" -database',
 ]
 
 
