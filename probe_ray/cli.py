@@ -55,8 +55,47 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _corpus_files(corpus: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isdir(corpus):
+        return sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    return [corpus]
+
+
+def _attach_code(t, corpus: str):
+    """Fetch each result's file content from the corpus table (pushdown
+    read of only the result paths) and attach it as a `code` column —
+    the index stores no content, formatters that print code need it."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    paths = t.column("path").to_pylist()
+    if not paths:
+        return t.append_column("code", pa.array([], pa.string()))
+    tbl = pads.dataset(_corpus_files(corpus)).to_table(
+        columns=["path", "content"], filter=pads.field("path").isin(paths)
+    )
+    by_path = dict(
+        zip(tbl.column("path").to_pylist(), tbl.column("content").to_pylist())
+    )
+    return t.append_column(
+        "code", pa.array([by_path.get(p, "") for p in paths], pa.string())
+    )
+
+
 def cmd_search(args) -> int:
     ray, owns = _ray_init()
+    from probe_ray.search.format import (
+        apply_limits,
+        format_json,
+        format_markdown,
+        format_plain,
+        format_terminal,
+        format_xml,
+        rows_from_table,
+    )
     from probe_ray.search.searcher import IndexReader
 
     filters = {}
@@ -74,12 +113,23 @@ def cmd_search(args) -> int:
     # multiple query args are ANDed into one query, mirroring the
     # reference CLI (search_runner.rs:358-364)
     joined = " AND ".join(args.query)
-    queries = {"q0": joined}
-    results = rd.search_many(
-        queries, k=args.k, filters={n: filters for n in queries},
-        max_total_tokens=args.max_tokens,
-    )
-    t = results["q0"]
+    if args.blocks:
+        if not args.corpus:
+            print("error: --blocks requires --corpus DIR", file=sys.stderr)
+            return 2
+        from probe_ray.search.blocks import search_blocks
+
+        t = search_blocks(
+            rd, _corpus_files(args.corpus), joined, k=args.k,
+            allow_tests=not args.exclude_tests,
+        )
+    else:
+        t = rd.search_many(
+            {"q0": joined}, k=args.k, filters={"q0": filters},
+            max_total_tokens=args.max_tokens,
+        )["q0"]
+        if args.corpus:
+            t = _attach_code(t, args.corpus)
     if args.out:
         import os
 
@@ -87,16 +137,49 @@ def cmd_search(args) -> int:
 
         os.makedirs(args.out, exist_ok=True)
         pq.write_table(t, os.path.join(args.out, "results.parquet"))
-    if args.json:
-        print(json.dumps({"query": joined, "results": t.to_pylist()}))
-    else:
+
+    fmt = "json" if args.json else args.format
+    rows = rows_from_table(t)
+    rows, skipped, limits = apply_limits(
+        rows, max_results=args.max_results, max_bytes=args.max_bytes,
+        max_tokens=args.max_tokens if args.blocks else None,
+    )
+    if fmt == "json":
+        print(format_json(rows))
+    elif fmt == "xml":
+        print(format_xml(rows))
+    elif fmt == "plain":
+        print(format_plain(rows))
+    elif fmt == "markdown":
         print(f"# {joined}")
-        for row in t.to_pylist():
-            print(
-                f"{row['rank']:3d}  {row['score']:.4f}  "
-                f"{row['repo']}/{row['path']}"
-            )
+        print(format_markdown(rows, dry_run=args.dry_run))
+    else:
+        print(format_terminal(rows, color=(fmt == "color")))
+    if limits is not None and skipped:
+        print(
+            f"(limits applied: {len(skipped)} results skipped, "
+            f"{limits['total_bytes']} bytes / {limits['total_tokens']} "
+            "tokens kept)",
+            file=sys.stderr,
+        )
     rd.close()
+    if owns:
+        ray.shutdown()
+    return 0
+
+
+def cmd_extract(args) -> int:
+    ray, owns = _ray_init()
+    from probe_ray.search.extract import extract
+    from probe_ray.search.format import format_results
+
+    t = extract(
+        _corpus_files(args.corpus),
+        args.spec,
+        context_lines=args.context,
+        allow_tests=not args.exclude_tests,
+    )
+    print(format_results(t, "json" if args.json else args.format))
     if owns:
         ray.shutdown()
     return 0
@@ -122,10 +205,42 @@ def main(argv: list[str] | None = None) -> int:
         "--max-tokens", type=int, default=None,
         help="truncate results once their cumulative token count exceeds this",
     )
+    s.add_argument(
+        "--max-bytes", type=int, default=None,
+        help="truncate results once their cumulative code bytes exceed this",
+    )
+    s.add_argument("--max-results", type=int, default=None)
     s.add_argument("--filter", action="append", metavar="FIELD=VALUE")
-    s.add_argument("--json", action="store_true")
+    s.add_argument(
+        "-o", "--format", default="terminal",
+        choices=["terminal", "markdown", "plain", "json", "xml", "color"],
+    )
+    s.add_argument("--json", action="store_true", help="alias for --format json")
+    s.add_argument(
+        "--corpus", help="corpus parquet dir — attach file content to results"
+    )
+    s.add_argument(
+        "--blocks", action="store_true",
+        help="block-granularity results (line-ranged context windows); needs --corpus",
+    )
+    s.add_argument("--exclude-tests", action="store_true")
+    s.add_argument("--dry-run", action="store_true", help="names/lines only")
     s.add_argument("--out", help="also write results as parquet (one file per query)")
     s.set_defaults(fn=cmd_search)
+
+    e = sub.add_parser(
+        "extract", help="extract file / file:line / file:a-b / file#symbol"
+    )
+    e.add_argument("spec", nargs="+")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("-c", "--context", type=int, default=0)
+    e.add_argument(
+        "-o", "--format", default="terminal",
+        choices=["terminal", "markdown", "plain", "json", "xml", "color"],
+    )
+    e.add_argument("--json", action="store_true", help="alias for --format json")
+    e.add_argument("--exclude-tests", action="store_true")
+    e.set_defaults(fn=cmd_extract)
 
     args = p.parse_args(argv)
     return args.fn(args)
