@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q[f"fts_search_{name}"] = (
             lambda sf_dir, _n=name: fts.fts_search_blocks(sf_dir, _n)
         )
+    q["fts_search_blocks_reranked"] = fts.fts_search_blocks_reranked
     return q
 
 

@@ -189,6 +189,22 @@ def run_headline(
                 rd.search(q, k=10)
                 samples.append(time.time() - t1)
             qtimes[f"fts_{name}"] = round(sorted(samples)[len(samples) // 2], 4)
+        # block-granularity search + extract over the same corpus/index
+        from probe_ray.search.blocks import search_blocks
+        from probe_ray.search.extract import extract as extract_specs
+
+        cfiles = sorted(
+            os.path.join(corpus, f)
+            for f in os.listdir(corpus)
+            if f.endswith(".parquet")
+        )
+        t1 = time.time()
+        bt = search_blocks(rd, cfiles, "error AND handling", k=10)
+        qtimes["fts_blocks_and"] = round(time.time() - t1, 4)
+        t1 = time.time()
+        p0 = bt.column("path").to_pylist()[0] if bt.num_rows else "none"
+        extract_specs(cfiles, [f"{p0}:1-5"], context_lines=0)
+        qtimes["extract_range"] = round(time.time() - t1, 4)
         return {
             "build_seconds": round(build_s, 3),
             "docs_per_sec": round(rows / build_s, 1),
@@ -226,6 +242,8 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("ann_brute_topk", lambda: ann.ann_brute_topk(SF_DIR).num_rows),
             ("ann_ivf_topk", lambda: ann.ann_ivf_topk(SF_DIR).num_rows),
             ("minhash_pairs", lambda: dedup.minhash_lsh_pairs(SF_DIR).count()),
+            ("minhash_verified", lambda: dedup.minhash_verified_pairs(SF_DIR).count()),
+            ("simhash", lambda: dedup.simhash(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
             ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),
         ]:

@@ -123,6 +123,10 @@ def cmd_search(args) -> int:
             rd, _corpus_files(args.corpus), joined, k=args.k,
             allow_tests=not args.exclude_tests,
         )
+        if args.reranker and args.reranker != "bm25":
+            from probe_ray.search.rerank import rerank
+
+            t = rerank(t, joined, args.reranker)
     else:
         t = rd.search_many(
             {"q0": joined}, k=args.k, filters={"q0": filters},
@@ -225,6 +229,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     s.add_argument("--exclude-tests", action="store_true")
     s.add_argument("--dry-run", action="store_true", help="names/lines only")
+    s.add_argument(
+        "--reranker", default="bm25",
+        help="bm25 (default) or ms-marco-stub (actor-pool cross-encoder "
+             "stand-in; --blocks only)",
+    )
     s.add_argument("--out", help="also write results as parquet (one file per query)")
     s.set_defaults(fn=cmd_search)
 

@@ -225,6 +225,22 @@ def fts_search_blocks(sf_dir: str, name: str, k: int = 10) -> pa.Table:
     return t.drop_columns(["code"])  # stable, compact driver surface
 
 
+def fts_search_blocks_reranked(sf_dir: str, k: int = 10) -> pa.Table:
+    """Block search re-scored by the cross-encoder actor-pool stage
+    (deterministic stand-in model — search/rerank.py)."""
+    import glob as _glob
+
+    from probe_ray.search.blocks import search_blocks
+    from probe_ray.search.rerank import rerank
+
+    idx = ensure_code_index(sf_dir)
+    corpus = code_corpus_parquet(sf_dir)
+    files = sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+    q = BLOCK_QUERIES["blocks_and"]
+    t = search_blocks(_reader(idx), files, q, k=k)
+    return rerank(t, q).drop_columns(["code"])
+
+
 def fts_extract(sf_dir: str) -> pa.Table:
     """`probe extract` analog (search/extract.py) over the code corpus:
     whole-file, line-range, line+context and #symbol specs against the

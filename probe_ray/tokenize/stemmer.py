@@ -5,7 +5,7 @@ Implements the published Snowball English stemming algorithm
 algorithm the reference uses via rust_stemmers::Algorithm::English
 (/root/reference/src/ranking.rs:37-40). No third-party stemmer package is
 available in this environment, so the algorithm is implemented from the
-public specification and pinned by fixtures in tests/test_stemmer.py
+public specification and pinned by fixtures in tests/test_tokenizer.py
 (including the stem pairs asserted by the reference's own tests).
 
 Only ASCII lowercase input occurs in practice (the tokenizer lowercases

@@ -33,7 +33,7 @@ def _fts_names():
     return [
         f"fts_search_{n}"
         for n in list(REFERENCE_QUERIES) + list(DOC_QUERIES) + list(BLOCK_QUERIES)
-    ]
+    ] + ["fts_search_blocks_reranked"]
 
 
 @pytest.mark.parametrize("name", _fts_names())

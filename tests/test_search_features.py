@@ -74,12 +74,10 @@ def test_cli_search_json(built_index, capsys, ray_session):
         ["search", "--index", built_index[0], "error handler", "-k", "3", "--json"]
     )
     assert rc == 0
-    out = capsys.readouterr().out.strip().splitlines()
-    rec = json.loads(out[-1])
-    assert rec["query"] == "error handler"
+    rec = json.loads(capsys.readouterr().out)
     assert 0 < len(rec["results"]) <= 3
-    assert rec["results"][0]["rank"] == 1
-    assert set(rec["results"][0]) >= {"rank", "score", "repo", "path", "sha256"}
+    assert rec["summary"]["count"] == len(rec["results"])
+    assert set(rec["results"][0]) >= {"file", "node_type", "score", "code"}
 
 
 def test_cli_bad_filter(built_index, capsys, ray_session):
@@ -120,15 +118,19 @@ def test_cli_multi_query_ands(built_index, capsys, ray_session):
          "-k", "5", "--json"]
     )
     assert rc == 0
-    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec["query"] == "error AND handler"
+    rec = json.loads(capsys.readouterr().out)
 
     from probe_ray.search.searcher import IndexReader
 
     rd = IndexReader(built_index[0])
     direct = rd.search("error AND handler", k=5)
     rd.close()
-    assert [r["path"] for r in rec["results"]] == direct.column("path").to_pylist()
+    assert [r["file"] for r in rec["results"]] == [
+        f"{repo}/{path}"
+        for repo, path in zip(
+            direct.column("repo").to_pylist(), direct.column("path").to_pylist()
+        )
+    ]
 
 
 def test_ann_ivf_deterministic_and_sane(ray_session):
