@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_index_doc_stats": fts.index_doc_stats,
         "fts_term_df_topk": fts.term_df_topk,
         "fts_extract": fts.fts_extract,
+        "fts_extract_docs": fts.fts_extract_docs,
+        "fts_pattern_query": fts.fts_pattern_query,
         # --- text analysis ------------------------------------------------
         "text_token_count": text.token_count,
         "text_token_count_bpeish": text.token_count_bpeish,
@@ -192,6 +194,20 @@ def oracle_sql() -> dict[str, str]:
         "fts_corpus_sha256": (
             "SELECT printf('%s/doc_%08d.txt', source, doc_id) AS path, "
             "sha256(text) AS sha256 FROM documents ORDER BY path"
+        ),
+        # extract semantics over the single-line documents corpus:
+        # whole-file, line-1 context, and #symbol text-search specs
+        "fts_extract_docs": (
+            "WITH c AS (SELECT printf('%s/doc_%08d.txt', source, doc_id) "
+            "AS path, source AS repo, text FROM documents), "
+            "ranked AS (SELECT *, row_number() OVER (ORDER BY path) AS rn FROM c), "
+            "dup AS (SELECT min(path) AS path FROM c WHERE text LIKE '%dup%') "
+            "SELECT path AS spec, repo, path, 1 AS start_line, 1 AS end_line, "
+            "'file' AS node_type, text AS code FROM ranked WHERE rn = 1 "
+            "UNION ALL SELECT path || ':1', repo, path, 1, 1, 'context', text "
+            "FROM ranked WHERE rn = 2 "
+            "UNION ALL SELECT c.path || '#dup', c.repo, c.path, 1, 1, "
+            "'text_search', c.text FROM c JOIN dup ON c.path = dup.path"
         ),
         "fts_index_doc_stats": (
             "SELECT count(*) AS n_docs, "

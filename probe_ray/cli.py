@@ -189,6 +189,31 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    ray, owns = _ray_init()
+    from probe_ray.search.pattern import query_pattern
+
+    t = query_pattern(
+        _corpus_files(args.corpus),
+        args.pattern,
+        language=args.language,
+        allow_tests=not args.exclude_tests,
+        max_results=args.max_results,
+    )
+    if args.json:
+        print(json.dumps({"matches": t.to_pylist(), "count": t.num_rows}))
+    else:
+        for r in t.to_pylist():
+            text = r["matched_text"].split("\n", 1)[0][:120]
+            print(
+                f"{r['repo']}/{r['path']}:{r['line_start']}:"
+                f"{r['column_start']}: {text}"
+            )
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="probe_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -250,6 +275,19 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--json", action="store_true", help="alias for --format json")
     e.add_argument("--exclude-tests", action="store_true")
     e.set_defaults(fn=cmd_extract)
+
+    pq = sub.add_parser(
+        "query",
+        help="structural pattern search ($NAME / $$$ metavariables; "
+             "text-level ast-grep approximation)",
+    )
+    pq.add_argument("pattern")
+    pq.add_argument("--corpus", required=True)
+    pq.add_argument("--language")
+    pq.add_argument("--max-results", type=int, default=None)
+    pq.add_argument("--exclude-tests", action="store_true")
+    pq.add_argument("--json", action="store_true")
+    pq.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

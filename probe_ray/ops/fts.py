@@ -241,6 +241,16 @@ def fts_search_blocks_reranked(sf_dir: str, k: int = 10) -> pa.Table:
     return rerank(t, q).drop_columns(["code"])
 
 
+def fts_pattern_query(sf_dir: str) -> pa.Table:
+    """Pattern-query lite over the code corpus (search/pattern.py):
+    `fn $NAME` — rows-only; semantics pinned by tests/test_pattern.py."""
+    from probe_ray.search.pattern import query_pattern
+
+    corpus = code_corpus_parquet(sf_dir)
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    return query_pattern(files, "fn $NAME", max_results=200)
+
+
 def fts_extract(sf_dir: str) -> pa.Table:
     """`probe extract` analog (search/extract.py) over the code corpus:
     whole-file, line-range, line+context and #symbol specs against the
@@ -266,6 +276,32 @@ def fts_extract(sf_dir: str) -> pa.Table:
         f"{first[0]}#salt",  # symbol text-search (every doc has a salt token)
     ]
     return extract(files, specs, context_lines=2)
+
+
+def fts_extract_docs(sf_dir: str) -> pa.Table:
+    """Extract over the documents-derived corpus — SQL-expressible, so
+    this entry carries a DuckDB value-hash oracle: whole-file, line-1
+    context, and #symbol (first doc containing 'dup') specs."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from probe_ray.search.extract import extract
+
+    corpus = corpus_parquet(sf_dir)
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    dset = pads.dataset(files)
+    t = dset.to_table(columns=["path", "content"])
+    paths = sorted(t.column("path").to_pylist())
+    p0, p1 = paths[0], paths[1]
+    # first (lexicographically, == lowest doc_id per source formatting)
+    # doc whose content contains 'dup'
+    has_dup = t.filter(
+        pc.match_substring(t.column("content"), "dup")
+    ).column("path").to_pylist()
+    specs = [p0, f"{p1}:1"]
+    if has_dup:
+        specs.append(f"{min(has_dup)}#dup")
+    return extract(files, specs, context_lines=0)
 
 
 def corpus_sha256(sf_dir: str) -> pa.Table:

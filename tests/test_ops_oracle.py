@@ -34,6 +34,7 @@ CASES = [
     "text_stats",
     "dedup_exact_groups",
     "embedding_neardup_pairs",
+    "fts_extract_docs",
 ]
 
 

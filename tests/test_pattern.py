@@ -1,0 +1,109 @@
+"""Pattern-query lite (search/pattern.py) — the `probe query` analog.
+
+Text-level approximation of the ast-grep pattern language (query.rs):
+$NAME identifier metavariables (with backreference semantics for
+repeats), $$$ multi metavariable, whitespace-insensitive literals."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from probe_ray.search.pattern import (
+    LANG_EXTENSIONS,
+    compile_pattern,
+    match_content,
+    query_pattern,
+)
+
+SRC = """fn parse_config(input: &str) -> Config {
+    let x = 1;
+}
+
+fn main() {
+    parse_config("a");
+    let y = y;
+}
+"""
+
+
+def test_metavar_binds_identifier():
+    p = compile_pattern("fn $NAME($$$)")
+    got = match_content(p, SRC)
+    assert [m[5]["NAME"] for m in got] == ["parse_config", "main"]
+    # line spans are 1-based
+    assert got[0][0] == 1
+    assert got[1][0] == 5
+
+
+def test_multi_metavar_nongreedy():
+    p = compile_pattern("fn $NAME($$$) -> $RET")
+    got = match_content(p, SRC)
+    assert len(got) == 1
+    assert got[0][5] == {"NAME": "parse_config", "RET": "Config"}
+
+
+def test_repeated_metavar_backreference():
+    p = compile_pattern("let $A = $A;")
+    got = match_content(p, SRC)
+    assert len(got) == 1 and got[0][5]["A"] == "y"
+
+
+def test_whitespace_insensitive_literals():
+    p = compile_pattern("let  x   =  1 ;")
+    assert len(match_content(p, "let x=1;")) == 1
+
+
+def test_columns_one_based():
+    p = compile_pattern("let $V = 1")
+    got = match_content(p, "  let q = 1\n")
+    assert got[0][2] == 3  # column_start
+    assert got[0][0] == got[0][1] == 1
+
+
+def test_language_table_matches_reference():
+    # query.rs:55-72
+    assert LANG_EXTENSIONS["javascript"] == ["js", "jsx", "mjs"]
+    assert LANG_EXTENSIONS["cpp"] == ["cpp", "hpp", "cc", "hh", "cxx", "hxx"]
+
+
+def test_distributed_pattern_query(ray_session, small_corpus, corpus_rows):
+    files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))
+    t = query_pattern(files, "fn $ID")
+    assert t.num_rows > 0
+    # every match's captured identifier appears in the matched text
+    for r in t.to_pylist()[:20]:
+        caps = json.loads(r["captures"])
+        assert caps["ID"] in r["matched_text"]
+    # scalar cross-check on one file
+    repo0 = corpus_rows.column("repo").to_pylist()[0]
+    path0 = corpus_rows.column("path").to_pylist()[0]
+    content0 = corpus_rows.column("content").to_pylist()[0]
+    expected = len(match_content(compile_pattern("fn $ID"), content0))
+    got = t.filter(
+        (pa_field("repo") == repo0) & (pa_field("path") == path0)
+    ).num_rows
+    assert got == expected
+
+
+def pa_field(name):
+    import pyarrow.compute as pc
+
+    return pc.field(name)
+
+
+def test_language_filter(ray_session, small_corpus):
+    files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))
+    t = query_pattern(files, "fn $ID", language="rust")
+    assert all(p.endswith(".rs") for p in t.column("path").to_pylist())
+    with pytest.raises(ValueError, match="unsupported"):
+        query_pattern(files, "x", language="cobol")
+
+
+def test_max_results(ray_session, small_corpus):
+    files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))
+    t = query_pattern(files, "fn $ID", max_results=3)
+    assert t.num_rows == 3
