@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_hourly_counts": relational.events_hourly_counts,
         "rel_customers_per_region": relational.customers_per_region,
         "rel_sessionize_events": relational.sessionize_events,
+        "rel_q6_revenue_filter": relational.q6_revenue_filter,
+        "rel_order_priority_semijoin": relational.order_priority_semijoin,
+        "rel_top_brands_by_revenue": relational.top_brands_by_revenue,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
         "fts_corpus_sha256": fts.corpus_sha256,
         "fts_index_doc_stats": fts.index_doc_stats,
@@ -148,6 +151,30 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us "
             "FROM s GROUP BY user_id, session_idx "
             "ORDER BY user_id, session_idx"
+        ),
+        "rel_q6_revenue_filter": (
+            "SELECT CAST(sum("
+            f"{_MILLI.format(x='l_extendedprice * l_discount')}"
+            ") AS BIGINT) AS revenue_milli, count(*) AS n_rows "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            f"AND {_MILLI.format(x='l_discount')} BETWEEN 20 AND 70 "
+            f"AND {_MILLI.format(x='l_quantity')} < 24000"
+        ),
+        "rel_order_priority_semijoin": (
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            f"AND {_MILLI.format(x='l.l_discount')} >= 80) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "rel_top_brands_by_revenue": (
+            "SELECT p.p_brand, CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "GROUP BY p.p_brand "
+            "ORDER BY revenue_milli DESC, p_brand LIMIT 10"
         ),
         "text_quality_score": (
             "WITH s AS (SELECT doc_id, "

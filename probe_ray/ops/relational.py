@@ -256,6 +256,184 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     )
 
 
+def q6_revenue_filter(sf_dir: str):
+    """TPC-H-Q6-flavored filtered aggregate: revenue from 1997-shipped
+    lineitems with discount in [0.02, 0.07] and quantity < 24. The
+    l_shipdate predicate is PUSHED INTO THE READ (only matching row
+    groups leave storage); the remaining filters are vectorized per
+    batch; the global sum is a single tiny reduction.
+    One row: (revenue_milli, n_rows)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = batch.column("l_discount").to_numpy()
+        qty = batch.column("l_quantity").to_numpy()
+        price = batch.column("l_extendedprice").to_numpy()
+        disc_m = _milli(disc)
+        keep = (disc_m >= 20) & (disc_m <= 70) & (_milli(qty) < 24_000)
+        return pa.table(
+            {
+                "revenue": pa.array([int(_milli(price * disc)[keep].sum())]),
+                "one": pa.array([int(keep.sum())]),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue"), Sum("one")
+    )
+    return pa.table(
+        {
+            "revenue_milli": pa.array([int(agg["sum(revenue)"])], pa.int64()),
+            "n_rows": pa.array([int(agg["sum(one)"])], pa.int64()),
+        }
+    )
+
+
+SEMIJOIN_PARTITIONS = 64
+
+
+def order_priority_semijoin(sf_dir: str, min_discount_milli: int = 80):
+    """Distributed hash SEMI-JOIN without a join primitive: orders that
+    have >=1 lineitem with discount >= 0.08, counted per priority.
+
+    Both sides are keyed by ``l_orderkey % P`` (bounded partitions) and
+    met in one union+groupby — the same repartition-join shape as the
+    dedup verify stage; inside a group membership is one vectorized
+    np.isin. Map-side pre-projection keeps the shuffled rows narrow
+    (key + side + priority only). (o_orderpriority, n_orders)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        keep = _milli(batch.column("l_discount").to_numpy()) >= min_discount_milli
+        keys = np.unique(batch.column("l_orderkey").to_numpy()[keep])
+        return pa.table(
+            {
+                "part": pa.array(keys % SEMIJOIN_PARTITIONS),
+                "okey": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "priority": pa.array([""] * len(keys), pa.string()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(keys % SEMIJOIN_PARTITIONS),
+                "okey": pa.array(keys, pa.int64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int64)),
+                "priority": batch.column("o_orderpriority"),
+            }
+        )
+
+    left = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount"]).map_batches(
+        line_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        order_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def meet(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        qualifying = np.unique(okey[side == 0])
+        omask = side == 1
+        hit = omask & np.isin(okey, qualifying)
+        prio = np.asarray(group.column("priority").to_pylist(), dtype=object)[hit]
+        vals, counts = np.unique(prio, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(vals.tolist(), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        left.union(right)
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_orders": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("o_orderpriority")
+
+
+def top_brands_by_revenue(sf_dir: str, k: int = 10):
+    """Fact-dimension broadcast join + top-k: lineitem revenue rolled up
+    to p_brand via the small part dimension (driver-read lookup dict in
+    the closure, shipped once per worker), partial per-batch sums before
+    the 25-group global groupby. (p_brand, revenue_milli)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part_t = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brands = dict(
+        zip(
+            part_t.column("p_partkey").to_pylist(),
+            part_t.column("p_brand").to_pylist(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_pylist()
+        rev = _milli(
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy())
+        )
+        t = pa.table(
+            {
+                "p_brand": pa.array([brands.get(x) for x in pk], pa.string()),
+                "rev": pa.array(rev),
+            }
+        )
+        return t.group_by(["p_brand"]).aggregate([("rev", "sum")])
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("rev_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "revenue_milli": batch.column("sum(rev_sum)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["revenue_milli", "p_brand"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def customers_per_region(sf_dir: str):
     """Customer count per region name via two chained broadcast lookups
     (nation, region are tiny dimensions): (r_name, n_customers)."""

@@ -28,6 +28,9 @@ CASES = [
     "rel_events_hourly_counts",
     "rel_customers_per_region",
     "rel_sessionize_events",
+    "rel_q6_revenue_filter",
+    "rel_order_priority_semijoin",
+    "rel_top_brands_by_revenue",
     "text_quality_score",
     "text_lang_id",
     "text_token_count",
