@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash,
         "dedup_simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_neardup_clusters": dedup.neardup_clusters,
         # --- similarity search -------------------------------------------
         "ann_brute_topk": ann.ann_brute_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
@@ -274,6 +275,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sz za ON za.doc_id = a.doc_id JOIN sz zb ON zb.doc_id = b.doc_id "
             "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5 "
             "ORDER BY a_id, b_id"
+        ),
+        # connected components over the jaccard-pair graph: cluster_id =
+        # min reachable doc_id (recursive transitive closure)
+        "dedup_neardup_clusters": (
+            "WITH RECURSIVE "
+            "s AS (SELECT DISTINCT doc_id, unnest("
+            + _WS_TOKENS
+            + ") AS tok FROM documents WHERE doc_id < 50 AND trim(text) <> ''), "
+            "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+            "FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5), "
+            "e AS (SELECT a_id AS a, b_id AS b FROM pairs "
+            "UNION ALL SELECT b_id, a_id FROM pairs), "
+            "nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 50), "
+            "reach(n, m) AS (SELECT doc_id, doc_id FROM nodes "
+            "UNION SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m) "
+            "SELECT n AS doc_id, min(m) AS cluster_id FROM reach "
+            "GROUP BY n ORDER BY doc_id"
         ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

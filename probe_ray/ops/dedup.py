@@ -547,6 +547,163 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 12):
     return agg.map_batches(rename, batch_format="pyarrow").sort(["a_id", "b_id"])
 
 
+def neardup_clusters(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
+    """Near-duplicate CLUSTERS: connected components over the n-gram
+    Jaccard similarity graph (edges = ngram_jaccard_pairs), computed by
+    distributed min-label propagation. Returns (doc_id, cluster_id)
+    for every doc_id < max_doc_id, cluster_id = min doc_id reachable.
+
+    Each iteration is two bounded-partition shuffles (the union+groupby
+    repartition-join shape used across this module):
+      1. edge messages: edges meet labels on src % P -> (dst, src_label)
+      2. label update: messages meet labels on node % P -> new label =
+         min(old, incoming), plus a changed flag
+    Convergence (no label changed) is checked with a tiny aggregate per
+    iteration; iterations are bounded by the graph diameter, and every
+    shuffle ships only (node, label) pairs — never document content."""
+    import ray.data
+
+    edges_t = ngram_jaccard_pairs(sf_dir, max_doc_id, min_inter)
+    if not isinstance(edges_t, pa.Table):
+        edges_t = pa.concat_tables(
+            [pa.table(b) for b in edges_t.iter_batches(batch_format="pyarrow")]
+        )
+    a = edges_t.column("a_id").to_numpy()
+    b = edges_t.column("b_id").to_numpy()
+    # both directions; tiny per-row payload
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "part": pa.array(src % LSH_PARTITIONS),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "label": pa.array(np.full(len(src), -1), pa.int64()),
+                "is_label": pa.array(np.zeros(len(src), dtype=np.int64)),
+            }
+        )
+    ).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids < max_doc_id
+        ids = ids[keep]
+        return pa.table(
+            {
+                "part": pa.array(ids % LSH_PARTITIONS),
+                "src": pa.array(ids, pa.int64()),
+                "dst": pa.array(np.full(len(ids), -1), pa.int64()),
+                "label": pa.array(ids, pa.int64()),
+                "is_label": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    labels = (
+        _read_documents(sf_dir)
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def messages(group: pa.Table) -> pa.Table:
+        is_lab = group.column("is_label").to_numpy() == 1
+        node = group.column("src").to_numpy()
+        lab = group.column("label").to_numpy()
+        dsts = group.column("dst").to_numpy()[~is_lab]
+        srcs = node[~is_lab]
+        # vectorized src -> label lookup via sorted search
+        order2 = np.argsort(node[is_lab], kind="stable")
+        ln = node[is_lab][order2]
+        lv = lab[is_lab][order2]
+        if len(ln) == 0 or len(srcs) == 0:
+            arr_d = np.array([], dtype=np.int64)
+            out_l = np.array([], dtype=np.int64)
+        else:
+            pos = np.searchsorted(ln, srcs)
+            pos_c = np.minimum(pos, len(ln) - 1)
+            valid = (pos < len(ln)) & (ln[pos_c] == srcs)
+            arr_d = dsts[valid]
+            out_l = lv[pos[valid]]
+        return pa.table(
+            {
+                "part": pa.array(arr_d % LSH_PARTITIONS),
+                "node": pa.array(arr_d, pa.int64()),
+                "label": pa.array(out_l, pa.int64()),
+                "is_label": pa.array(np.zeros(len(arr_d), dtype=np.int64)),
+            }
+        )
+
+    def update(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("node", "ascending"), ("label", "ascending")]
+        )
+        g = group.take(order)
+        node = g.column("node").to_numpy()
+        lab = g.column("label").to_numpy()
+        is_lab = g.column("is_label").to_numpy() == 1
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        ends = np.r_[starts[1:], len(node)]
+        out_n, out_l, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            if not is_lab[s:e].any():
+                continue  # message to a node outside the universe
+            old = int(lab[s:e][is_lab[s:e]].min())
+            new = int(lab[s])  # sorted -> min candidate first
+            out_n.append(int(node[s]))
+            out_l.append(min(old, new))
+            out_c.append(int(min(old, new) < old))
+        arr_n = np.asarray(out_n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(arr_n % LSH_PARTITIONS),
+                "src": pa.array(arr_n),
+                "dst": pa.array(np.full(len(out_n), -1), pa.int64()),
+                "label": pa.array(out_l, pa.int64()),
+                "is_label": pa.array(np.ones(len(out_n), dtype=np.int64)),
+                "changed": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    for _ in range(32):  # bounded by graph diameter; tiny graphs converge fast
+        msgs = edges.union(labels).groupby("part").map_groups(
+            messages, batch_format="pyarrow"
+        )
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "part": batch.column("part"),
+                    "node": batch.column("src"),
+                    "label": batch.column("label"),
+                    "is_label": batch.column("is_label"),
+                }
+            )
+
+        new_labels = (
+            labels.map_batches(relabel, batch_format="pyarrow")
+            .union(msgs)
+            .groupby("part")
+            .map_groups(update, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("src"),
+                "cluster_id": batch.column("label"),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     """Distributed set-similarity join on whitespace-token sets for
     doc_id < max_doc_id: (a_id, b_id, inter_count, a_size, b_size).

@@ -36,6 +36,7 @@ CASES = [
     "text_token_count",
     "text_stats",
     "dedup_exact_groups",
+    "dedup_neardup_clusters",
     "embedding_neardup_pairs",
     "fts_extract_docs",
 ]
