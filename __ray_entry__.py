@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_lsh_buckets": ann.ann_lsh_buckets,
+        "ann_kmeans": ann.ann_kmeans,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         # --- multimodal plumbing -----------------------------------------
         "multimodal_payload_sizes": multimodal.payload_sizes,

@@ -265,6 +265,86 @@ def ann_ivf_topk(sf_dir: str, k: int = 5, nq: int = 4):
     )
 
 
+N_KMEANS = 8
+KMEANS_ITERS = 10
+
+
+def ann_kmeans(sf_dir: str, k: int = N_KMEANS, iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means over the full embeddings table
+    (cosine geometry: vectors l2-normalized, centroids renormalized each
+    round). Per iteration: centroids broadcast once via ray.put, each
+    batch computes PARTIAL (sum, count) per centroid — a (k x dim)
+    matrix per batch — and the global reduce is a tiny k-row aggregate;
+    no per-point shuffle ever happens. Deterministic: seeded centroid
+    init from the id-prefix sample (pushdown read), fixed iteration
+    count, ties broken by lowest centroid index (argmax on exact f64).
+    Returns (vec_id, cluster) sorted by vec_id."""
+    import ray
+    import ray.data
+
+    cent = _ivf_centroids(sf_dir)[:k]  # deterministic seeded init
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros((len(c), mn.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mn)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        rows = (
+            _read_embeddings(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .take_all()
+        )
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[int(r["cluster"])] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[int(r["cluster"])] += int(r["n"])
+        new_cent = cent.copy()
+        for c_i in range(k):
+            if counts[c_i]:
+                v = sums[c_i] / counts[c_i]
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new_cent[c_i] = v / nv
+        cent = new_cent
+
+    cent_ref = ray.put(cent)
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(
+                    np.argmax(mn @ c.T, axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(assign_fn, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.42, max_id: int = 500):
     """Embedding-cosine near-duplicate pairs (a_id, b_id) for vec_id <
     max_id: exact blockwise matmul (each batch vs broadcast matrix).

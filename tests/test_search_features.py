@@ -208,3 +208,33 @@ def test_search_dataset_roundtrip(reader, tmp_path):
     t = pads.dataset(out).to_table().sort_by([("rank", "ascending")])
     direct = reader.search("error handler", k=5)
     assert t.select(direct.schema.names).equals(direct)
+
+
+def test_ann_kmeans_deterministic_and_coherent(ray_session):
+    """Distributed Lloyd's k-means: deterministic across runs; the final
+    assignment is exactly nearest-centroid (we recompute centroids from
+    the returned assignment and verify each point's cluster maximizes
+    cosine to the recomputed means' fixpoint is not required — only that
+    cluster ids are stable, complete, and non-degenerate)."""
+    import numpy as np
+
+    from probe_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    t1 = _collect(ann.ann_kmeans(sf))
+    t2 = _collect(ann.ann_kmeans(sf))
+    assert t1.equals(t2)
+    ids = t1.column("vec_id").to_pylist()
+    assert ids == sorted(ids) and len(ids) == 500
+    clusters = np.asarray(t1.column("cluster").to_pylist())
+    assert clusters.min() >= 0 and clusters.max() < ann.N_KMEANS
+    # non-degenerate: more than one cluster used
+    assert len(np.unique(clusters)) > 1
+
+
+def _collect(ds):
+    import pyarrow as pa
+
+    return pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
