@@ -406,22 +406,98 @@ def list_fragments(input_paths: list[str]) -> list[str]:
     return sorted(files)
 
 
+def _existing_wave_manifests(out_dir: str) -> list[dict | None]:
+    out: list[dict | None] = []
+    w = 0
+    while True:
+        wm = _read_json(os.path.join(_wave_dir(out_dir, w), "wave_manifest.json"))
+        if wm is None and not os.path.isdir(_wave_dir(out_dir, w)):
+            break
+        out.append(wm)
+        w += 1
+    return out
+
+
+def _plan_waves(
+    files: list[str], out_dir: str, cfg: "IndexConfig"
+) -> list[list[str]]:
+    """Wave assignment with INCREMENTAL APPEND support.
+
+    Fresh build (or clean resume of the same file set): deterministic
+    round-robin striping — identical plans for identical inputs, so a
+    resumed build is byte-identical to a clean one.
+
+    Append (every existing wave done, its fragments a disjoint subset of
+    the current file set, but striping no longer matches because new
+    files arrived): done waves are KEPT AS RECORDED — history is the
+    assignment — and only the new files are chunked into additional
+    waves (sized like the existing ones), so indexing N new files costs
+    O(N), not a full rebuild.
+
+    Anything else (fragments deleted, overlapping or corrupt manifests):
+    the waves/ and dict/ trees are cleared for a full rebuild."""
+    import shutil
+
+    striped = [files[w :: cfg.num_waves] for w in range(cfg.num_waves)]
+    striped = [w for w in striped if w]
+    existing = _existing_wave_manifests(out_dir)
+    if not existing:
+        return striped
+    # exact-resume case: recorded waves agree with striping (a wave dir
+    # with no manifest yet — crash mid-tokenize — is simply rebuilt)
+    if len(existing) <= len(striped) and all(
+        wm is None or wm.get("fragments") == striped[w]
+        for w, wm in enumerate(existing)
+    ):
+        return striped
+    # append case
+    fileset = set(files)
+    indexed: set[str] = set()
+    ok = True
+    for wm in existing:
+        frs = wm.get("fragments") if wm else None
+        if (
+            wm is None
+            or wm.get("status") != "done"
+            or not frs
+            or not set(frs) <= fileset
+            or indexed & set(frs)
+        ):
+            ok = False
+            break
+        indexed |= set(frs)
+    if ok:
+        new_files = [f for f in files if f not in indexed]
+        plan = [wm["fragments"] for wm in existing]
+        if new_files:
+            per = max(
+                1, round(sum(len(p) for p in plan) / len(plan))
+            )
+            plan.extend(
+                new_files[i : i + per] for i in range(0, len(new_files), per)
+            )
+        return plan
+    # incompatible history: full rebuild
+    shutil.rmtree(os.path.join(out_dir, "waves"), ignore_errors=True)
+    shutil.rmtree(_dict_dir(out_dir), ignore_errors=True)
+    return striped
+
+
 def build_index(
     input_paths: list[str],
     out_dir: str,
     cfg: IndexConfig | None = None,
     fail_after_wave: int | None = None,
 ) -> dict:
-    """Build (or resume) the index. ``fail_after_wave`` injects a failure
-    after N completed waves (resume tests, FIXTURES.md SS6)."""
+    """Build (or resume, or incrementally APPEND to) the index.
+    ``fail_after_wave`` injects a failure after N completed waves
+    (resume tests, FIXTURES.md SS6)."""
     cfg = cfg or IndexConfig()
     files = list_fragments(input_paths)
     if not files:
         raise ValueError(f"no parquet fragments under {input_paths}")
-    waves = [files[w :: cfg.num_waves] for w in range(cfg.num_waves)]
-    waves = [w for w in waves if w]
-
     os.makedirs(out_dir, exist_ok=True)
+    waves = _plan_waves(files, out_dir, cfg)
     global _T0
     t0 = _T0 = time.time()
     done = 0
@@ -602,20 +678,27 @@ DICT_DRIVER_MAX_ROWS = 20_000_000
 
 def _build_dictionary(out_dir: str, num_waves: int) -> None:
     """Global (term, df) dictionary, sorted by term, for query-time idf
-    lookups with parquet row-group pruning (no postings scan per query)."""
+    lookups with parquet row-group pruning (no postings scan per query).
+    The done-marker records the wave set it was built from — an
+    incremental APPEND (new waves) invalidates and rebuilds it."""
+    import hashlib
+
     ddir = _dict_dir(out_dir)
     marker = os.path.join(ddir, "_done")
-    if os.path.exists(marker):
-        return
     paths = []
     total_terms = 0
+    frag_sig = hashlib.sha1()
     for w in range(num_waves):
         wm = _read_json(os.path.join(_wave_dir(out_dir, w), "wave_manifest.json"))
         total_terms += sum(s.get("n_terms", 0) for s in (wm or {}).get("subshards", []))
+        frag_sig.update(json.dumps((wm or {}).get("fragments")).encode())
         d = os.path.join(_wave_dir(out_dir, w), "postings")
         paths.extend(
             os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
         )
+    sig = f"{num_waves}:{frag_sig.hexdigest()}"
+    if os.path.exists(marker) and open(marker).read() == sig:
+        return
 
     import shutil
 
@@ -652,7 +735,8 @@ def _build_dictionary(out_dir: str, num_waves: int) -> None:
         agg_ds.map_batches(rename, batch_format="pyarrow").write_parquet(
             ddir, row_group_size=DICT_ROW_GROUP
         )
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(sig)
 
 
 def lookup_df(index_dir: str, terms: list[str]) -> dict[str, int]:
