@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_lsh_buckets": ann.ann_lsh_buckets,
         "ann_kmeans": ann.ann_kmeans,
+        "ann_ivf_persisted": ann.ann_ivf_persisted,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         # --- multimodal plumbing -----------------------------------------
         "multimodal_payload_sizes": multimodal.payload_sizes,

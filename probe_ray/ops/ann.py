@@ -8,6 +8,8 @@ their bucket (+ optional neighbors)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -263,6 +265,118 @@ def ann_ivf_topk(sf_dir: str, k: int = 5, nq: int = 4):
             "vec_id": pa.array(out["vec_id"], pa.int64()),
         }
     )
+
+
+def ivf_build(sf_dir: str, out_dir: str) -> str:
+    """Persist an IVF index: vectors written as HIVE-PARTITIONED parquet
+    (one directory per inverted list / centroid bucket) plus a centroids
+    table and a manifest. A query then touches ONLY its probed buckets'
+    files — partition pruning does the inverted-list seek, which is the
+    ANN scale path (per-query I/O is corpus_size * nprobe / n_centroids,
+    not the whole table). Deterministic: same seeded centroids as
+    ann_ivf_topk."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    marker = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(marker):
+        return out_dir
+    cent = _ivf_centroids(sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        bucket = np.argmax(mn @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    _read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(os.path.join(out_dir, "vectors"), partition_cols=["bucket"])
+    pq.write_table(
+        pa.table(
+            {
+                "centroid_id": pa.array(range(len(cent)), pa.int64()),
+                "centroid": pa.array(cent.tolist(), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    with open(marker, "w") as f:
+        json.dump({"n_centroids": len(cent), "dim": int(cent.shape[1])}, f)
+    return out_dir
+
+
+def ivf_search(
+    index_dir: str, sf_dir: str, k: int = 5, nq: int = 4, nprobe: int = IVF_NPROBE
+) -> pa.Table:
+    """Query the persisted IVF index: per query probe the nprobe nearest
+    centroids and read ONLY those buckets' partitions (hive partition
+    pruning at the parquet dataset level). Result rows and order are
+    IDENTICAL to the in-memory ann_ivf_topk (same centroids, scoring,
+    (sim desc, vec_id) ordering) — pinned by test."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cent = np.array(cent_t.column("centroid").to_pylist(), dtype=np.float64)
+    q, q_ids = _query_matrix(sf_dir, nq)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    need = sorted({int(b) for row in q_probe for b in row})
+
+    dset = pads.dataset(
+        os.path.join(index_dir, "vectors"), partitioning="hive"
+    )
+    t = dset.to_table(
+        columns=["bucket", "vec_id", "embedding"],
+        filter=pads.field("bucket").isin(need),
+    )
+    ids = t.column("vec_id").to_numpy()
+    buckets = np.asarray(t.column("bucket").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {"query_id": [], "rank": [], "vec_id": []}
+    for qi in range(len(q_ids)):
+        mask = np.isin(buckets, q_probe[qi])
+        if not mask.any():
+            continue
+        sims = qn[qi] @ mn[mask].T
+        ids_m = ids[mask]
+        order = np.lexsort((ids_m, -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            out["query_id"].append(int(q_ids[qi]))
+            out["rank"].append(rank)
+            out["vec_id"].append(int(ids_m[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+        }
+    )
+
+
+def ann_ivf_persisted(sf_dir: str, k: int = 5, nq: int = 4) -> pa.Table:
+    """Driver entry: build (cached under /tmp) + query the persisted IVF
+    index."""
+    import hashlib as _h
+
+    out = os.path.join(
+        "/tmp/probe_ray_cache",
+        _h.sha1(sf_dir.encode()).hexdigest()[:12],
+        "ivf_index",
+    )
+    ivf_build(sf_dir, out)
+    return ivf_search(out, sf_dir, k=k, nq=nq)
 
 
 N_KMEANS = 8

@@ -238,3 +238,37 @@ def _collect(ds):
     return pa.concat_tables(
         [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
     )
+
+
+def test_ivf_persisted_matches_inmemory(ray_session, tmp_path):
+    """Persisted IVF (hive-partitioned inverted lists + partition-pruned
+    query reads) must return EXACTLY the in-memory ann_ivf_topk results,
+    and the pruned read must touch only the probed buckets."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from probe_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    ann.ivf_build(sf, idx)
+    got = ann.ivf_search(idx, sf)
+    want = ann.ann_ivf_topk(sf)
+    assert got.equals(want)
+
+    # partition layout: one hive directory per bucket
+    dirs = _glob.glob(_os.path.join(idx, "vectors", "bucket=*"))
+    assert len(dirs) > 1
+    # pruning: the probed-bucket filter selects a strict subset of fragments
+    dset = pads.dataset(_os.path.join(idx, "vectors"), partitioning="hive")
+    all_frags = len(list(dset.get_fragments()))
+    q, _ = ann._query_matrix(sf, 4)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cent = ann._ivf_centroids(sf)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, : ann.IVF_NPROBE]
+    need = sorted({int(b) for row in probe for b in row})
+    pruned = len(list(dset.get_fragments(filter=pads.field("bucket").isin(need))))
+    assert pruned < all_frags, "partition pruning not effective"
