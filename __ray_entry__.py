@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customers_per_region": relational.customers_per_region,
         "rel_sessionize_events": relational.sessionize_events,
         "rel_q6_revenue_filter": relational.q6_revenue_filter,
+        "rel_events_sliding_window": relational.events_sliding_window_counts,
+        "rel_top_event_per_user": relational.top_event_per_user,
         "rel_order_priority_semijoin": relational.order_priority_semijoin,
         "rel_top_brands_by_revenue": relational.top_brands_by_revenue,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
@@ -163,6 +165,24 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate < TIMESTAMP '1998-01-01' "
             f"AND {_MILLI.format(x='l_discount')} BETWEEN 20 AND 70 "
             f"AND {_MILLI.format(x='l_quantity')} < 24000"
+        ),
+        "rel_events_sliding_window": (
+            "WITH h AS (SELECT event_type, "
+            "unnest([epoch_us(ts) // 3600000000, "
+            "epoch_us(ts) // 3600000000 + 1]) AS window_end_hour "
+            "FROM events) "
+            "SELECT event_type, window_end_hour, count(*) AS n_events "
+            "FROM h GROUP BY event_type, window_end_hour "
+            "ORDER BY event_type, window_end_hour"
+        ),
+        "rel_top_event_per_user": (
+            "WITH r AS (SELECT user_id, event_id, "
+            f"{_MILLI.format(x='value')} AS value_milli, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY "
+            f"{_MILLI.format(x='value')} DESC, epoch_us(ts), event_id) AS rn "
+            "FROM events) "
+            "SELECT user_id, event_id, value_milli FROM r WHERE rn = 1 "
+            "ORDER BY user_id"
         ),
         "rel_order_priority_semijoin": (
             "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "

@@ -174,6 +174,104 @@ def events_hourly_counts(sf_dir: str):
     )
 
 
+def events_sliding_window_counts(sf_dir: str):
+    """HOPPING/SLIDING window aggregate (streaming concept §3.9): 2-hour
+    windows hopping 1 hour — every event contributes to the window
+    ending at its hour and the next. Implemented as a map-side fan-out
+    (two narrow rows per event, pre-aggregated per batch) + one small
+    groupby; no per-window state.
+    (event_type, window_end_hour, n_events)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        hour = ts // 3_600_000_000
+        et = batch.column("event_type")
+        t = pa.table(
+            {
+                # zero-copy duplication: the same chunks twice
+                "event_type": pa.chunked_array(list(et.chunks) * 2),
+                "window_end_hour": pa.array(np.concatenate([hour, hour + 1])),
+                "one": pa.array(np.ones(2 * len(hour), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "window_end_hour"]).aggregate(
+            [("one", "sum")]
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_end_hour"])
+        .aggregate(Sum("one_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_end_hour": batch.column("window_end_hour"),
+                "n_events": batch.column("sum(one_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["event_type", "window_end_hour"]
+    )
+
+
+def top_event_per_user(sf_dir: str):
+    """Per-group top-k (k=1): each user's highest-value event.
+    Bounded-partition groupby (user_id % 64) with one vectorized sort
+    per group finding every user's max at once — never a group per
+    user. Ties broken by earliest ts then event_id (deterministic).
+    (user_id, event_id, value_milli)."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.table(
+            {
+                "part": pa.array((uid % SESSION_PARTITIONS).astype(np.int64)),
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "value_milli": pa.array(_milli(batch.column("value").to_numpy())),
+            }
+        )
+
+    def tops(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("value_milli", "descending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        uid = g.column("user_id").to_numpy()
+        firsts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sel = g.take(pa.array(firsts))
+        return pa.table(
+            {
+                "user_id": sel.column("user_id"),
+                "event_id": sel.column("event_id"),
+                "value_milli": sel.column("value_milli"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(tops, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
 SESSION_PARTITIONS = 64
 
 

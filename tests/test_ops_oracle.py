@@ -29,6 +29,8 @@ CASES = [
     "rel_customers_per_region",
     "rel_sessionize_events",
     "rel_q6_revenue_filter",
+    "rel_events_sliding_window",
+    "rel_top_event_per_user",
     "rel_order_priority_semijoin",
     "rel_top_brands_by_revenue",
     "text_quality_score",
