@@ -35,7 +35,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from probe_ray.ops import ann, dedup, fts, multimodal, relational, text
+    from probe_ray.ops import ann, dedup, embed, fts, multimodal, relational, text
 
     q: dict[str, Callable[[str], Any]] = {
         # --- relational Dataset surface (partial agg, broadcast join,
@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_kmeans": ann.ann_kmeans,
         "ann_ivf_persisted": ann.ann_ivf_persisted,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        "text_embed_neardup_pairs": embed.text_embed_neardup_pairs,
         # --- multimodal plumbing -----------------------------------------
         "multimodal_payload_sizes": multimodal.payload_sizes,
         "multimodal_features": multimodal.multimodal_features,
