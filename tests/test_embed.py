@@ -1,6 +1,6 @@
 """Text -> embedding -> near-dup chain (ops/embed.py): actor-pool model
-stage + blockwise broadcast similarity join. Self-validating against
-exact duplicates: every sha-identical pair must surface at sim 1000."""
+stage + blockwise broadcast similarity join, validated against a scalar
+recomputation of the same embedder + threshold over the same corpus."""
 
 from __future__ import annotations
 
