@@ -244,8 +244,11 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("minhash_pairs", lambda: dedup.minhash_lsh_pairs(SF_DIR).count()),
             ("minhash_verified", lambda: dedup.minhash_verified_pairs(SF_DIR).count()),
             ("simhash", lambda: dedup.simhash(SF_DIR).count()),
+            ("neardup_clusters", lambda: dedup.neardup_clusters(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
             ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),
+            ("rel_semijoin", lambda: relational.order_priority_semijoin(SF_DIR).count()),
+            ("rel_sliding_window", lambda: relational.events_sliding_window_counts(SF_DIR).count()),
         ]:
             t0 = time.time()
             fn()
