@@ -230,3 +230,39 @@ def test_blocks_are_line_ranged(built_index, small_corpus):
     # blocks are windows, not whole files
     codes = t.column("code").to_pylist()
     assert all(c.count("\n") == e - s for c, s, e in zip(codes, starts, ends))
+
+
+# --- complex-query block filtering pinned from the reference
+# (tests/complex_query_block_filtering_tests.rs:100-260, :289-331) — cases
+# composed through OUR tokenizer, matching how blocks are filtered live
+
+COMPLEX_Q = "(ip OR port) AND (whitelist OR allowlist) AND -denylist"
+
+COMPLEX_CASES = [
+    ("ip whitelist", COMPLEX_Q, True),
+    ("port allowlist", COMPLEX_Q, True),
+    ("ip whitelist denylist", COMPLEX_Q, False),
+    ("port denylist", COMPLEX_Q, False),
+    # stemming: plural/gerund query forms match base tokens
+    ("ip whitelist config", "ips AND whitelisting", True),
+    ("port server", "ips AND whitelisting", False),
+]
+
+
+@pytest.mark.parametrize("text,query,expected", COMPLEX_CASES)
+def test_complex_query_block_filtering_pinned(text, query, expected):
+    from probe_ray.tokenize.tokenizer import tokenize
+
+    plan = create_query_plan(query)
+    toks = tokenize(text, plan.special_terms)
+    assert filter_tokenized_block(toks, plan) is expected, (text, query, toks)
+
+
+def test_complex_query_through_extract_blocks():
+    """The same semantics end-to-end through window extraction."""
+    plan = create_query_plan(COMPLEX_Q)
+    content = "setup\nip here\nwhitelist there\ncleanup"
+    got = extract_blocks("r", "src/a.go", content, plan)
+    assert len(got) == 1 and got[0].start_line == 1
+    content_bad = "setup\nip here\nwhitelist there\ndenylist too"
+    assert extract_blocks("r", "src/a.go", content_bad, plan) == []
