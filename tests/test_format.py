@@ -241,3 +241,17 @@ def test_cli_extract(corpus_and_index, capsys):
     assert out["summary"]["count"] == 1
     assert out["results"][0]["node_type"] == "range"
     assert out["results"][0]["lines"] == [1, 2]
+
+
+def test_no_token_limit_overrun_on_symbol_heavy_code():
+    """The reference's 4-bytes/token estimation can overrun the budget on
+    compressed/symbol-heavy code (its own test_token_limiter_failures.rs
+    documents overruns). Our apply_limits always counts precisely, so the
+    kept set NEVER exceeds max_tokens — the documented divergence is a
+    strict improvement, pinned here."""
+    dense = "x=1;y=2;z=(a+b)*c;" * 40  # ~3 tokens per 2 bytes
+    rows = _rows([dense, dense, dense, "plain words here"])
+    for budget in (10, 50, 100, 200, 1000):
+        kept, _, limits = apply_limits(rows, max_tokens=budget)
+        assert limits["total_tokens"] <= budget, budget
+        assert sum(count_tokens(r["code"]) for r in kept) <= budget
