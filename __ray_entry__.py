@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": text.lang_id,
         "text_lang_id_ngram": text.lang_id_ngram,
         "text_fingerprint": text.fingerprint,
+        "text_curation_pipeline": text.curation_pipeline,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,
         "dedup_exact_keep_first": dedup.exact_dedup_keep_first,
@@ -212,6 +213,21 @@ def oracle_sql() -> dict[str, str]:
             "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
             "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
             ") + 0.5) AS BIGINT) AS quality_milli FROM s"
+        ),
+        "text_curation_pipeline": (
+            "WITH s AS (SELECT doc_id, lang, text, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END AS n, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(list_distinct({_WS_TOKENS})) END AS uniq, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha, "
+            "length(text) AS nchars FROM documents), "
+            "q AS (SELECT doc_id, text, CAST(floor(1000 * ("
+            "0.4 * (CASE WHEN n = 0 THEN 0.0 ELSE CAST(uniq AS DOUBLE) / n END) + "
+            "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
+            "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
+            ") + 0.5) AS BIGINT) AS qm FROM s WHERE lang = 'en') "
+            "SELECT min(doc_id) AS doc_id FROM q WHERE qm >= 600 "
+            "GROUP BY sha256(text) ORDER BY doc_id"
         ),
         "text_lang_id": (
             "WITH s AS (SELECT doc_id, list_transform(list_slice("

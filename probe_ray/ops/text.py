@@ -213,3 +213,55 @@ def fingerprint(sf_dir: str):
         )
 
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def curation_pipeline(
+    sf_dir: str, min_quality_milli: int = 600, lang: str = "en"
+):
+    """Composite CURATION chain as ONE streaming pipeline — the shape a
+    training-data run takes: per-batch quality scoring + language filter
+    + content hashing fused into a single map_batches pass (one read,
+    narrow intermediate rows), then exact-dedup keep-first via a single
+    groupby(sha). Returns surviving (doc_id,) sorted ascending."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_sha = [], []
+        for did, lg, t in zip(ids, langs, texts):
+            if lg != lang:
+                continue
+            toks = _WS.split(t.strip()) if t.strip() else []
+            n = len(toks)
+            uniq = len(set(toks))
+            alpha = len(_ALPHA.findall(t))
+            ratio_u = uniq / n if n else 0.0
+            ratio_a = alpha / len(t) if t else 0.0
+            length_ok = 1.0 if n >= 20 else n / 20.0
+            q = int(np.floor(1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok) + 0.5))
+            if q < min_quality_milli:
+                continue
+            out_id.append(did)
+            out_sha.append(hashlib.sha256(t.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sha": pa.array(out_sha, pa.string()),
+            }
+        )
+
+    agg = (
+        _read_documents(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby("sha")
+        .aggregate(Min("doc_id"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("min(doc_id)")})
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("doc_id")

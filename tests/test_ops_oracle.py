@@ -34,6 +34,7 @@ CASES = [
     "rel_order_priority_semijoin",
     "rel_top_brands_by_revenue",
     "text_quality_score",
+    "text_curation_pipeline",
     "text_lang_id",
     "text_token_count",
     "text_stats",
