@@ -174,12 +174,29 @@ def cmd_search(args) -> int:
 
 def cmd_extract(args) -> int:
     ray, owns = _ray_init()
-    from probe_ray.search.extract import extract
+    from probe_ray.search.extract import (
+        extract,
+        is_git_diff_format,
+        parse_specs_from_git_diff,
+        parse_specs_from_text,
+    )
     from probe_ray.search.format import format_results
 
+    specs: list = list(args.spec)
+    for src, parser in ((args.diff, parse_specs_from_git_diff),
+                        (args.from_text, parse_specs_from_text)):
+        if src:
+            text = sys.stdin.read() if src == "-" else open(src).read()
+            if parser is parse_specs_from_text and is_git_diff_format(text):
+                parser = parse_specs_from_git_diff
+            specs.extend(parser(text, allow_tests=not args.exclude_tests))
+    if not specs:
+        print("error: no extraction specs (args, --diff or --from-text)",
+              file=sys.stderr)
+        return 2
     t = extract(
         _corpus_files(args.corpus),
-        args.spec,
+        specs,
         context_lines=args.context,
         allow_tests=not args.exclude_tests,
     )
@@ -265,8 +282,14 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser(
         "extract", help="extract file / file:line / file:a-b / file#symbol"
     )
-    e.add_argument("spec", nargs="+")
+    e.add_argument("spec", nargs="*")
     e.add_argument("--corpus", required=True)
+    e.add_argument("--diff", help="parse specs from a git diff (file or '-')")
+    e.add_argument(
+        "--from-text",
+        help="parse file references out of free text (file or '-'); "
+             "auto-detects git diffs",
+    )
     e.add_argument("-c", "--context", type=int, default=0)
     e.add_argument(
         "-o", "--format", default="terminal",

@@ -108,6 +108,114 @@ def extract_from_content(
     return (1, n, "file", content)
 
 
+def is_git_diff_format(content: str) -> bool:
+    """file_paths.rs:76-78."""
+    return content.lstrip().startswith("diff --git")
+
+
+_DIFF_HEADER = re.compile(r"^diff --git a/(.*) b/(.*)$")
+_HUNK_HEADER = re.compile(r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+
+
+def parse_specs_from_git_diff(text: str, allow_tests: bool = True) -> list[ExtractSpec]:
+    """Port of extract_file_paths_from_git_diff (file_paths.rs:94-275):
+    walk diff headers + hunks, track ADDED lines ('+' but not '+++') at
+    their new-file line numbers; one spec per file spanning
+    [min changed, max changed]. First occurrence of a file wins."""
+    results: list[ExtractSpec] = []
+    processed: set[str] = set()
+    current: str | None = None
+    lines_changed: set[int] = set()
+
+    def finalize():
+        if current and lines_changed and current not in processed:
+            if allow_tests or not is_test_file(current):
+                results.append(
+                    ExtractSpec(
+                        current, min(lines_changed), max(lines_changed)
+                    )
+                )
+            processed.add(current)
+
+    lines = text.split("\n")
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        m = _DIFF_HEADER.match(line)
+        if m:
+            finalize()
+            current = m.group(2)
+            lines_changed = set()
+            i += 1
+            continue
+        m = _HUNK_HEADER.match(line)
+        if m and current is not None:
+            cur = int(m.group(3))
+            i += 1
+            while i < len(lines):
+                hl = lines[i]
+                if hl.startswith("@@") or hl.startswith("diff --git"):
+                    break
+                if hl.startswith("+") and not hl.startswith("+++"):
+                    lines_changed.add(cur)
+                if not hl.startswith("-"):
+                    cur += 1
+                i += 1
+            continue
+        i += 1
+    finalize()
+    return results
+
+
+# path token with an extension, optionally :line(-end)(:col) or #symbol
+# (extract_file_paths_from_text core patterns, file_paths.rs:275-700 —
+# the markdown/quote preprocessing there is simplified to wrapper
+# stripping via the existing parse_extract_spec)
+_PATH_IN_TEXT = re.compile(
+    r"(?P<path>[A-Za-z0-9_./-]+\.[A-Za-z0-9]{1,8})"
+    r"(?P<spec>:\d+(?:-\d+)?(?::\d+)?|#[A-Za-z_][A-Za-z0-9_.]*)?"
+)
+
+
+def parse_specs_from_text(text: str, allow_tests: bool = True) -> list[ExtractSpec]:
+    """Extract file references (path.ext[:N[-M]][:col] / path.ext#symbol)
+    from free text — compiler output, review comments, markdown. Quote/
+    backtick/markdown wrappers are neutralized; duplicates collapse to
+    the first occurrence."""
+    cleaned = re.sub(r"[*~`'\"]+", " ", text)
+    out: list[ExtractSpec] = []
+    seen: set[str] = set()
+    for m in _PATH_IN_TEXT.finditer(cleaned):
+        raw = m.group(0)
+        path = m.group("path")
+        if "." not in path.rsplit("/", 1)[-1]:
+            continue
+        if path in seen:
+            continue
+        seen.add(path)
+        if not allow_tests and is_test_file(path):
+            continue
+        spec = m.group("spec") or ""
+        if spec.startswith("#"):
+            out.append(ExtractSpec(path, symbol=spec[1:]))
+            continue
+        if spec.startswith(":"):
+            nums = spec[1:]
+            rng = _RANGE.match(nums.split(":", 1)[0])
+            if rng:
+                out.append(
+                    ExtractSpec(path, int(rng.group(1)), int(rng.group(2)))
+                )
+                continue
+            ln = _LINE.match(nums.split(":", 1)[0])
+            if ln:
+                # file.rs:10:42 => line 10, column ignored (:620-640)
+                out.append(ExtractSpec(path, int(ln.group(1)), None))
+                continue
+        out.append(ExtractSpec(path))
+    return out
+
+
 _EMPTY = pa.table(
     {
         "spec": pa.array([], pa.string()),
@@ -121,25 +229,40 @@ _EMPTY = pa.table(
 )
 
 
+def spec_string(p: ExtractSpec) -> str:
+    if p.symbol is not None:
+        return f"{p.path}#{p.symbol}"
+    if p.start is not None and p.end is not None:
+        return f"{p.path}:{p.start}-{p.end}"
+    if p.start is not None:
+        return f"{p.path}:{p.start}"
+    return p.path
+
+
 def extract(
     corpus_files: list[str] | str,
-    specs: list[str],
+    specs: list,
     context_lines: int = 0,
     allow_tests: bool = True,
 ) -> pa.Table:
-    """Resolve extraction specs against the corpus table. Returns one
-    row per (spec, matching corpus row), ordered by (spec, repo, path)."""
+    """Resolve extraction specs (strings or ExtractSpec objects, e.g.
+    from parse_specs_from_text / parse_specs_from_git_diff) against the
+    corpus table. Returns one row per (spec, matching corpus row),
+    ordered by (spec, repo, path)."""
     import pyarrow.dataset as pads
     import ray.data
 
     parsed: list[tuple[str, ExtractSpec]] = []
     for s in specs:
-        p = parse_extract_spec(s)
+        if isinstance(s, ExtractSpec):
+            p, raw = s, spec_string(s)
+        else:
+            p, raw = parse_extract_spec(s), s
         if p is None:
             continue
         if not allow_tests and is_test_file(p.path):
             continue
-        parsed.append((s, p))
+        parsed.append((raw, p))
     if not parsed:
         return _EMPTY
 

@@ -108,3 +108,82 @@ def test_extract_test_file_filtering(ray_session, small_corpus):
     # a spec naming a test-path is dropped when allow_tests=False
     got = extract(files, ["tests/foo_test.rs:1"], allow_tests=False)
     assert got.num_rows == 0
+
+
+# --- free-text + git-diff spec extraction (file_paths.rs:76-700) ------------
+
+
+def test_parse_specs_from_text():
+    from probe_ray.search.extract import parse_specs_from_text
+
+    text = """Error in `src/main.rs:42` and also see 'lib/util.py:5-20'.
+    Check **src/app.js#handleClick** and plain path/to/mod.go too.
+    Compiler said foo/bar.c:10:7: warning. Not-a-path: hello world.
+    src/main.rs:99 appears again but duplicates collapse."""
+    got = parse_specs_from_text(text)
+    by_path = {s.path: s for s in got}
+    assert by_path["src/main.rs"] == ExtractSpec("src/main.rs", 42, None)
+    assert by_path["lib/util.py"] == ExtractSpec("lib/util.py", 5, 20)
+    assert by_path["src/app.js"] == ExtractSpec("src/app.js", symbol="handleClick")
+    assert by_path["path/to/mod.go"] == ExtractSpec("path/to/mod.go")
+    # line:col keeps the line, drops the column
+    assert by_path["foo/bar.c"] == ExtractSpec("foo/bar.c", 10, None)
+    assert len(got) == 5  # dedup by path, no junk matches
+
+
+def test_parse_specs_from_text_test_filter():
+    from probe_ray.search.extract import parse_specs_from_text
+
+    got = parse_specs_from_text("see tests/foo_test.rs:3", allow_tests=False)
+    assert got == []
+
+
+DIFF = """diff --git a/src/alpha.rs b/src/alpha.rs
+index 111..222 100644
+--- a/src/alpha.rs
++++ b/src/alpha.rs
+@@ -10,4 +10,5 @@ fn alpha() {
+ context line
++added line at 11
+ another context
++added line at 13
+ tail
+@@ -30 +40 @@
+-removed
++added line at 40
+diff --git a/src/beta.py b/src/beta.py
+--- a/src/beta.py
++++ b/src/beta.py
+@@ -1,2 +1,3 @@
+ keep
++added at 2
+"""
+
+
+def test_parse_specs_from_git_diff():
+    from probe_ray.search.extract import is_git_diff_format, parse_specs_from_git_diff
+
+    assert is_git_diff_format(DIFF)
+    got = parse_specs_from_git_diff(DIFF)
+    assert got == [
+        ExtractSpec("src/alpha.rs", 11, 40),  # min..max changed new lines
+        ExtractSpec("src/beta.py", 2, 2),
+    ]
+
+
+def test_cli_extract_from_text(ray_session, small_corpus, corpus_rows, capsys, tmp_path):
+    import json
+
+    from probe_ray.cli import main
+
+    path0 = corpus_rows.column("path").to_pylist()[0]
+    note = tmp_path / "note.txt"
+    note.write_text(f"please look at {path0}:1-2 for the bug")
+    rc = main(
+        ["extract", "--corpus", small_corpus, "--from-text", str(note),
+         "--format", "json"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["summary"]["count"] == 1
+    assert out["results"][0]["lines"] == [1, 2]
