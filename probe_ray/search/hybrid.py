@@ -1,0 +1,374 @@
+"""Index-assisted answering of special-term queries (quoted / excluded).
+
+Special terms change *document* tokenization (hazard H2 — reference:
+elastic_query.rs:768-773 -> tokenization.rs:843-851), so the pre-built
+index (default tokenization) cannot serve those queries directly. The
+original answer was an exhaustive re-tokenize of the whole corpus per
+query (search/scan.py — the reference's own architecture: it re-scans
+every file on every search, search_runner.rs:215-1560). This module
+replaces that with an exact two-sided split:
+
+AFFECTED docs — docs whose tokenization under the query's special-term
+set can differ from default. A special term only alters tokenization
+where a whole alphanumeric unit (raw token, camel part, or split
+remainder — tokenizer.py:110,117,226) lowercases to it, and every such
+unit is a contiguous substring of content or path. Hence
+``match_substring(content|path, term, ignore_case=True)`` is a *sound*
+over-approximation, computed in one streaming vectorized pass — no
+Python tokenization for non-matching rows. (Postings-based discovery
+would NOT be sound: stem collisions — "whitelists" stems to
+"whitelist" — put the keyword's token into docs that never contain the
+special unit, and in-document negation tokens like "--flag" can
+suppress the marker stems entirely.) Only these candidates are
+re-tokenized (default ctx + query ctx) for exact tf/doc_len both ways,
+and they are scored exactly on the driver (the set is small).
+
+UNAFFECTED docs — tokenization identical to default, so the quoted /
+excluded keyword behaves there as an ordinary index term (its tf is
+whatever default tokenization produced, e.g. via stem collisions).
+They are served by the normal block-max index path (persistent actor
+pool) with overridden global stats and the candidate set masked out.
+
+Global BM25 stats under the query context are derived exactly, in
+integer arithmetic, from the manifest + candidate deltas::
+
+    sum_dlen' = n_tokens + sum_C(ctx_dlen - default_dlen)
+    avgdl'    = sum_dlen' / N
+    df'(t)    = df_dict(t) - |{C: default tf>0}| + |{C: ctx tf>0}|
+    min_dlen' = min(manifest min_dlen, min_C ctx_dlen)   # sound, may be loose
+
+so every score is bit-equal to the exhaustive scan path
+(tests/test_hybrid.py asserts table equality against scan_search_many,
+and the engine-vs-scalar-oracle e2e suite keeps covering this route).
+
+Scale shape: one column-pruned streaming pass running a C++ substring
+kernel replaces corpus-wide Python re-tokenization (orders of magnitude
+per-byte cheaper), two of the scan path's three pipeline barriers
+disappear, and the index query itself is answered by the persistent
+actor pool in milliseconds. Worst case — a special term that matches
+most of the corpus (e.g. a quoted stop word) — falls back to the scan
+path, bounded by SCAN_FALLBACK_MIN / SCAN_FALLBACK_FRAC.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from probe_ray.index.build import lookup_df
+from probe_ray.query.bm25 import QueryPlan, idf as idf_fn
+from probe_ray.query.parser import is_only_excluded_terms
+from probe_ray.search.scoring import eval_mask, score_ast
+from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
+
+# Candidate-count ceiling for the hybrid path: above this the per-query
+# exclusion masks and the driver-side exact scoring stop being "small",
+# and the exhaustive scan path is the better shape. Tests monkeypatch.
+SCAN_FALLBACK_MIN = 20_000
+SCAN_FALLBACK_FRAC = 0.25
+
+# A special term can only match a tokenizer unit if it is one alnum run
+# (units are produced by [^\W_]+ — tokenizer.py:_ALNUM_RUNS); terms with
+# spaces/underscores/punctuation can never fire and need no candidates.
+_UNIT_RE = re.compile(r"[^\W_]+\Z", re.UNICODE)
+
+
+class _CandidateStage:
+    """map_batches stage: substring-prefilter, then double-tokenize only
+    the matching rows. Emits one row per (candidate doc, ctx) with
+    default/ctx doc_len and per-keyword tf under both tokenizations."""
+
+    def __init__(self, ctxs: list[tuple[int, frozenset, list[str]]], keywords: list[str]):
+        self.ctxs = ctxs  # (ci, full special set, active alnum specials)
+        self.keywords = keywords
+        self.kw_pos = {t: j for j, t in enumerate(keywords)}
+
+    def _schema_arrays(self, out, d_tf, c_tf):
+        tbl = {
+            "ctx": pa.array(out["ctx"], pa.int32()),
+            "repo": pa.array(out["repo"], pa.string()),
+            "path": pa.array(out["path"], pa.string()),
+            "commit": pa.array(out["commit"], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "sha256": pa.array(out["sha256"], pa.string()),
+            "d_dlen": pa.array(out["d_dlen"], pa.int64()),
+            "c_dlen": pa.array(out["c_dlen"], pa.int64()),
+        }
+        for j in range(len(self.keywords)):
+            tbl[f"d_tf_{j}"] = pa.array(d_tf[j], pa.int32())
+            tbl[f"c_tf_{j}"] = pa.array(c_tf[j], pa.int32())
+        return pa.table(tbl)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch.column("content")
+        path = batch.column("path")
+        out = {c: [] for c in ("ctx", "repo", "path", "commit", "lang", "sha256", "d_dlen", "c_dlen")}
+        nk = len(self.keywords)
+        d_tf: list[list[int]] = [[] for _ in range(nk)]
+        c_tf: list[list[int]] = [[] for _ in range(nk)]
+        for ci, specials_full, active in self.ctxs:
+            mask = None
+            for s in active:
+                m = pc.or_(
+                    pc.match_substring(content, s, ignore_case=True),
+                    pc.match_substring(path, s, ignore_case=True),
+                )
+                mask = m if mask is None else pc.or_(mask, m)
+            if mask is None:
+                continue
+            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            if not len(idxs):
+                continue
+            sub = batch.take(pa.array(idxs))
+            conts = sub.column("content").to_pylist()
+            paths = sub.column("path").to_pylist()
+            repos = sub.column("repo").to_pylist()
+            commits = sub.column("commit").to_pylist()
+            langs = sub.column("lang").to_pylist()
+            for i in range(len(conts)):
+                d_toks = preprocess_text_with_filename(conts[i], paths[i])
+                c_toks = preprocess_text_with_filename(
+                    conts[i], paths[i], specials_full
+                )
+                out["ctx"].append(ci)
+                out["repo"].append(repos[i])
+                out["path"].append(paths[i])
+                out["commit"].append(commits[i])
+                out["lang"].append(langs[i])
+                out["sha256"].append(
+                    hashlib.sha256(conts[i].encode()).hexdigest()
+                )
+                out["d_dlen"].append(len(d_toks))
+                out["c_dlen"].append(len(c_toks))
+                dd: dict[str, int] = {}
+                for t in d_toks:
+                    if t in self.kw_pos:
+                        dd[t] = dd.get(t, 0) + 1
+                cc: dict[str, int] = {}
+                for t in c_toks:
+                    if t in self.kw_pos:
+                        cc[t] = cc.get(t, 0) + 1
+                for t, j in self.kw_pos.items():
+                    d_tf[j].append(dd.get(t, 0))
+                    c_tf[j].append(cc.get(t, 0))
+        return self._schema_arrays(out, d_tf, c_tf)
+
+
+def _candidate_filter_mask(
+    cand: pa.Table, filters: dict[str, str]
+) -> np.ndarray | None:
+    """Same semantics as searcher._filter_mask, over candidate rows."""
+    if not filters:
+        return None
+    mask = None
+    for fld, val in filters.items():
+        if fld == "lang":
+            m = pc.equal(cand.column("lang"), val)
+        else:
+            m = pc.match_substring(cand.column(fld), val)
+        arr = m.to_numpy(zero_copy_only=False)
+        mask = arr if mask is None else (mask & arr)
+    return mask
+
+
+def hybrid_search_many(
+    reader,
+    queries: dict[str, tuple[str, QueryPlan]],
+    k: int = 10,
+    filters: dict[str, dict[str, str]] | None = None,
+) -> dict[str, pa.Table]:
+    """Answer special-term queries via candidate-prefilter + stat-adjusted
+    index search. ``reader`` is an IndexReader; ``queries`` maps name ->
+    (raw query string, parsed plan). Results are bit-equal to
+    scan.scan_search_many (which remains the fallback)."""
+    import ray.data
+
+    from probe_ray.search.scan import scan_search_many
+    from probe_ray.search.searcher import (
+        _QuerySpec,
+        _empty_result,
+        _finalize,
+        RESULT_COLS,
+    )
+
+    filters = filters or {}
+    results: dict[str, pa.Table] = {}
+
+    # group queries by tokenization context (= their special-term set)
+    ctx_of: dict[frozenset, int] = {}
+    ctx_specs: list[tuple[int, frozenset, list[str]]] = []
+    per_query: list[tuple[str, QueryPlan, int]] = []
+    for name, (_q, plan) in queries.items():
+        sp = plan.special_terms
+        if sp not in ctx_of:
+            ci = len(ctx_of)
+            ctx_of[sp] = ci
+            active = sorted(s for s in sp if _UNIT_RE.match(s))
+            ctx_specs.append((ci, sp, active))
+        per_query.append((name, plan, ctx_of[sp]))
+
+    keywords = sorted({t for _, plan, _ in per_query for t in plan.term_indices})
+    kw_pos = {t: j for j, t in enumerate(keywords)}
+
+    n_docs = reader.n_docs
+    n_tokens = int(reader.manifest.get("n_tokens", 0))
+    df_global = lookup_df(reader.index_dir, keywords)
+
+    need_candidates = any(active for _, _, active in ctx_specs)
+    cand_tbl = None
+    if need_candidates:
+        stage = _CandidateStage(
+            [c for c in ctx_specs if c[2]], keywords
+        )
+        ds = ray.data.read_parquet(
+            reader.manifest["input_files"],
+            columns=["repo", "path", "commit", "lang", "content"],
+        )
+        inter = ds.map_batches(
+            stage, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1024,
+        ).materialize()
+        n_cand = inter.count()
+        if n_cand > max(SCAN_FALLBACK_MIN, SCAN_FALLBACK_FRAC * n_docs):
+            # degenerate special term (matches much of the corpus):
+            # candidate machinery stops being "small" — exhaustive scan
+            # is the better shape. Bounded worst case.
+            return scan_search_many(
+                reader.manifest["input_files"],
+                {name: q for name, (q, _p) in queries.items()},
+                k,
+            )
+        parts = [
+            pa.table(b)
+            for b in inter.iter_batches(batch_format="pyarrow")
+        ]
+        if parts:
+            cand_tbl = pa.concat_tables(parts)
+
+    # per-ctx candidate arrays + stat deltas
+    ctx_data: dict[int, dict] = {}
+    for ci, _sp, active in ctx_specs:
+        if cand_tbl is None or not active:
+            ctx_data[ci] = None
+            continue
+        sub = cand_tbl.filter(pc.equal(cand_tbl.column("ctx"), ci))
+        if sub.num_rows == 0:
+            ctx_data[ci] = None
+            continue
+        d_dlen = sub.column("d_dlen").to_numpy()
+        c_dlen = sub.column("c_dlen").to_numpy()
+        repos = sub.column("repo").to_pylist()
+        paths = sub.column("path").to_pylist()
+        ctx_data[ci] = {
+            "table": sub,
+            "d_dlen": d_dlen,
+            "c_dlen": c_dlen,
+            "d_tf": {
+                t: sub.column(f"d_tf_{j}").to_numpy().astype(np.int64)
+                for t, j in kw_pos.items()
+            },
+            "c_tf": {
+                t: sub.column(f"c_tf_{j}").to_numpy().astype(np.int64)
+                for t, j in kw_pos.items()
+            },
+            "exclude": frozenset(
+                f"{r}\x00{p}" for r, p in zip(repos, paths)
+            ),
+            "sum_delta": int(c_dlen.sum() - d_dlen.sum()),
+            "min_c_dlen": int(c_dlen.min()),
+        }
+
+    # per-query adjusted stats -> index specs
+    specs: list[_QuerySpec] = []
+    q_stats: dict[str, tuple[float, dict[str, float]]] = {}
+    for name, plan, ci in per_query:
+        cd = ctx_data[ci]
+        if cd is None:
+            sum_dlen = n_tokens
+            dfs = {t: df_global.get(t, 0) for t in plan.term_indices}
+            min_dl = reader.min_dlen
+        else:
+            sum_dlen = n_tokens + cd["sum_delta"]
+            dfs = {
+                t: df_global.get(t, 0)
+                - int((cd["d_tf"][t] > 0).sum())
+                + int((cd["c_tf"][t] > 0).sum())
+                for t in plan.term_indices
+            }
+            min_dl = min(reader.min_dlen or cd["min_c_dlen"], cd["min_c_dlen"])
+        avgdl = sum_dlen / n_docs if n_docs else 0.0
+        idfs = {
+            t: idf_fn(n_docs, df) for t, df in dfs.items() if df > 0
+        }
+        q_stats[name] = (avgdl, idfs)
+        specs.append(
+            _QuerySpec(
+                name=name,
+                plan=plan,
+                idfs=idfs,
+                need_fill=is_only_excluded_terms(plan.ast),
+                filters=filters.get(name, {}),
+                avgdl=avgdl,
+                min_dlen=min_dl,
+                exclude_keys=cd["exclude"] if cd else None,
+            )
+        )
+
+    merged = reader._run_specs(specs, k)
+
+    # driver-side exact scoring of the candidates under the query ctx
+    for name, plan, ci in per_query:
+        cd = ctx_data[ci]
+        avgdl, idfs = q_stats[name]
+        rows = merged.filter(pc.equal(merged.column("query"), name))
+        if cd is not None:
+            sub = cd["table"]
+            tfs = {t: cd["c_tf"][t] for t in plan.term_indices}
+            dlen = cd["c_dlen"].astype(np.float64)
+            scores, included = score_ast(plan.ast, tfs, dlen, avgdl, idfs)
+            present = {t: v > 0 for t, v in tfs.items()}
+            gate = eval_mask(plan.ast, present, sub.num_rows)
+            anym = np.zeros(sub.num_rows, dtype=bool)
+            for t in plan.term_indices:
+                anym |= tfs[t] > 0
+            keep = included & gate & (
+                anym | is_only_excluded_terms(plan.ast)
+            )
+            fm = _candidate_filter_mask(sub, filters.get(name, {}))
+            if fm is not None:
+                keep = keep & fm
+            idxs = np.flatnonzero(keep)
+            if len(idxs):
+                take = sub.take(pa.array(idxs))
+                crow = pa.table(
+                    {
+                        "query": pa.array([name] * len(idxs), pa.string()),
+                        "score": pa.array(scores[idxs], type=pa.float64()),
+                        "repo": take.column("repo"),
+                        "path": take.column("path"),
+                        "commit": take.column("commit"),
+                        "lang": take.column("lang"),
+                        "sha256": take.column("sha256"),
+                        "doc_len": pc.cast(take.column("c_dlen"), pa.int32()),
+                    }
+                )
+                rows = pa.concat_tables(
+                    [rows.select(RESULT_COLS), crow.select(RESULT_COLS)]
+                )
+        if rows.num_rows == 0:
+            results[name] = _empty_result()
+            continue
+        idx = pc.sort_indices(
+            rows,
+            sort_keys=[
+                ("score", "descending"),
+                ("repo", "ascending"),
+                ("path", "ascending"),
+            ],
+        )[:k]
+        results[name] = _finalize(rows.take(idx))
+    return results

@@ -3,8 +3,10 @@
 Query flow (SURVEY.md SS4.2 "query job"):
   driver: parse -> QueryPlan(s); queries whose plans register dynamic
   special terms (quoted/excluded keywords — they change *document*
-  tokenization, hazard H2) are answered by the exact distributed scan path
-  (probe_ray.search.scan) instead of the index.
+  tokenization, hazard H2) are answered by the index-assisted hybrid path
+  (probe_ray.search.hybrid: substring-prefiltered candidate re-tokenize +
+  stat-adjusted index query; exhaustive scan fallback for degenerate
+  candidate sets).
 
   index path (stateful actor pool — the "shared index" case where raw Ray
   actors beat a per-query Dataset: segment state persists across queries):
@@ -99,6 +101,13 @@ class _QuerySpec:
     idfs: dict[str, float]
     need_fill: bool
     filters: dict[str, str] = field(default_factory=dict)
+    # Hybrid special-term path (search/hybrid.py): per-query overrides of
+    # the corpus-global stats (the query ctx shifts avgdl/min_dlen), plus
+    # a doc-exclusion set ("repo\x00path") for candidates that the driver
+    # scores exactly under the query's tokenization context.
+    avgdl: float | None = None
+    min_dlen: int | None = None
+    exclude_keys: frozenset[str] | None = None
 
 
 def _intersect_sorted(arrays: list[np.ndarray]) -> np.ndarray:
@@ -110,9 +119,14 @@ def _intersect_sorted(arrays: list[np.ndarray]) -> np.ndarray:
     return out
 
 
-def _filter_mask(stats: pa.Table, filters: dict[str, str]) -> np.ndarray | None:
-    """Boolean mask over the docstats rows for metadata field filters."""
-    if not filters:
+def _filter_mask(
+    stats: pa.Table,
+    filters: dict[str, str],
+    exclude_keys: frozenset[str] | None = None,
+) -> np.ndarray | None:
+    """Boolean mask over the docstats rows for metadata field filters and
+    (hybrid path) the candidate-doc exclusion set."""
+    if not filters and not exclude_keys:
         return None
     mask = None
     for fld, val in filters.items():
@@ -121,6 +135,14 @@ def _filter_mask(stats: pa.Table, filters: dict[str, str]) -> np.ndarray | None:
         else:
             m = pc.match_substring(stats.column(fld), val)
         arr = m.to_numpy(zero_copy_only=False)
+        mask = arr if mask is None else (mask & arr)
+    if exclude_keys:
+        key = pc.binary_join_element_wise(
+            stats.column("repo"), stats.column("path"), "\x00"
+        )
+        arr = pc.invert(
+            pc.is_in(key, value_set=pa.array(sorted(exclude_keys)))
+        ).to_numpy(zero_copy_only=False)
         mask = arr if mask is None else (mask & arr)
     return mask
 
@@ -175,7 +197,9 @@ def score_segment(
 
     for spec in specs:
         plan = spec.plan
-        fmask = _filter_mask(stats, spec.filters)
+        s_avgdl = spec.avgdl if spec.avgdl is not None else avgdl
+        s_min = spec.min_dlen if spec.min_dlen is not None else min_dlen
+        fmask = _filter_mask(stats, spec.filters, spec.exclude_keys)
         q_terms = [t for t in plan.term_indices if t in by_term]
         required_kws: set[str] = set()
         for tnode in walk_terms(plan.ast):
@@ -241,7 +265,7 @@ def score_segment(
             scores, included = gate(
                 tf_arrays,
                 *score_ast(
-                    plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
+                    plan.ast, tf_arrays, doc_len_all[cand], s_avgdl, spec.idfs
                 ),
             )
         else:
@@ -278,7 +302,7 @@ def score_segment(
             scores, included = gate(
                 tf_arrays,
                 *score_ast(
-                    plan.ast, tf_arrays, doc_len_all[cand], avgdl, spec.idfs
+                    plan.ast, tf_arrays, doc_len_all[cand], s_avgdl, spec.idfs
                 ),
             )
             inc = included if fmask is None else (included & fmask[cand.astype(np.int64)])
@@ -290,7 +314,7 @@ def score_segment(
             # Phase B: hot-only candidates via block-max pruning.
             ub_global = {
                 t: spec.idfs.get(t, 0.0)
-                * max_impact(2.0, float(min_dlen or 1), avgdl)
+                * max_impact(2.0, float(s_min or 1), s_avgdl)
                 for t in hot_terms
             }
             extra_parts = []
@@ -303,7 +327,7 @@ def score_segment(
                 ub_blocks = np.array(
                     [
                         spec.idfs.get(t, 0.0)
-                        * max_impact(float(m), float(min_dlen or 1), avgdl)
+                        * max_impact(float(m), float(s_min or 1), s_avgdl)
                         + others
                         for m in maxtf
                     ]
@@ -331,7 +355,7 @@ def score_segment(
                 s2, inc2 = gate(
                     tf2,
                     *score_ast(
-                        plan.ast, tf2, doc_len_all[extra], avgdl, spec.idfs
+                        plan.ast, tf2, doc_len_all[extra], s_avgdl, spec.idfs
                     ),
                 )
                 cand = np.concatenate([cand, extra])
@@ -500,6 +524,16 @@ class IndexReader:
             for i in range(n)
         ]
 
+    def _run_specs(self, specs: list[_QuerySpec], k: int) -> pa.Table:
+        """Run query specs through the persistent actor pool; returns the
+        concatenated per-segment top-k rows (columns RESULT_COLS)."""
+        import ray
+
+        self._ensure_workers()
+        specs_ref = ray.put(specs)
+        futs = [w.search.remote(specs_ref, k) for w in self._workers]
+        return pa.concat_tables(ray.get(futs))
+
     def search_dataset(self, query: str, k: int = 10, **kw):
         """search() returning a ray.data.Dataset — for composing results
         into downstream Dataset pipelines (write_parquet, joins, ...)."""
@@ -530,9 +564,7 @@ class IndexReader:
         filters: dict[str, dict[str, str]] | None = None,
         max_total_tokens: int | None = None,
     ) -> dict[str, pa.Table]:
-        import ray
-
-        from probe_ray.search.scan import scan_search_many
+        from probe_ray.search.hybrid import hybrid_search_many
 
         filters = filters or {}
         for fname, fs in filters.items():
@@ -543,7 +575,7 @@ class IndexReader:
                     f"{fname!r}; valid: repo, path, lang"
                 )
         plans: dict[str, QueryPlan] = {}
-        scan_queries: dict[str, str] = {}
+        special: dict[str, tuple[str, QueryPlan]] = {}
         results: dict[str, pa.Table] = {}
         for name, q in queries.items():
             try:
@@ -554,13 +586,15 @@ class IndexReader:
             if len(plan.term_indices) > MAX_QUERY_TERMS:
                 results[name] = _empty_result()
             elif plan.special_terms:
-                scan_queries[name] = q
+                special[name] = (q, plan)
             else:
                 plans[name] = plan
 
-        if scan_queries:
+        if special:
+            # index-assisted special-term path (falls back to the
+            # exhaustive scan only for degenerate candidate sets)
             results.update(
-                scan_search_many(self.manifest["input_files"], scan_queries, k)
+                hybrid_search_many(self, special, k, filters=filters)
             )
         if not plans:
             return results
@@ -588,10 +622,7 @@ class IndexReader:
                 )
             )
 
-        self._ensure_workers()
-        specs_ref = ray.put(specs)
-        futs = [w.search.remote(specs_ref, k) for w in self._workers]
-        merged = pa.concat_tables(ray.get(futs))
+        merged = self._run_specs(specs, k)
 
         for spec in specs:
             use = merged.filter(pc.equal(merged.column("query"), spec.name))

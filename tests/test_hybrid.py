@@ -1,0 +1,171 @@
+"""Hybrid special-term path vs exhaustive scan path: bit-equal results.
+
+The hybrid path (search/hybrid.py) must return tables identical to
+scan.scan_search_many for every special-term query shape, including the
+edge cases that make naive candidate generation unsound:
+
+  - stem collision WITHOUT substring: "happy" stems to "happi", so a doc
+    containing only "happy" has token "happi" but not the substring —
+    it must be served by the index side (posting tf), not assumed tf=0.
+  - in-document negation: "--whitelist" suppresses the stem from the
+    token list in BOTH tokenization contexts.
+  - camel-part specials: "MyWhitelistThing" fires the special check on a
+    camel part, changing that doc's tokenization.
+  - avgdl/df shift: a special term that keeps a compound word whole
+    changes doc_len for candidate docs, which shifts avgdl/idf for every
+    OTHER doc's score in the same query.
+  - inactive specials: quoted phrases with spaces/underscores can never
+    match an alnum unit; the query runs as a pure index query.
+"""
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+ROWS = [
+    ("r1", "a/happy.py", "py", "the happy developer wrote happy code quickly"),
+    ("r1", "a/wl.py", "py", "whitelist logic for stream processing pipeline"),
+    ("r1", "b/camel.rs", "rs", "MyWhitelistThing handles WhiteList and stream input"),
+    ("r1", "b/flag.rs", "rs", "--whitelist flag enables Whitelist mode for admin"),
+    ("r2", "c/stream.py", "py", "stream stream join merge window batch"),
+    ("r2", "c/many.py", "py", "whitelists are whitelisted everywhere in filter"),
+    ("r2", "d/misc.rs", "rs", "alpha beta gamma delta merge"),
+    ("r2", "d/uscore.rs", "rs", "hash map foo_bar baz stream"),
+]
+
+QUERIES = {
+    "stem_collision": '"happi"',
+    "quoted_hit": '"whitelist"',
+    "quoted_or": '"whitelist" OR stream',
+    "quoted_and": 'stream AND "whitelist"',
+    "excluded": "stream -whitelist",
+    "only_excluded": "-whitelist",
+    "quoted_neg": '"whitelist" -stream',
+    "quoted_case": '"WhiteList"',
+    "quoted_plural": '"whitelists"',
+    "underscore": '"foo_bar"',
+    "phrase_space": '"whitelist stream"',
+    "quoted_merge": '"merge" OR alpha',
+}
+
+
+@pytest.fixture(scope="module")
+def edge_index(ray_session, tmp_path_factory):
+    from probe_ray.index.build import IndexConfig, build_index
+
+    d = tmp_path_factory.mktemp("hybrid_corpus")
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in ROWS]),
+            "path": pa.array([r[1] for r in ROWS]),
+            "commit": pa.array(["c0"] * len(ROWS)),
+            "lang": pa.array([r[2] for r in ROWS]),
+            "content": pa.array([r[3] for r in ROWS]),
+        }
+    )
+    pq.write_table(t.slice(0, 4), str(d / "part0.parquet"), row_group_size=2)
+    pq.write_table(t.slice(4), str(d / "part1.parquet"), row_group_size=2)
+    idx = str(tmp_path_factory.mktemp("hybrid_index"))
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index([str(d)], idx, IndexConfig(num_waves=2, subshards=2))
+    return idx
+
+
+def _as_rows(t: pa.Table):
+    return list(
+        zip(
+            t.column("rank").to_pylist(),
+            t.column("score").to_pylist(),
+            t.column("repo").to_pylist(),
+            t.column("path").to_pylist(),
+            t.column("sha256").to_pylist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("qname", sorted(QUERIES))
+def test_hybrid_equals_scan(qname, edge_index):
+    from probe_ray.search.scan import scan_search_many
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        q = QUERIES[qname]
+        got = rd.search_many({qname: q}, k=10)[qname]
+        want = scan_search_many(
+            rd.manifest["input_files"], {qname: q}, k=10
+        )[qname]
+        assert _as_rows(got) == _as_rows(want), qname
+        # non-vacuity: every shape except the verbatim-unmatchable ones
+        # must return hits on this corpus (quoted_plural: "whitelists"
+        # stems to "whitelist", so the verbatim keyword never matches —
+        # reference stem-divergence semantics; quoted_case: the keyword
+        # keeps its verbatim case while doc tokens are lowercased, so
+        # "WhiteList" matches nothing — scalar oracle agrees)
+        if qname not in (
+            "phrase_space", "underscore", "quoted_case", "quoted_plural"
+        ):
+            assert got.num_rows > 0, qname
+    finally:
+        rd.close()
+
+
+def test_hybrid_batched_queries_equal_scan(edge_index):
+    """All shapes in ONE search_many call (shared candidate pass)."""
+    from probe_ray.search.scan import scan_search_many
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        got = rd.search_many(dict(QUERIES), k=10)
+        want = scan_search_many(
+            rd.manifest["input_files"], dict(QUERIES), k=10
+        )
+        for qname in QUERIES:
+            assert _as_rows(got[qname]) == _as_rows(want[qname]), qname
+    finally:
+        rd.close()
+
+
+def test_scan_fallback_threshold(edge_index, monkeypatch):
+    """Degenerate candidate sets route to the exhaustive scan and still
+    return identical results."""
+    import probe_ray.search.hybrid as H
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        base = rd.search_many({"q": '"whitelist" OR stream'}, k=10)["q"]
+        monkeypatch.setattr(H, "SCAN_FALLBACK_MIN", 0)
+        monkeypatch.setattr(H, "SCAN_FALLBACK_FRAC", 0.0)
+        fb = rd.search_many({"q": '"whitelist" OR stream'}, k=10)["q"]
+        assert _as_rows(base) == _as_rows(fb)
+    finally:
+        rd.close()
+
+
+def test_hybrid_field_filters(edge_index):
+    """Field filters now apply to special-term queries (the old scan path
+    ignored them): lang filter narrows the corpus-wide ranking."""
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        got = rd.search_many(
+            {"q": '"whitelist" OR stream'}, k=10,
+            filters={"q": {"lang": "py"}},
+        )["q"]
+        assert got.num_rows > 0
+        unfiltered = rd.search_many({"q": '"whitelist" OR stream'}, k=10)["q"]
+        assert got.num_rows < unfiltered.num_rows
+        # filtered results are a subsequence of the corpus-wide ranking
+        # (stats stay corpus-global), restricted to lang==py paths
+        want = [
+            r for r in _as_rows(unfiltered) if r[3].endswith(".py")
+        ]
+        assert [r[1:] for r in _as_rows(got)] == [r[1:] for r in want]
+    finally:
+        rd.close()
