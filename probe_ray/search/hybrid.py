@@ -65,11 +65,23 @@ from probe_ray.query.parser import is_only_excluded_terms
 from probe_ray.search.scoring import eval_mask, score_ast
 from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
 
-# Candidate-count ceiling for the hybrid path: above this the per-query
-# exclusion masks and the driver-side exact scoring stop being "small",
-# and the exhaustive scan path is the better shape. Tests monkeypatch.
-SCAN_FALLBACK_MIN = 20_000
+# Candidate-count ceiling for the hybrid path, two independent bounds:
+#   - SCAN_FALLBACK_FRAC of the corpus: the hybrid tokenizes candidates
+#     under BOTH contexts, so past ~25% of the corpus the exhaustive scan
+#     (one tokenize of everything, no candidate bookkeeping) is cheaper.
+#   - SCAN_FALLBACK_ABS: driver-side candidate rows / exclusion masks
+#     stop being "small" past this regardless of corpus size.
+# SCAN_FALLBACK_FLOOR keeps tiny corpora (tests, sf0.001) on the hybrid
+# path where the fraction bound would be meaninglessly small.
+SCAN_FALLBACK_FLOOR = 1_000
+SCAN_FALLBACK_ABS = 200_000
 SCAN_FALLBACK_FRAC = 0.25
+
+
+def _fallback_threshold(n_docs: int) -> float:
+    return max(
+        SCAN_FALLBACK_FLOOR, min(SCAN_FALLBACK_ABS, SCAN_FALLBACK_FRAC * n_docs)
+    )
 
 # A special term can only match a tokenizer unit if it is one alnum run
 # (units are produced by [^\W_]+ — tokenizer.py:_ALNUM_RUNS); terms with
@@ -233,7 +245,7 @@ def hybrid_search_many(
             batch_size=1024,
         ).materialize()
         n_cand = inter.count()
-        if n_cand > max(SCAN_FALLBACK_MIN, SCAN_FALLBACK_FRAC * n_docs):
+        if n_cand > _fallback_threshold(n_docs):
             # degenerate special term (matches much of the corpus):
             # candidate machinery stops being "small" — exhaustive scan
             # is the better shape. Bounded worst case.

@@ -139,7 +139,8 @@ def test_scan_fallback_threshold(edge_index, monkeypatch):
     rd = IndexReader(edge_index)
     try:
         base = rd.search_many({"q": '"whitelist" OR stream'}, k=10)["q"]
-        monkeypatch.setattr(H, "SCAN_FALLBACK_MIN", 0)
+        monkeypatch.setattr(H, "SCAN_FALLBACK_FLOOR", 0)
+        monkeypatch.setattr(H, "SCAN_FALLBACK_ABS", 0)
         monkeypatch.setattr(H, "SCAN_FALLBACK_FRAC", 0.0)
         fb = rd.search_many({"q": '"whitelist" OR stream'}, k=10)["q"]
         assert _as_rows(base) == _as_rows(fb)
