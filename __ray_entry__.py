@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id_ngram": text.lang_id_ngram,
         "text_fingerprint": text.fingerprint,
         "text_curation_pipeline": text.curation_pipeline,
+        "text_train_val_split": text.train_val_split,
+        "text_decontaminate": text.decontaminate,
+        "text_ngram_topk": text.ngram_topk,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,
         "dedup_exact_keep_first": dedup.exact_dedup_keep_first,
@@ -294,6 +297,36 @@ def oracle_sql() -> dict[str, str]:
             f"{_N_TOKENS} AS n_tokens, "
             f"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct({_WS_TOKENS})) END"
             " AS uniq_tokens FROM documents"
+        ),
+        # deterministic content-hash split: membership = md5 prefix,
+        # identical across engines ('e6' => ~10.2% val)
+        "text_train_val_split": (
+            "SELECT doc_id, CASE WHEN substr(md5(text), 1, 2) >= 'e6' "
+            "THEN 'val' ELSE 'train' END AS split FROM documents"
+        ),
+        # benchmark 8-gram decontamination (benchmark = doc_id < 32)
+        "text_decontaminate": (
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "ng AS (SELECT doc_id, unnest(list_transform(range(len(w) - 7), "
+            "i -> array_to_string(list_slice(w, i + 1, i + 8), ' '))) AS g "
+            "FROM tok WHERE len(w) >= 8), "
+            "bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 32), "
+            "contam AS (SELECT DISTINCT ng.doc_id FROM ng "
+            "JOIN bench USING (g) WHERE ng.doc_id >= 32) "
+            "SELECT d.doc_id, CAST(CASE WHEN c.doc_id IS NOT NULL "
+            "THEN 1 ELSE 0 END AS INTEGER) AS contaminated "
+            "FROM documents d LEFT JOIN contam c USING (doc_id) "
+            "WHERE d.doc_id >= 32"
+        ),
+        # corpus-wide bigram top-20 (cnt desc, ngram asc tie-break)
+        "text_ngram_topk": (
+            "WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents), "
+            "ng AS (SELECT unnest(list_transform(range(len(w) - 1), "
+            "i -> array_to_string(list_slice(w, i + 1, i + 2), ' '))) AS ngram "
+            "FROM tok WHERE len(w) >= 2) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM ng "
+            "GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20"
         ),
         "dedup_exact_groups": (
             "SELECT sha256(text) AS sha, min(doc_id) AS keeper_id, "

@@ -27,10 +27,10 @@ _LANG_PROFILES = {
 }
 
 
-def _read_documents(sf_dir: str):
+def _read_documents(sf_dir: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def token_count(sf_dir: str):
@@ -213,6 +213,141 @@ def fingerprint(sf_dir: str):
         )
 
     return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def train_val_split(sf_dir: str, val_threshold: str = "e6"):
+    """Deterministic content-hash train/val split: (doc_id, split).
+
+    Hash-based membership is the standard 100-TB-scale split: it depends
+    only on the content bytes (md5), never on row order, partitioning or
+    rerun timing, so reshards and resumed jobs assign every doc the same
+    way. Docs whose md5(text) hex prefix >= ``val_threshold`` go to
+    'val' ('e6' => 26/256 ~ 10.2%). Pure streaming map_batches, two
+    columns read, no shuffle."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        split = [
+            "val"
+            if hashlib.md5(t.encode("utf-8")).hexdigest()[:2] >= val_threshold
+            else "train"
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def decontaminate(sf_dir: str, bench_max_id: int = 32, n: int = 8):
+    """Benchmark n-gram decontamination: flag corpus docs that share any
+    whitespace word ``n``-gram with the benchmark set (docs with
+    doc_id < ``bench_max_id`` stand in for an eval set). Output
+    (doc_id, contaminated) for every non-benchmark doc.
+
+    Scale shape: the benchmark side is small by definition (eval sets
+    are KBs-MBs; the corpus is the 100-TB side), so its n-gram set is
+    built from one pushdown-filtered read, unioned on the driver, and
+    broadcast ONCE via ray.put; the corpus pass is a streaming
+    map_batches membership check. No shuffle anywhere."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    bench_texts = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["text"], filter=pads.field("doc_id") < bench_max_id)
+        .column("text")
+        .to_pylist()
+    )
+    bench: set[str] = set()
+    for t in bench_texts:
+        w = t.split(" ")
+        for j in range(len(w) - n + 1):
+            bench.add(" ".join(w[j : j + n]))
+    bench_ref = ray.put(bench)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            w = t.split(" ")
+            out.append(
+                1
+                if any(
+                    " ".join(w[j : j + n]) in b
+                    for j in range(len(w) - n + 1)
+                )
+                else 0
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "contaminated": pa.array(out, pa.int32()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") >= bench_max_id,
+    )
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_topk(sf_dir: str, n: int = 2, k: int = 20):
+    """Top-k most frequent whitespace word n-grams corpus-wide:
+    (ngram, cnt), cnt desc then ngram asc.
+
+    Map-side partial aggregation (one Counter per batch -> one row per
+    distinct n-gram per batch) runs BEFORE the single wide
+    groupby(ngram).sum, so the shuffle moves per-batch distinct counts,
+    not the exploded corpus; the final sort+limit runs on the
+    aggregated distinct-ngram table only."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            w = t.split(" ")
+            for j in range(len(w) - n + 1):
+                c[" ".join(w[j : j + n])] += 1
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "ngram": pa.array([x[0] for x in items], pa.string()),
+                "cnt": pa.array([x[1] for x in items], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .sum("cnt")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ngram": batch.column("ngram"),
+                "cnt": batch.column("sum(cnt)"),
+            }
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(k)
+    )
 
 
 def curation_pipeline(

@@ -38,6 +38,9 @@ CASES = [
     "text_lang_id",
     "text_token_count",
     "text_stats",
+    "text_train_val_split",
+    "text_decontaminate",
+    "text_ngram_topk",
     "dedup_exact_groups",
     "dedup_neardup_clusters",
     "embedding_neardup_pairs",
