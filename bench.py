@@ -91,6 +91,14 @@ def _effective_parallelism(num_cpus: int) -> float:
         return time.time() - t0
 
     n = 3_000_000
+    # Warm the worker pool with a full-size concurrent round (untimed):
+    # a cold measurement folds worker-process startup into the wall time
+    # and under-reads badly (~1.3 "effective CPUs" at num_cpus=4 on an
+    # idle host), and short warmup tasks don't help — Ray reuses a few
+    # fast-turnaround workers instead of spawning the whole pool, so the
+    # timed round still pays the startup. Only a round that actually
+    # occupies num_cpus slots at once forces the full pool into being.
+    ray.get([spin.remote(n) for _ in range(num_cpus)])
     t_single = ray.get(spin.remote(n))
     t0 = time.time()
     singles = ray.get([spin.remote(n) for _ in range(num_cpus)])
