@@ -126,14 +126,29 @@ def cmd_search(args) -> int:
         if args.reranker and args.reranker != "bm25":
             from probe_ray.search.rerank import rerank
 
-            t = rerank(t, joined, args.reranker)
+            # reference --question (cli.rs:92): natural-language rerank
+            # context; the BM25 query still drives retrieval
+            t = rerank(t, args.question or joined, args.reranker)
     else:
         t = rd.search_many(
             {"q0": joined}, k=args.k, filters={"q0": filters},
             max_total_tokens=args.max_tokens,
+            exact=args.exact, exclude_filenames=args.exclude_filenames,
         )["q0"]
         if args.corpus:
             t = _attach_code(t, args.corpus)
+    if args.files_only:
+        # reference --files-only (cli.rs:23): unique files, no content
+        seen: set[tuple[str, str]] = set()
+        for r in t.select(["repo", "path"]).to_pylist():
+            key = (r["repo"], r["path"])
+            if key not in seen:
+                seen.add(key)
+                print(f"{r['repo']}/{r['path']}")
+        rd.close()
+        if owns:
+            ray.shutdown()
+        return 0
     if args.out:
         import os
 
@@ -270,6 +285,23 @@ def main(argv: list[str] | None = None) -> int:
         help="block-granularity results (line-ranged context windows); needs --corpus",
     )
     s.add_argument("--exclude-tests", action="store_true")
+    s.add_argument(
+        "-f", "--files-only", action="store_true",
+        help="output unique repo/path lines only (reference --files-only)",
+    )
+    s.add_argument(
+        "-e", "--exact", action="store_true",
+        help="whole query as one exact (untokenized, case-insensitive) term",
+    )
+    s.add_argument(
+        "-n", "--exclude-filenames", action="store_true",
+        help="path tokens contribute neither matches nor scores "
+             "(routes to the exact scan path)",
+    )
+    s.add_argument(
+        "--question", default=None,
+        help="natural-language rerank context (with --reranker, --blocks)",
+    )
     s.add_argument("--dry-run", action="store_true", help="names/lines only")
     s.add_argument(
         "--reranker", default="bm25",

@@ -192,6 +192,8 @@ def hybrid_search_many(
     queries: dict[str, tuple[str, QueryPlan]],
     k: int = 10,
     filters: dict[str, dict[str, str]] | None = None,
+    exact: bool = False,
+    max_total_tokens: int | None = None,
 ) -> dict[str, pa.Table]:
     """Answer special-term queries via candidate-prefilter + stat-adjusted
     index search. ``reader`` is an IndexReader; ``queries`` maps name ->
@@ -253,6 +255,9 @@ def hybrid_search_many(
                 reader.manifest["input_files"],
                 {name: q for name, (q, _p) in queries.items()},
                 k,
+                filters=filters,
+                exact=exact,
+                max_total_tokens=max_total_tokens,
             )
         parts = [
             pa.table(b)
@@ -382,5 +387,12 @@ def hybrid_search_many(
                 ("path", "ascending"),
             ],
         )[:k]
-        results[name] = _finalize(rows.take(idx))
+        top = rows.take(idx)
+        if max_total_tokens is not None:
+            # same K2 budget rule as the index path (searcher.search_many)
+            cum = np.cumsum(top.column("doc_len").to_numpy())
+            top = top.slice(
+                0, int(np.searchsorted(cum, max_total_tokens, "right"))
+            )
+        results[name] = _finalize(top)
     return results

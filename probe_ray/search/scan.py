@@ -30,12 +30,19 @@ import pyarrow.compute as pc
 from probe_ray.query.bm25 import MAX_QUERY_TERMS, QueryPlan, create_query_plan, idf as idf_fn
 from probe_ray.query.parser import is_only_excluded_terms
 from probe_ray.search.scoring import eval_mask, score_ast
-from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
+from probe_ray.tokenize.tokenizer import preprocess_text_with_filename, tokenize
 
 
 class _TfStage:
-    def __init__(self, specs: list[tuple[str, QueryPlan]]):
+    def __init__(
+        self,
+        specs: list[tuple[str, QueryPlan]],
+        include_filenames: bool = True,
+    ):
         self.specs = specs
+        # reference --exclude-filenames (cli.rs:31): filename matching off
+        # => path tokens contribute neither candidates nor TF/doc_len
+        self.include_filenames = include_filenames
         # union of keywords across queries; per-query tokenization contexts
         kws: list[str] = []
         for _, plan in specs:
@@ -65,7 +72,12 @@ class _TfStage:
         tf_cols: list[list[int]] = [[] for _ in range(nk)]
         for ci, (ctx, _) in enumerate(ctxs.items()):
             for i in range(n):
-                toks = preprocess_text_with_filename(contents[i], paths[i], ctx)
+                if self.include_filenames:
+                    toks = preprocess_text_with_filename(
+                        contents[i], paths[i], ctx
+                    )
+                else:
+                    toks = tokenize(contents[i], ctx)
                 tf: dict[str, int] = {}
                 for t in toks:
                     if t in self.kw_pos:
@@ -120,14 +132,21 @@ class _TfStage:
 
 
 def scan_search_many(
-    input_files: list[str], queries: dict[str, str], k: int = 10
+    input_files: list[str],
+    queries: dict[str, str],
+    k: int = 10,
+    filters: dict[str, dict[str, str]] | None = None,
+    exact: bool = False,
+    include_filenames: bool = True,
+    max_total_tokens: int | None = None,
 ) -> dict[str, pa.Table]:
     import ray.data
 
+    filters = filters or {}
     results: dict[str, pa.Table] = {}
     specs: list[tuple[str, QueryPlan]] = []
     for name, q in queries.items():
-        plan = create_query_plan(q)
+        plan = create_query_plan(q, exact)
         if len(plan.term_indices) > MAX_QUERY_TERMS:
             from probe_ray.search.searcher import _empty_result
 
@@ -137,7 +156,7 @@ def scan_search_many(
     if not specs:
         return results
 
-    stage = _TfStage(specs)
+    stage = _TfStage(specs, include_filenames)
     ds = ray.data.read_parquet(
         input_files, columns=["repo", "path", "commit", "lang", "content"]
     )
@@ -183,6 +202,8 @@ def scan_search_many(
         per_query.append((name, plan, ci, avgdl, idfs))
 
     def score_batch(batch: pa.Table) -> pa.Table:
+        from probe_ray.search.searcher import _filter_mask
+
         batch = batch.filter(pc.equal(batch.column("is_stats"), False))
         ctx_arr = batch.column("ctx").to_numpy()
         dlen = batch.column("doc_len").to_numpy().astype(np.float64)
@@ -211,6 +232,11 @@ def scan_search_many(
             keep_mask = included & gate & (
                 anym | is_only_excluded_terms(plan.ast)
             )
+            # metadata field filters select from the corpus-global ranking
+            # (stats stay corpus-global, same as the index path)
+            fm = _filter_mask(batch, filters.get(name) or {})
+            if fm is not None:
+                keep_mask &= fm[m]
             idxs = np.flatnonzero(m)[keep_mask]
             scores = scores[keep_mask]
             if len(idxs) > k:
@@ -267,5 +293,12 @@ def scan_search_many(
                 ("path", "ascending"),
             ],
         )[:k]
-        results[name] = _finalize(use.take(idx))
+        top = use.take(idx)
+        if max_total_tokens is not None:
+            # same K2 budget rule as the index path (searcher.search_many)
+            cum = np.cumsum(top.column("doc_len").to_numpy())
+            top = top.slice(
+                0, int(np.searchsorted(cum, max_total_tokens, "right"))
+            )
+        results[name] = _finalize(top)
     return results

@@ -551,10 +551,13 @@ class IndexReader:
 
     def search(self, query: str, k: int = 10,
                filters: dict[str, str] | None = None,
-               max_total_tokens: int | None = None) -> pa.Table:
+               max_total_tokens: int | None = None,
+               exact: bool = False,
+               exclude_filenames: bool = False) -> pa.Table:
         return self.search_many(
             {"q": query}, k, filters={"q": filters or {}},
             max_total_tokens=max_total_tokens,
+            exact=exact, exclude_filenames=exclude_filenames,
         )["q"]
 
     def search_many(
@@ -563,6 +566,8 @@ class IndexReader:
         k: int = 10,
         filters: dict[str, dict[str, str]] | None = None,
         max_total_tokens: int | None = None,
+        exact: bool = False,
+        exclude_filenames: bool = False,
     ) -> dict[str, pa.Table]:
         from probe_ray.search.hybrid import hybrid_search_many
 
@@ -577,9 +582,10 @@ class IndexReader:
         plans: dict[str, QueryPlan] = {}
         special: dict[str, tuple[str, QueryPlan]] = {}
         results: dict[str, pa.Table] = {}
+        valid: dict[str, str] = {}
         for name, q in queries.items():
             try:
-                plan = create_query_plan(q)
+                plan = create_query_plan(q, exact)
             except Exception:
                 results[name] = _empty_result()
                 continue
@@ -587,14 +593,39 @@ class IndexReader:
                 results[name] = _empty_result()
             elif plan.special_terms:
                 special[name] = (q, plan)
+                valid[name] = q
             else:
                 plans[name] = plan
+                valid[name] = q
+
+        if exclude_filenames:
+            # reference --exclude-filenames (cli.rs:31): path tokens are
+            # folded into the index postings (SURVEY J4 absorption), so
+            # content-only matching cannot be answered from the index —
+            # route every query to the exact scan path with filename
+            # tokenization disabled (rare-flag queries pay corpus cost,
+            # the same H2-style trade as quoted/excluded terms).
+            from probe_ray.search.scan import scan_search_many
+
+            if valid:
+                results.update(
+                    scan_search_many(
+                        self.manifest["input_files"], valid, k,
+                        filters=filters, exact=exact,
+                        include_filenames=False,
+                        max_total_tokens=max_total_tokens,
+                    )
+                )
+            return results
 
         if special:
             # index-assisted special-term path (falls back to the
             # exhaustive scan only for degenerate candidate sets)
             results.update(
-                hybrid_search_many(self, special, k, filters=filters)
+                hybrid_search_many(
+                    self, special, k, filters=filters, exact=exact,
+                    max_total_tokens=max_total_tokens,
+                )
             )
         if not plans:
             return results

@@ -148,6 +148,83 @@ def test_scan_fallback_threshold(edge_index, monkeypatch):
         rd.close()
 
 
+def test_exact_mode_whole_query_term(edge_index):
+    """--exact (cli.rs:43, update_ast_exact query.rs:230-245): the whole
+    query becomes ONE verbatim (case-insensitively lowercased) term."""
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        # exact 'whitelist' == quoted '"whitelist"': same dynamic special
+        # term, same ranking
+        exact = rd.search("whitelist", k=10, exact=True)
+        quoted = rd.search('"whitelist"', k=10)
+        assert exact.num_rows > 0
+        assert _as_rows(exact) == _as_rows(quoted)
+        # divergent-stem exact query: the verbatim keyword
+        # 'MyWhitelistThing' never equals the stemmed whole token
+        # 'mywhitelistth' (reference: verbatim keyword vs stemmed tokens,
+        # special-case fallback checks term.lower() in tokens) -> 0 rows,
+        # while the tokenized query matches
+        assert rd.search("MyWhitelistThing", k=10).num_rows > 0
+        assert rd.search("MyWhitelistThing", k=10, exact=True).num_rows == 0
+        # a multi-word exact term contains a space -> can never match a
+        # tokenizer unit (reference: verbatim keyword vs alnum-run tokens)
+        assert rd.search("whitelist stream", k=10, exact=True).num_rows == 0
+    finally:
+        rd.close()
+
+
+def test_exclude_filenames(edge_index):
+    """--exclude-filenames (cli.rs:31): path tokens contribute neither
+    matches nor scores; routed to the content-only scan path."""
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        # "misc" occurs ONLY in the path d/misc.rs
+        assert rd.search("misc", k=10).num_rows == 1
+        assert rd.search("misc", k=10, exclude_filenames=True).num_rows == 0
+        # content terms still match without filename tokens
+        got = rd.search("alpha", k=10, exclude_filenames=True)
+        assert got.column("path").to_pylist() == ["d/misc.rs"]
+        # special-term queries run the same content-only path
+        sp = rd.search('"whitelist"', k=10, exclude_filenames=True)
+        assert sp.num_rows > 0
+        assert "a/wl.py" in sp.column("path").to_pylist()
+    finally:
+        rd.close()
+
+
+def test_scan_fallback_keeps_filters_and_budget(edge_index, monkeypatch):
+    """The degenerate-candidate fallback must honor field filters and the
+    max_total_tokens budget exactly like the hybrid path."""
+    import probe_ray.search.hybrid as H
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        q = '"whitelist" OR stream'
+        want = rd.search_many(
+            {"q": q}, k=10, filters={"q": {"lang": "py"}}
+        )["q"]
+        assert want.num_rows > 0
+        monkeypatch.setattr(H, "SCAN_FALLBACK_FLOOR", 0)
+        monkeypatch.setattr(H, "SCAN_FALLBACK_ABS", 0)
+        monkeypatch.setattr(H, "SCAN_FALLBACK_FRAC", 0.0)
+        got = rd.search_many(
+            {"q": q}, k=10, filters={"q": {"lang": "py"}}
+        )["q"]
+        assert _as_rows(got) == _as_rows(want)
+        # budget of 1 token: the first result alone exceeds it
+        tiny = rd.search(q, k=10, max_total_tokens=1)
+        assert tiny.num_rows == 0
+        big = rd.search(q, k=10, max_total_tokens=10**9)
+        assert _as_rows(big) == _as_rows(rd.search(q, k=10))
+    finally:
+        rd.close()
+
+
 def test_hybrid_field_filters(edge_index):
     """Field filters now apply to special-term queries (the old scan path
     ignored them): lang filter narrows the corpus-wide ranking."""

@@ -80,6 +80,22 @@ def test_cli_search_json(built_index, capsys, ray_session):
     assert set(rec["results"][0]) >= {"file", "node_type", "score", "code"}
 
 
+def test_cli_files_only(built_index, capsys, ray_session):
+    """--files-only (reference cli.rs:23): unique repo/path lines, no
+    content, no formatter output."""
+    from probe_ray.cli import main
+
+    rc = main(
+        ["search", "--index", built_index[0], "error handler", "-k", "5",
+         "--files-only"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 5
+    assert len(lines) == len(set(lines))
+    assert all("/" in ln and " " not in ln for ln in lines)
+
+
 def test_cli_bad_filter(built_index, capsys, ray_session):
     from probe_ray.cli import main
 
