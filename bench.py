@@ -252,6 +252,9 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("minhash_pairs", lambda: dedup.minhash_lsh_pairs(SF_DIR).count()),
             ("minhash_verified", lambda: dedup.minhash_verified_pairs(SF_DIR).count()),
             ("simhash", lambda: dedup.simhash(SF_DIR).count()),
+            ("train_val_split", lambda: text.train_val_split(SF_DIR).count()),
+            ("decontaminate", lambda: text.decontaminate(SF_DIR).count()),
+            ("ngram_topk", lambda: text.ngram_topk(SF_DIR).count()),
             ("neardup_clusters", lambda: dedup.neardup_clusters(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
             ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),

@@ -63,19 +63,23 @@ from probe_ray.index.build import lookup_df
 from probe_ray.query.bm25 import QueryPlan, idf as idf_fn
 from probe_ray.query.parser import is_only_excluded_terms
 from probe_ray.search.scoring import eval_mask, score_ast
+from probe_ray.tokenize.tables import SPECIAL_CASE_WORDS
 from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
 
 # Candidate-count ceiling for the hybrid path, two independent bounds:
 #   - SCAN_FALLBACK_FRAC of the corpus: the hybrid tokenizes candidates
-#     under BOTH contexts, so past ~25% of the corpus the exhaustive scan
-#     (one tokenize of everything, no candidate bookkeeping) is cheaper.
+#     under both contexts, but the scan tokenizes the WHOLE corpus and
+#     materializes a full per-(doc,ctx) intermediate — measured at sf0.1
+#     the hybrid is ~5x faster even with large candidate sets, so only a
+#     near-degenerate special term (most of the corpus matches) makes
+#     the scan's flat cost the better shape.
 #   - SCAN_FALLBACK_ABS: driver-side candidate rows / exclusion masks
 #     stop being "small" past this regardless of corpus size.
 # SCAN_FALLBACK_FLOOR keeps tiny corpora (tests, sf0.001) on the hybrid
 # path where the fraction bound would be meaninglessly small.
 SCAN_FALLBACK_FLOOR = 1_000
 SCAN_FALLBACK_ABS = 200_000
-SCAN_FALLBACK_FRAC = 0.25
+SCAN_FALLBACK_FRAC = 0.75
 
 
 def _fallback_threshold(n_docs: int) -> float:
@@ -221,7 +225,17 @@ def hybrid_search_many(
         if sp not in ctx_of:
             ci = len(ctx_of)
             ctx_of[sp] = ci
-            active = sorted(s for s in sp if _UNIT_RE.match(s))
+            # inactive specials need no candidates: non-unit terms
+            # (spaces/punct) can never match an alnum run, and STATIC
+            # special-case words (tokenization.rs:1105-1146) are already
+            # in every tokenizer table — adding them to the dynamic set
+            # changes no document's tokenization, so the index is exact
+            # for them (their verbatim keyword == the indexed token).
+            active = sorted(
+                s
+                for s in sp
+                if _UNIT_RE.match(s) and s not in SPECIAL_CASE_WORDS
+            )
             ctx_specs.append((ci, sp, active))
         per_query.append((name, plan, ctx_of[sp]))
 
