@@ -63,8 +63,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
+from probe_ray.tokenize.tokenizer import _ALNUM_RUNS, preprocess_text_with_filename
 from .codec import block_meta_multi, encode_varint_deltas_multi, pack_tf
+
+# Terms prefixed with this byte in the partial-run stream are UNIT
+# postings: verbatim lowercased maximal-alnum-run vocabulary used by the
+# hybrid special-term path for index-served candidate generation (a
+# dynamic special term can only change a document's tokenization if it
+# is a case-insensitive substring of one of the document's alnum units —
+# search/hybrid.py). Real tokens are alnum and can never start with it,
+# so the prefix is collision-free and unit rows sort first.
+UNIT_PREFIX = "\x00"
 
 # Parquet row-group size for postings files: small groups => the query
 # stage's term-filtered reads prune to a few row groups per term.
@@ -98,6 +107,13 @@ class IndexConfig:
     read_blocks: int | None = None
     # Mirrors the reference's 1 MB file cap (search_runner.rs:1774) when set.
     max_content_bytes: int | None = None
+    # Store per-doc distinct lowercased alnum-unit postings (units/ files,
+    # separate from term postings) so quoted/excluded special-term queries
+    # generate candidates from the index instead of a corpus substring
+    # scan (search/hybrid.py). Costs extra build shuffle bytes + storage;
+    # turning it off keeps old behavior (hybrid falls back to the scan
+    # prefilter).
+    unit_postings: bool = True
 
 
 def doc_hash64(repo: str, path: str) -> int:
@@ -160,6 +176,23 @@ class TokenizePartial:
                     runs[(s, t)] = run
                 run[0].append(dh)
                 run[1].append(f)
+            if cfg.unit_postings:
+                # distinct lowercased alnum units of RAW content + path —
+                # raw (pre-cap), because the hybrid path's candidate mask
+                # substring-matches the raw corpus text; per-codepoint
+                # str.lower() means lower(part of unit) is a substring of
+                # lower(unit), so these postings over-approximate every
+                # doc a special term can re-tokenize (hybrid.py module doc)
+                units = {u.lower() for u in _ALNUM_RUNS.findall(contents[i])}
+                units.update(u.lower() for u in _ALNUM_RUNS.findall(paths[i]))
+                for u in units:
+                    key = (s, UNIT_PREFIX + u)
+                    run = runs.get(key)
+                    if run is None:
+                        run = ([], [])
+                        runs[key] = run
+                    run[0].append(dh)
+                    run[1].append(1)
         for i in range(n):
             shas.append(hashlib.sha256(contents[i].encode()).hexdigest())
 
@@ -234,6 +267,12 @@ def _postings_path(out_dir: str, wave: int, subshard: int) -> str:
     )
 
 
+def _units_path(out_dir: str, wave: int, subshard: int) -> str:
+    return os.path.join(
+        out_dir, "waves", f"w{wave:04d}", "units", f"sub-{subshard:04d}.parquet"
+    )
+
+
 def _load_docmap(out_dir: str, wave: int, subshard: int) -> np.ndarray:
     key = (out_dir, wave, subshard)
     hit = _DOCMAP_CACHE.get(key)
@@ -251,6 +290,50 @@ def _write_atomic(table: pa.Table, path: str, row_group_size: int | None = None)
     tmp = path + ".tmp"
     pq.write_table(table, tmp, row_group_size=row_group_size)
     os.replace(tmp, path)
+
+
+def _merge_runs(
+    parts: pa.Table, terms: list[str], docmap: np.ndarray
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Ordered merge of term-sorted partial runs: returns (uniq_terms,
+    term_lens, term_starts, local_ids_sorted, tfs_sorted) with postings
+    grouped by term and sorted by dense local id within each term."""
+    ns = parts.column("n").to_numpy()
+    ids_col = parts.column("ids").to_pylist()
+    tfs_col = parts.column("tfs").to_pylist()
+
+    # unique terms + per-row term ids (rows are term-sorted)
+    uniq_terms: list[str] = []
+    row_tid = np.empty(len(terms), dtype=np.int64)
+    for r, t in enumerate(terms):
+        if not uniq_terms or t != uniq_terms[-1]:
+            uniq_terms.append(t)
+        row_tid[r] = len(uniq_terms) - 1
+    nt = len(uniq_terms)
+
+    exploded_ids = np.frombuffer(b"".join(ids_col), dtype=np.uint64)
+    exploded_tfs = np.frombuffer(b"".join(tfs_col), dtype=np.uint8)
+    val_tid = np.repeat(row_tid, ns)
+    # doc_hash -> dense local id FIRST (docmap sorted => monotone map, so
+    # (tid, local) order == (tid, hash) order), then pack both into one
+    # int64 key: a single argsort halves the memory traffic of a two-pass
+    # lexsort — finalize tasks are memory-bandwidth-bound when all CPUs
+    # run one.
+    local_all = np.searchsorted(
+        docmap, exploded_ids.astype(np.int64)
+    ).astype(np.uint64)
+    shift = max(1, len(docmap)).bit_length()
+    if nt <= 1 or (nt - 1).bit_length() + shift <= 63:
+        key = (val_tid.astype(np.uint64) << np.uint64(shift)) | local_all
+        order2 = np.argsort(key)  # (tid, local) pairs are unique
+    else:  # astronomically wide subshard: fall back to two-key sort
+        order2 = np.lexsort((local_all, val_tid))
+    local = local_all[order2]
+    sorted_tfs = exploded_tfs[order2]
+    term_lens = np.bincount(val_tid, minlength=nt).astype(np.int64)
+    term_starts = np.zeros(nt, dtype=np.int64)
+    np.cumsum(term_lens[:-1], out=term_starts[1:])
+    return uniq_terms, term_lens, term_starts, local, sorted_tfs
 
 
 def finalize_subshard(
@@ -290,42 +373,36 @@ def finalize_subshard(
     # loops here were the build's hot spot (one numpy-call set per term).
     t_order = pc.sort_indices(parts, sort_keys=[("term", "ascending")])
     parts = parts.take(t_order)
-    terms = parts.column("term").to_pylist()
-    ns = parts.column("n").to_numpy()
-    ids_col = parts.column("ids").to_pylist()
-    tfs_col = parts.column("tfs").to_pylist()
+    all_terms = parts.column("term").to_pylist()
+    # unit rows (UNIT_PREFIX-keyed) sort before every real (alnum) term
+    import bisect
 
-    # unique terms + per-row term ids (rows are term-sorted)
-    uniq_terms: list[str] = []
-    row_tid = np.empty(len(terms), dtype=np.int64)
-    for r, t in enumerate(terms):
-        if not uniq_terms or t != uniq_terms[-1]:
-            uniq_terms.append(t)
-        row_tid[r] = len(uniq_terms) - 1
+    split = bisect.bisect_left(all_terms, "\x01")
+    if split:
+        u_terms, u_lens, _, u_local, _ = _merge_runs(
+            parts.slice(0, split), all_terms[:split], docmap
+        )
+        unit_tbl = pa.table(
+            {
+                "term": pa.array(
+                    [t[len(UNIT_PREFIX):] for t in u_terms], pa.string()
+                ),
+                "df": pa.array(u_lens),
+                "payload": pa.array(
+                    encode_varint_deltas_multi(u_local, u_lens), pa.binary()
+                ),
+            }
+        )
+        _write_atomic(
+            unit_tbl, _units_path(out_dir, wave, sub), POSTINGS_ROW_GROUP
+        )
+        parts = parts.slice(split)
+        all_terms = all_terms[split:]
+
+    uniq_terms, term_lens, term_starts, local, sorted_tfs = _merge_runs(
+        parts, all_terms, docmap
+    )
     nt = len(uniq_terms)
-
-    exploded_ids = np.frombuffer(b"".join(ids_col), dtype=np.uint64)
-    exploded_tfs = np.frombuffer(b"".join(tfs_col), dtype=np.uint8)
-    val_tid = np.repeat(row_tid, ns)
-    # doc_hash -> dense local id FIRST (docmap sorted => monotone map, so
-    # (tid, local) order == (tid, hash) order), then pack both into one
-    # int64 key: a single argsort halves the memory traffic of a two-pass
-    # lexsort — finalize tasks are memory-bandwidth-bound when all CPUs
-    # run one.
-    local_all = np.searchsorted(
-        docmap, exploded_ids.astype(np.int64)
-    ).astype(np.uint64)
-    shift = max(1, len(docmap)).bit_length()
-    if nt <= 1 or (nt - 1).bit_length() + shift <= 63:
-        key = (val_tid.astype(np.uint64) << np.uint64(shift)) | local_all
-        order2 = np.argsort(key)  # (tid, local) pairs are unique
-    else:  # astronomically wide subshard: fall back to two-key sort
-        order2 = np.lexsort((local_all, val_tid))
-    local = local_all[order2]
-    sorted_tfs = exploded_tfs[order2]
-    term_lens = np.bincount(val_tid, minlength=nt).astype(np.int64)
-    term_starts = np.zeros(nt, dtype=np.int64)
-    np.cumsum(term_lens[:-1], out=term_starts[1:])
     payloads = encode_varint_deltas_multi(local, term_lens)
     blasts, bmaxtfs = block_meta_multi(local, sorted_tfs, term_lens)
     maxtf_per_term = (

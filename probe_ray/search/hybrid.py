@@ -14,14 +14,22 @@ where a whole alphanumeric unit (raw token, camel part, or split
 remainder — tokenizer.py:110,117,226) lowercases to it, and every such
 unit is a contiguous substring of content or path. Hence
 ``match_substring(content|path, term, ignore_case=True)`` is a *sound*
-over-approximation, computed in one streaming vectorized pass — no
-Python tokenization for non-matching rows. (Postings-based discovery
-would NOT be sound: stem collisions — "whitelists" stems to
-"whitelist" — put the keyword's token into docs that never contain the
-special unit, and in-document negation tokens like "--flag" can
-suppress the marker stems entirely.) Only these candidates are
-re-tokenized (default ctx + query ctx) for exact tf/doc_len both ways,
-and they are scored exactly on the driver (the set is small).
+over-approximation. (TERM-postings-based discovery would NOT be sound:
+stem collisions — "whitelists" stems to "whitelist" — put the
+keyword's token into docs that never contain the special unit, and
+in-document negation tokens like "--flag" can suppress the marker
+stems entirely.) Candidates are discovered from the index's UNIT
+postings when present (index/build.py UNIT_PREFIX: per-doc distinct
+lowercased alnum runs; "term substring of text" == "term substring of
+some unit" because an alnum-only term cannot cross a run boundary, and
+per-codepoint str.lower() preserves substring containment) — one
+substring pass over each segment's unit vocabulary inside the
+persistent actor pool, O(vocabulary + candidates) per query instead of
+O(corpus). Pre-units indexes fall back to the original one-pass
+streaming substring scan of the corpus. Only the candidates are then
+read back (path-IN parquet predicate) and re-tokenized (default ctx +
+query ctx) for exact tf/doc_len both ways, and they are scored exactly
+on the driver (the set is small).
 
 UNAFFECTED docs — tokenization identical to default, so the quoted /
 excluded keyword behaves there as an ordinary index term (its tf is
@@ -246,39 +254,80 @@ def hybrid_search_many(
     n_tokens = int(reader.manifest.get("n_tokens", 0))
     df_global = lookup_df(reader.index_dir, keywords)
 
-    need_candidates = any(active for _, _, active in ctx_specs)
-    cand_tbl = None
-    if need_candidates:
-        stage = _CandidateStage(
-            [c for c in ctx_specs if c[2]], keywords
-        )
-        ds = ray.data.read_parquet(
+    def _scan_fallback():
+        # degenerate special term (matches much of the corpus):
+        # candidate machinery stops being "small" — exhaustive scan
+        # is the better shape. Bounded worst case.
+        return scan_search_many(
             reader.manifest["input_files"],
-            columns=["repo", "path", "commit", "lang", "content"],
+            {name: q for name, (q, _p) in queries.items()},
+            k,
+            filters=filters,
+            exact=exact,
+            max_total_tokens=max_total_tokens,
         )
-        inter = ds.map_batches(
-            stage, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=1024,
-        ).materialize()
-        n_cand = inter.count()
-        if n_cand > _fallback_threshold(n_docs):
-            # degenerate special term (matches much of the corpus):
-            # candidate machinery stops being "small" — exhaustive scan
-            # is the better shape. Bounded worst case.
-            return scan_search_many(
-                reader.manifest["input_files"],
-                {name: q for name, (q, _p) in queries.items()},
-                k,
-                filters=filters,
-                exact=exact,
-                max_total_tokens=max_total_tokens,
+
+    active_ctxs = [c for c in ctx_specs if c[2]]
+    cand_tbl = None
+    if active_ctxs:
+        stage = _CandidateStage(active_ctxs, keywords)
+        read_cols = ["repo", "path", "commit", "lang", "content"]
+        ds = None
+        cand_bs = 1024
+        if reader.has_units:
+            # Index-served candidate discovery: one substring pass over
+            # each segment's unit VOCABULARY + pruned payload reads,
+            # inside the persistent actor pool — per-query cost is
+            # O(unit vocabulary + candidates), not O(corpus). The corpus
+            # is then read with a path-IN predicate pushed to parquet
+            # (only candidate rows decode their content column), and
+            # _CandidateStage's exact per-ctx mask refines the path-level
+            # over-selection, so results stay bit-equal to the scan.
+            actives_union = sorted({s for _, _, act in ctx_specs for s in act})
+            keys = reader.special_candidate_keys(actives_union)
+            # upper bound on candidate (doc, ctx) rows, known BEFORE any
+            # corpus read — the fallback decision is now free
+            if keys.num_rows * len(active_ctxs) > _fallback_threshold(n_docs):
+                return _scan_fallback()
+            if keys.num_rows:
+                import pyarrow.dataset as pads
+
+                ds = ray.data.read_parquet(
+                    reader.manifest["input_files"],
+                    columns=read_cols,
+                    filter=pads.field("path").isin(
+                        pc.unique(keys.column("path"))
+                    ),
+                )
+                # every filtered row is a candidate (the stage tokenizes
+                # all of them) — size batches so the work spreads across
+                # the cluster instead of a few 1024-row tasks
+                import ray as _ray
+
+                cpus = int(_ray.cluster_resources().get("CPU", 8))
+                cand_bs = max(
+                    32, min(1024, -(-keys.num_rows // (2 * cpus)))
+                )
+        else:
+            # pre-units index: streaming substring prefilter over the
+            # whole corpus (one vectorized C++ pass, no tokenization for
+            # non-matching rows)
+            ds = ray.data.read_parquet(
+                reader.manifest["input_files"], columns=read_cols
             )
-        parts = [
-            pa.table(b)
-            for b in inter.iter_batches(batch_format="pyarrow")
-        ]
-        if parts:
-            cand_tbl = pa.concat_tables(parts)
+        if ds is not None:
+            inter = ds.map_batches(
+                stage, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cand_bs,
+            ).materialize()
+            if inter.count() > _fallback_threshold(n_docs):
+                return _scan_fallback()
+            parts = [
+                pa.table(b)
+                for b in inter.iter_batches(batch_format="pyarrow")
+            ]
+            if parts:
+                cand_tbl = pa.concat_tables(parts)
 
     # per-ctx candidate arrays + stat deltas
     ctx_data: dict[int, dict] = {}

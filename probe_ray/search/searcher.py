@@ -61,6 +61,7 @@ import pyarrow.parquet as pq
 from probe_ray.index.build import (
     _docstats_path,
     _postings_path,
+    _units_path,
     lookup_df,
 )
 from probe_ray.index.codec import (
@@ -438,6 +439,8 @@ class SegmentWorker:
         # (negative entries stop re-reads for terms a segment lacks; the
         # index is immutable so entries never invalidate)
         self._cache: dict[tuple[int, int, str], dict | None] = {}
+        # unit vocabulary per segment, loaded lazily on first special query
+        self._unit_vocab_cache: dict[tuple[int, int], pa.Array] = {}
         # warm the docstats cache up front (actor init = once)
         for w, s in parts:
             _load_docstats(index_dir, w, s)
@@ -459,6 +462,61 @@ class SegmentWorker:
         if not rows:
             return _empty_postings()
         return pa.Table.from_pylist(rows, schema=_empty_postings().schema)
+
+    def unit_candidates(self, terms: list[str]) -> pa.Table:
+        """Distinct (repo, path) rows of this worker's segments whose
+        content or path contains any of ``terms`` (lowercased alnum-only
+        special terms) as a case-insensitive substring — answered from
+        the build's unit-postings files (index/build.py UNIT_PREFIX), no
+        corpus read. Per segment: one substring pass over the cached unit
+        vocabulary, then a term-pruned parquet read of just the matching
+        units' payloads."""
+        out_repo: list[str] = []
+        out_path: list[str] = []
+        for w, s in self.parts:
+            vocab = self._unit_vocab(w, s)
+            mask = None
+            for t in terms:
+                m = pc.match_substring(vocab, t)
+                mask = m if mask is None else pc.or_(mask, m)
+            if mask is None:
+                continue
+            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            if not len(idxs):
+                continue
+            matched = vocab.take(pa.array(idxs)).to_pylist()
+            got = pq.read_table(
+                _units_path(self.index_dir, w, s),
+                filters=[("term", "in", matched)],
+            )
+            dfs = got.column("df").to_numpy()
+            locals_: list[np.ndarray] = [
+                decode_varint_deltas(p, int(n))
+                for p, n in zip(got.column("payload").to_pylist(), dfs)
+            ]
+            if not locals_:
+                continue
+            ids = np.unique(np.concatenate(locals_))
+            stats = _load_docstats(self.index_dir, w, s)
+            take = stats.take(pa.array(ids.astype(np.int64)))
+            out_repo.extend(take.column("repo").to_pylist())
+            out_path.extend(take.column("path").to_pylist())
+        return pa.table(
+            {
+                "repo": pa.array(out_repo, pa.string()),
+                "path": pa.array(out_path, pa.string()),
+            }
+        )
+
+    def _unit_vocab(self, w: int, s: int):
+        key = (w, s)
+        vocab = self._unit_vocab_cache.get(key)
+        if vocab is None:
+            vocab = pq.read_table(
+                _units_path(self.index_dir, w, s), columns=["term"]
+            ).column("term").combine_chunks()
+            self._unit_vocab_cache[key] = vocab
+        return vocab
 
     def search(self, specs: list[_QuerySpec], k: int) -> pa.Table:
         all_terms = sorted({t for sp in specs for t in sp.plan.term_indices})
@@ -493,6 +551,31 @@ class IndexReader:
         self.min_dlen = self.manifest.get("min_dlen", 1)
         self._num_workers = num_workers
         self._workers: list | None = None
+        self._has_units: bool | None = None
+
+    @property
+    def has_units(self) -> bool:
+        """True iff EVERY segment has a unit-postings file (builds with
+        IndexConfig.unit_postings; an incremental append onto a pre-units
+        index leaves old waves without them — then the hybrid path must
+        keep using the corpus substring scan for candidates)."""
+        if self._has_units is None:
+            cfg = self.manifest.get("config") or {}
+            self._has_units = bool(cfg.get("unit_postings")) and all(
+                os.path.exists(_units_path(self.index_dir, w, s))
+                for w, s in self._parts()
+            )
+        return self._has_units
+
+    def special_candidate_keys(self, terms: list[str]) -> pa.Table:
+        """Distinct (repo, path) docs whose content/path contains any of
+        the given lowercased special terms — from the unit postings via
+        the persistent actor pool (requires ``has_units``)."""
+        import ray
+
+        self._ensure_workers()
+        futs = [w.unit_candidates.remote(terms) for w in self._workers]
+        return pa.concat_tables(ray.get(futs))
 
     def _parts(self) -> list[tuple[int, int]]:
         parts = []

@@ -225,6 +225,72 @@ def test_scan_fallback_keeps_filters_and_budget(edge_index, monkeypatch):
         rd.close()
 
 
+def test_unit_candidates_equal_substring_scan(edge_index):
+    """The unit-postings candidate set must equal the corpus substring
+    mask exactly (a special term is alnum-only, so every occurrence lies
+    inside a maximal alnum run => unit containment == text containment)."""
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        assert rd.has_units
+        for term in ("whitelist", "stream", "happi", "ream", "wl", "zzz"):
+            got = sorted(
+                zip(*[
+                    rd.special_candidate_keys([term]).column(c).to_pylist()
+                    for c in ("repo", "path")
+                ])
+            )
+            want = sorted(
+                (r, p)
+                for r, p, _l, c in ROWS
+                if term in c.lower() or term in p.lower()
+            )
+            assert got == want, term
+    finally:
+        rd.close()
+
+
+def test_no_units_index_back_compat(ray_session, tmp_path_factory):
+    """unit_postings=False: has_units is off, the hybrid path uses the
+    streaming substring prefilter, and results stay bit-equal to scan."""
+    import shutil as _sh
+
+    from probe_ray.index.build import IndexConfig, build_index
+    from probe_ray.search.scan import scan_search_many
+    from probe_ray.search.searcher import IndexReader
+
+    d = tmp_path_factory.mktemp("nounits_corpus")
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in ROWS]),
+            "path": pa.array([r[1] for r in ROWS]),
+            "commit": pa.array(["c0"] * len(ROWS)),
+            "lang": pa.array([r[2] for r in ROWS]),
+            "content": pa.array([r[3] for r in ROWS]),
+        }
+    )
+    pq.write_table(t, str(d / "part0.parquet"), row_group_size=4)
+    idx = str(tmp_path_factory.mktemp("nounits_index"))
+    _sh.rmtree(idx, ignore_errors=True)
+    build_index(
+        [str(d)], idx,
+        IndexConfig(num_waves=1, subshards=2, unit_postings=False),
+    )
+    rd = IndexReader(idx)
+    try:
+        assert not rd.has_units
+        for qname in ("quoted_hit", "quoted_and", "excluded", "stem_collision"):
+            q = QUERIES[qname]
+            got = rd.search_many({qname: q}, k=10)[qname]
+            want = scan_search_many(
+                rd.manifest["input_files"], {qname: q}, k=10
+            )[qname]
+            assert _as_rows(got) == _as_rows(want), qname
+    finally:
+        rd.close()
+
+
 def test_hybrid_field_filters(edge_index):
     """Field filters now apply to special-term queries (the old scan path
     ignored them): lang filter narrows the corpus-wide ranking."""
