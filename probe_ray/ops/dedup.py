@@ -19,10 +19,13 @@ import pyarrow as pa
 _WS = re.compile(r"\s+")
 
 
-def _read_documents(sf_dir: str):
+def _read_documents(sf_dir: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # every dedup op consumes only (doc_id, text) — prune at the read
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
+    )
 
 
 def _sha256_batch(batch: pa.Table) -> pa.Table:
@@ -547,34 +550,109 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 12):
     return agg.map_batches(rename, batch_format="pyarrow").sort(["a_id", "b_id"])
 
 
+# Edge-count crossover for connected components: below this the whole
+# edge set is collected and solved with driver union-find (one pass, no
+# per-iteration shuffle barriers); above it the distributed min-label
+# propagation runs. Same crossover idiom as the dictionary build
+# (index/build.py DICT_DRIVER_MAX_ROWS) — the expensive, corpus-sized
+# stage (pair generation) is always distributed; only the graph solve
+# switches representation by size.
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
+def _driver_union_find(
+    ids: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> pa.Table:
+    """Exact min-reachable-label components on the driver. Union-by-min
+    keeps every root the minimum of its component, so find(x) after all
+    unions IS the cluster label the label-propagation path converges to."""
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x in parent and y in parent:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+    ids_sorted = np.sort(ids).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_sorted),
+            "cluster_id": pa.array(
+                [find(int(i)) for i in ids_sorted], pa.int64()
+            ),
+        }
+    )
+
+
 def neardup_clusters(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     """Near-duplicate CLUSTERS: connected components over the n-gram
-    Jaccard similarity graph (edges = ngram_jaccard_pairs), computed by
-    distributed min-label propagation. Returns (doc_id, cluster_id)
-    for every doc_id < max_doc_id, cluster_id = min doc_id reachable.
+    Jaccard similarity graph (edges = ngram_jaccard_pairs). Returns
+    (doc_id, cluster_id) for every doc_id < max_doc_id, cluster_id =
+    min doc_id reachable.
 
-    Each iteration is two bounded-partition shuffles (the union+groupby
-    repartition-join shape used across this module):
+    The pair-generation stage is always distributed. The graph solve is
+    size-aware: an edge set under DRIVER_CC_MAX_EDGES (the common case —
+    near-dup graphs are sparse) is solved with one-pass driver
+    union-find; larger graphs run distributed min-label propagation
+    where each iteration is two bounded-partition shuffles (the
+    union+groupby repartition-join shape used across this module):
       1. edge messages: edges meet labels on src % P -> (dst, src_label)
       2. label update: messages meet labels on node % P -> new label =
          min(old, incoming), plus a changed flag
     Convergence (no label changed) is checked with a tiny aggregate per
     iteration; iterations are bounded by the graph diameter, and every
-    shuffle ships only (node, label) pairs — never document content."""
+    shuffle ships only (node, label) pairs — never document content.
+    Both paths produce identical tables (tests/test_ops_oracle.py)."""
     import ray.data
 
-    edges_t = ngram_jaccard_pairs(sf_dir, max_doc_id, min_inter)
-    if not isinstance(edges_t, pa.Table):
-        edges_t = pa.concat_tables(
-            [pa.table(b) for b in edges_t.iter_batches(batch_format="pyarrow")]
+    edges_src = ngram_jaccard_pairs(sf_dir, max_doc_id, min_inter)
+    if not isinstance(edges_src, pa.Table):
+        edges_src = edges_src.materialize()
+        n_edges = edges_src.count()
+    else:
+        n_edges = edges_src.num_rows
+
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        if not isinstance(edges_src, pa.Table):
+            edges_src = pa.concat_tables(
+                [
+                    pa.table(bt)
+                    for bt in edges_src.iter_batches(batch_format="pyarrow")
+                ]
+            )
+        uni = pa.concat_tables(
+            [
+                pa.table(bt)
+                for bt in _read_documents(sf_dir, ["doc_id"])
+                .filter(expr=f"doc_id < {max_doc_id}")
+                .iter_batches(batch_format="pyarrow")
+            ]
         )
-    a = edges_t.column("a_id").to_numpy()
-    b = edges_t.column("b_id").to_numpy()
-    # both directions; tiny per-row payload
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    edges = ray.data.from_arrow(
-        pa.table(
+        ids = np.unique(uni.column("doc_id").to_numpy())
+        return ray.data.from_arrow(
+            _driver_union_find(
+                ids,
+                edges_src.column("a_id").to_numpy(),
+                edges_src.column("b_id").to_numpy(),
+            )
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        # both directions; tiny per-row payload
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
             {
                 "part": pa.array(src % LSH_PARTITIONS),
                 "src": pa.array(src, pa.int64()),
@@ -583,6 +661,11 @@ def neardup_clusters(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
                 "is_label": pa.array(np.zeros(len(src), dtype=np.int64)),
             }
         )
+
+    if isinstance(edges_src, pa.Table):
+        edges_src = ray.data.from_arrow(edges_src)
+    edges = edges_src.map_batches(
+        edge_rows, batch_format="pyarrow"
     ).materialize()
 
     def init_labels(batch: pa.Table) -> pa.Table:

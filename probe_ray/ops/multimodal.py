@@ -34,9 +34,9 @@ def encode_payloads(sf_dir: str):
             }
         )
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
-        fn, batch_format="pyarrow", batch_size=64
-    )
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fn, batch_format="pyarrow", batch_size=64)
 
 
 def decode_image(payload: bytes) -> np.ndarray:

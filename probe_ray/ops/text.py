@@ -46,7 +46,9 @@ def token_count(sf_dir: str):
             }
         )
 
-    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 def token_count_bpeish(sf_dir: str):
@@ -62,7 +64,9 @@ def token_count_bpeish(sf_dir: str):
             }
         )
 
-    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 def text_stats(sf_dir: str):
@@ -94,7 +98,9 @@ def text_stats(sf_dir: str):
         }
         return pa.table(rows)
 
-    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 def quality_score(sf_dir: str):
@@ -123,7 +129,9 @@ def quality_score(sf_dir: str):
             }
         )
 
-    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 def lang_id(sf_dir: str):
@@ -147,7 +155,9 @@ def lang_id(sf_dir: str):
             }
         )
 
-    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 # character-trigram profiles (top trigrams of each language's common
@@ -189,7 +199,9 @@ def lang_id_ngram(sf_dir: str):
             }
         )
 
-    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 def fingerprint(sf_dir: str):
@@ -212,7 +224,9 @@ def fingerprint(sf_dir: str):
             }
         )
 
-    return _read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 def train_val_split(sf_dir: str, val_threshold: str = "e6"):
@@ -390,7 +404,7 @@ def curation_pipeline(
         )
 
     agg = (
-        _read_documents(sf_dir)
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
         .map_batches(fn, batch_format="pyarrow")
         .groupby("sha")
         .aggregate(Min("doc_id"))

@@ -108,3 +108,16 @@ def test_multimodal_frame_plumbing(ray_session):
 
     rz = _to_table(multimodal.resize_features(SF_DIR, out_dim=2))
     assert all(len(r["feature"]) == 2 for r in rz.to_pylist()[:20])
+
+
+def test_neardup_clusters_distributed_equals_driver(ray_session, monkeypatch):
+    """The distributed min-label-propagation solve (edge sets above
+    DRIVER_CC_MAX_EDGES) must produce exactly the driver union-find
+    table — same crossover-identity guarantee as the dictionary build."""
+    from probe_ray.ops import dedup
+
+    fast = _canon(_to_table(dedup.neardup_clusters(SF_DIR)))
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", -1)
+    dist = _canon(_to_table(dedup.neardup_clusters(SF_DIR)))
+    assert fast == dist
+    assert len(fast) > 0
