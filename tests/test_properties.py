@@ -4,6 +4,8 @@ codec round-trip invariants. No Ray needed — pure kernels."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -24,6 +26,7 @@ from probe_ray.index.codec import (
 )
 from probe_ray.query.bm25 import create_query_plan
 from probe_ray.query.parser import parse_query
+from probe_ray.tokenize.tables import SPECIAL_CASE_WORDS
 from probe_ray.tokenize.tokenizer import preprocess_text_with_filename, tokenize
 
 text_st = st.text(
@@ -153,3 +156,67 @@ def test_block_meta_invariants(ids, data):
     for b in range(nblocks):
         blk = tfs[b * BLOCK : (b + 1) * BLOCK]
         assert maxtf[b] == blk.max()
+
+
+# a term the hybrid path treats as an ACTIVE special (alnum-only unit);
+# include case-folding trouble: dotted/dotless I, sharp s, Kelvin sign
+_tricky_chars = st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd"),
+    whitelist_characters="İıßẞK",
+)
+_term_st = st.text(alphabet=_tricky_chars, min_size=1, max_size=8)
+_body_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_body_st, _body_st, _term_st)
+def test_unit_candidate_soundness(content, path, term):
+    """The unit-postings candidate rule (search/hybrid.py): if a dynamic
+    special term changes a document's tokenization, the lowercased term
+    must be a substring of one of the doc's lowercased alnum units —
+    otherwise the index-served candidate set would silently miss a doc
+    whose score shifts under the query context."""
+    from probe_ray.search.hybrid import _UNIT_RE
+    from probe_ray.tokenize.tables import SPECIAL_CASE_WORDS
+    from probe_ray.tokenize.tokenizer import _ALNUM_RUNS
+
+    t = term.lower()
+    if not _UNIT_RE.match(t) or t in SPECIAL_CASE_WORDS:
+        return  # inactive special: hybrid asserts tokenization is unchanged
+    sp = frozenset({t})
+    d = preprocess_text_with_filename(content, path)
+    c = preprocess_text_with_filename(content, path, sp)
+    if d != c:
+        units = {u.lower() for u in _ALNUM_RUNS.findall(content)}
+        units.update(u.lower() for u in _ALNUM_RUNS.findall(path))
+        assert any(t in u for u in units), (t, content, path)
+
+
+_UNIT_RE_T = re.compile(r"[^\W_]+\Z", re.UNICODE)
+_nonunit_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=10
+).filter(lambda s: not _UNIT_RE_T.match(s.lower()))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_body_st, _nonunit_st)
+def test_inactive_special_changes_nothing(content, term):
+    """Non-unit special terms (spaces/punct/underscore) can never match an
+    alnum run, so the hybrid path runs those queries as pure index
+    queries — valid only if they truly never alter tokenization."""
+    d = preprocess_text_with_filename(content, "p.py")
+    c = preprocess_text_with_filename(content, "p.py", frozenset({term.lower()}))
+    assert d == c, (term,)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_body_st, st.sampled_from(sorted(SPECIAL_CASE_WORDS)))
+def test_static_special_case_changes_nothing(content, word):
+    """STATIC special-case words are in every tokenizer table already —
+    adding them as dynamic specials must be a tokenization no-op (the
+    hybrid answers those quoted terms from the index alone)."""
+    d = preprocess_text_with_filename(content, "p.py")
+    c = preprocess_text_with_filename(content, "p.py", frozenset({word}))
+    assert d == c, (word,)
