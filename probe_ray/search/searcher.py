@@ -515,6 +515,11 @@ class SegmentWorker:
             vocab = pq.read_table(
                 _units_path(self.index_dir, w, s), columns=["term"]
             ).column("term").combine_chunks()
+            # bounded like the postings cache: a worker owning many
+            # segments of a huge corpus must not hold every segment's
+            # unit vocabulary resident at once
+            if len(self._unit_vocab_cache) > 16:
+                self._unit_vocab_cache.clear()
             self._unit_vocab_cache[key] = vocab
         return vocab
 
