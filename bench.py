@@ -190,7 +190,10 @@ def run_headline(
         rd.search("setTools", k=10)
         for name, q in REFERENCE_QUERIES.items():
             special = bool(create_query_plan(q).special_terms)
-            reps = 1 if special else 5  # scan-path queries re-read the corpus
+            # dynamic special queries run a candidate pipeline (unit-
+            # postings discovery + candidate re-tokenize) — cheap enough
+            # to take a median of 3; index-path queries median of 5
+            reps = 3 if special else 5
             samples = []
             for _ in range(reps):
                 t1 = time.time()
