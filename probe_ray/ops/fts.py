@@ -140,6 +140,12 @@ REFERENCE_QUERIES = {
     # pinned in tests/test_engine_e2e.py instead of here
     "quoted_exact": '"whitelist"',
     "quoted_with_negative": '"hashmap" -database',
+    # realistic-selectivity DYNAMIC quoted term (a RARE corpus marker,
+    # ~0.5% of docs): candidate discovery via unit postings + warm-actor
+    # pushdown tokenize (hybrid.py DIRECT_CAND_*) — the fast path a real
+    # user's quoted identifier takes, vs quoted_with_negative's
+    # degenerate hot-term scan fallback
+    "quoted_rare_dynamic": '"karatsuba"',
     "camel_compound": "RPCStorageHandler",
     "camel_exception": "enableFirewallWhitelist",
     "determinism_stressor": "yaml workflow agent multi-agent user input",

@@ -89,6 +89,15 @@ SCAN_FALLBACK_FLOOR = 1_000
 SCAN_FALLBACK_ABS = 200_000
 SCAN_FALLBACK_FRAC = 0.75
 
+# Size-aware crossover for candidate tokenization: at or below these
+# bounds the candidates are read with one driver-side pushdown scan and
+# tokenized in-process (no Dataset launch); above them the work is
+# distributed. ~4k docs / 2M tokens ≈ tens of MB of text — trivially
+# driver-sized, while the distributed branch keeps the degenerate case
+# (a special term matching half the corpus) off the driver.
+DIRECT_CAND_ROWS = 4_096
+DIRECT_CAND_TOKENS = 2_000_000
+
 
 def _fallback_threshold(n_docs: int) -> float:
     return max(
@@ -289,7 +298,26 @@ def hybrid_search_many(
             # corpus read — the fallback decision is now free
             if keys.num_rows * len(active_ctxs) > _fallback_threshold(n_docs):
                 return _scan_fallback()
-            if keys.num_rows:
+            if keys.num_rows and (
+                keys.num_rows <= DIRECT_CAND_ROWS
+                and int(pc.sum(keys.column("doc_len")).as_py() or 0)
+                <= DIRECT_CAND_TOKENS
+            ):
+                # Small candidate set: pushdown-read + tokenize the
+                # candidates inside the persistent actor pool (one RPC
+                # round over warm workers). Skips the Dataset pipeline's
+                # fixed launch cost (~1-2 s) — a realistic-selectivity
+                # quoted term answers in tens of ms. Bounded by rows AND
+                # total token length so fat docs can't blow a worker
+                # heap; bigger sets take the distributed branch below.
+                direct = reader.candidate_stage_fanout(
+                    pc.unique(keys.column("path")).to_pylist(),
+                    read_cols,
+                    stage,
+                )
+                if direct.num_rows:
+                    cand_tbl = direct
+            elif keys.num_rows:
                 import pyarrow.dataset as pads
 
                 ds = ray.data.read_parquet(

@@ -463,6 +463,21 @@ class SegmentWorker:
             return _empty_postings()
         return pa.Table.from_pylist(rows, schema=_empty_postings().schema)
 
+    def apply_stage_pushdown(
+        self, files: list[str], paths: list[str], columns: list[str], stage
+    ) -> pa.Table:
+        """Read the given candidate ``paths`` from the corpus parquet with
+        a path-IN pushdown filter and apply ``stage`` (a picklable batch
+        callable) to the result — the warm-actor fan-out used by the
+        hybrid special-term path for small candidate sets, where a full
+        Dataset pipeline launch would dominate the query latency."""
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(files).to_table(
+            columns=columns, filter=pads.field("path").isin(paths)
+        )
+        return stage(tbl)
+
     def unit_candidates(self, terms: list[str]) -> pa.Table:
         """Distinct (repo, path) rows of this worker's segments whose
         content or path contains any of ``terms`` (lowercased alnum-only
@@ -473,6 +488,7 @@ class SegmentWorker:
         units' payloads."""
         out_repo: list[str] = []
         out_path: list[str] = []
+        out_dlen: list[int] = []
         for w, s in self.parts:
             vocab = self._unit_vocab(w, s)
             mask = None
@@ -501,10 +517,12 @@ class SegmentWorker:
             take = stats.take(pa.array(ids.astype(np.int64)))
             out_repo.extend(take.column("repo").to_pylist())
             out_path.extend(take.column("path").to_pylist())
+            out_dlen.extend(take.column("doc_len").to_pylist())
         return pa.table(
             {
                 "repo": pa.array(out_repo, pa.string()),
                 "path": pa.array(out_path, pa.string()),
+                "doc_len": pa.array(out_dlen, pa.int64()),
             }
         )
 
@@ -580,6 +598,27 @@ class IndexReader:
 
         self._ensure_workers()
         futs = [w.unit_candidates.remote(terms) for w in self._workers]
+        return pa.concat_tables(ray.get(futs))
+
+    def candidate_stage_fanout(
+        self, paths: list[str], columns: list[str], stage
+    ) -> pa.Table:
+        """Run ``stage`` over the candidate ``paths`` of the corpus via
+        the persistent actor pool: each warm worker reads a path chunk
+        with parquet pushdown and tokenizes it in place. Latency is
+        max-chunk work + one RPC round — no Dataset pipeline launch."""
+        import ray
+
+        self._ensure_workers()
+        # ~64 paths per chunk floor keeps tiny sets on few RPCs
+        n = max(1, min(len(self._workers), -(-len(paths) // 64)))
+        files = self.manifest["input_files"]
+        futs = [
+            self._workers[i].apply_stage_pushdown.remote(
+                files, paths[i::n], columns, stage
+            )
+            for i in range(n)
+        ]
         return pa.concat_tables(ray.get(futs))
 
     def _parts(self) -> list[tuple[int, int]]:
