@@ -255,6 +255,59 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     return agg.map_batches(rename, batch_format="pyarrow").sort(["a_id", "b_id"])
 
 
+# Size-aware crossover for exact-Jaccard verification (same pattern as
+# neardup_clusters' connected-components crossover): below these bounds
+# the candidate pairs and their referenced docs are verified on the
+# driver with one pushdown read — above them, the two-shuffle
+# distributed verify runs. A dup-heavy 100-TB corpus takes the
+# distributed branch; a bench/test corpus skips ~2 shuffle rounds.
+VERIFY_DRIVER_PAIRS = 20_000
+VERIFY_DRIVER_DOCS = 8_192
+
+
+def _verify_pairs_driver(
+    sf_dir: str, a: np.ndarray, b: np.ndarray, jaccard_threshold: float
+) -> pa.Table:
+    """Driver-side exact-Jaccard verify of a SMALL candidate pair set:
+    pushdown-read only the referenced docs, shingle once per doc, verify
+    in (a_id, b_id) order. Output is identical to the distributed path
+    (same rounding, same sort)."""
+    import pyarrow.dataset as pads
+
+    sh: dict[int, np.ndarray] = {}
+    if len(a):
+        ids = np.unique(np.concatenate([a, b]))
+        docs = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(pa.array(ids.astype(np.int64))),
+        )
+        cache: dict[str, int] = {}
+        for did, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        ):
+            sh[int(did)] = np.sort(_shingles(t, cache=cache))
+    a_out, b_out, j_out = [], [], []
+    for i in np.lexsort((b, a)):
+        sa = sh.get(int(a[i]))
+        sb = sh.get(int(b[i]))
+        if sa is None or sb is None:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = (inter / union) if union else 1.0
+        if jac >= jaccard_threshold:
+            a_out.append(int(a[i]))
+            b_out.append(int(b[i]))
+            j_out.append(int(np.floor(jac * 1000 + 0.5)))
+    return pa.table(
+        {
+            "a_id": pa.array(a_out, pa.int64()),
+            "b_id": pa.array(b_out, pa.int64()),
+            "jaccard_milli": pa.array(j_out, pa.int64()),
+        }
+    )
+
+
 def minhash_verified_pairs(
     sf_dir: str, cand_threshold: float = 0.35, jaccard_threshold: float = 0.5
 ):
@@ -274,7 +327,23 @@ def minhash_verified_pairs(
          one group; equal-pair runs are found by one vectorized sort and
          verified with exact sorted-array intersection.
     Shuffle volume is one pass of shingle data + O(candidate pairs)."""
-    cand = minhash_lsh_pairs(sf_dir, threshold=cand_threshold)
+    import ray.data
+
+    cand = minhash_lsh_pairs(sf_dir, threshold=cand_threshold).materialize()
+    if cand.count() <= VERIFY_DRIVER_PAIRS:
+        parts = [pa.table(x) for x in cand.iter_batches(batch_format="pyarrow")]
+        tb = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        )
+        a = tb.column("a_id").to_numpy()
+        b = tb.column("b_id").to_numpy()
+        n_docs = len(np.unique(np.concatenate([a, b]))) if len(a) else 0
+        if n_docs <= VERIFY_DRIVER_DOCS:
+            return ray.data.from_arrow(
+                _verify_pairs_driver(sf_dir, a, b, jaccard_threshold)
+            )
 
     def requests(batch: pa.Table) -> pa.Table:
         a = batch.column("a_id").to_numpy()

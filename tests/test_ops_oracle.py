@@ -110,6 +110,19 @@ def test_multimodal_frame_plumbing(ray_session):
     assert all(len(r["feature"]) == 2 for r in rz.to_pylist()[:20])
 
 
+def test_minhash_verify_distributed_equals_driver(ray_session, monkeypatch):
+    """The two-shuffle distributed exact-Jaccard verify (candidate sets
+    above VERIFY_DRIVER_PAIRS) must produce exactly the driver verify
+    table — the dedup crossover-identity guarantee."""
+    from probe_ray.ops import dedup
+
+    fast = _canon(_to_table(dedup.minhash_verified_pairs(SF_DIR)))
+    monkeypatch.setattr(dedup, "VERIFY_DRIVER_PAIRS", -1)
+    dist = _canon(_to_table(dedup.minhash_verified_pairs(SF_DIR)))
+    assert fast == dist
+    assert len(fast) > 0
+
+
 def test_neardup_clusters_distributed_equals_driver(ray_session, monkeypatch):
     """The distributed min-label-propagation solve (edge sets above
     DRIVER_CC_MAX_EDGES) must produce exactly the driver union-find
