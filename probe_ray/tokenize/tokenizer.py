@@ -243,6 +243,10 @@ def tokenize(text: str, special_terms: frozenset[str] = _EMPTY) -> list[str]:
     )
     seen: set[str] = set()
     result: list[str] = []
+    # the output list is deduplicated, so a repeated raw token can never
+    # contribute a new entry (same expansion, every part already seen) —
+    # process each distinct raw token once, in first-appearance order
+    tokens = dict.fromkeys(tokens)
     if negated:
         for token in tokens:
             for part in split_camel_case(token, special_terms):
