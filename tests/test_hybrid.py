@@ -113,6 +113,29 @@ def test_hybrid_equals_scan(qname, edge_index):
         rd.close()
 
 
+def test_hybrid_distributed_branch_equals_direct(edge_index, monkeypatch):
+    """With the warm-actor direct path disabled, the Dataset-pipeline
+    candidate branch must return the same tables — the crossover is a
+    latency choice, never a semantics choice. (Tiny test corpora always
+    sit under DIRECT_CAND_ROWS, so without this override the distributed
+    branch would go untested.)"""
+    from probe_ray.search import hybrid
+    from probe_ray.search.searcher import IndexReader
+
+    names = ["quoted_hit", "quoted_neg", "quoted_and"]
+    qs = {n: QUERIES[n] for n in names}
+    rd = IndexReader(edge_index)
+    try:
+        direct = rd.search_many(qs, k=10)
+        monkeypatch.setattr(hybrid, "DIRECT_CAND_ROWS", -1)
+        dist = rd.search_many(qs, k=10)
+        for n in names:
+            assert _as_rows(direct[n]) == _as_rows(dist[n]), n
+            assert direct[n].num_rows > 0, n
+    finally:
+        rd.close()
+
+
 def test_hybrid_batched_queries_equal_scan(edge_index):
     """All shapes in ONE search_many call (shared candidate pass)."""
     from probe_ray.search.scan import scan_search_many
