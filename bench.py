@@ -111,16 +111,20 @@ def _warmup_ray_data():
     processes and executor so measured build time is steady-state engine
     throughput, not session cold-start (which a long-running cluster pays
     once, not per job)."""
+    import ray
     import ray.data
 
-    import pyarrow as pa
+    # one block per CPU + a brief hold per task forces the FULL worker
+    # pool to spawn (a single tiny block warms only 1-2 workers and the
+    # first timed op then pays the rest of the ramp)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
 
-    ds = ray.data.from_arrow(
-        pa.table({"k": list(range(64)), "v": list(range(64))})
-    )
-    ds.map_batches(lambda b: b, batch_format="pyarrow").groupby(
-        "k"
-    ).count().materialize()
+    def hold(b):
+        time.sleep(0.2)
+        return b
+
+    ds = ray.data.range(cpus * 4, override_num_blocks=cpus)
+    ds.map_batches(hold, batch_format="pyarrow").materialize()
 
 
 def _corpus_bytes(d: str) -> int:
@@ -227,6 +231,7 @@ def run_headline(
                 sorted(qtimes.values())[len(qtimes) // 2], 4
             ),
             "query_max": round(max(qtimes.values()), 4),
+            "effective_parallelism": eff_par,
         }
     finally:
         ray.shutdown()
@@ -246,6 +251,10 @@ def run_sf_ops(num_cpus: int) -> dict:
     try:
         from probe_ray.ops import ann, dedup, relational, text
 
+        # same session warmup the build section uses: spawn the worker
+        # pool on a trivial pipeline so the first timed op measures the
+        # operator, not Ray Data's first-pipeline setup
+        _warmup_ray_data()
         out = {}
         for name, fn in [
             ("dedup_exact", lambda: dedup.exact_dedup_groups(SF_DIR).count()),
@@ -348,6 +357,11 @@ def main():
                 "build_mb_per_sec": head["mb_per_sec"],
                 "query_p50": head["query_p50"],
                 "corpus_rows": head["rows"],
+                # host-capacity probe at run time: requested num_cpus vs
+                # the parallelism the sandbox actually delivered — the
+                # validity context for every number above (the hypervisor
+                # intermittently caps this VM; see BASELINE.md)
+                "effective_parallelism": head.get("effective_parallelism"),
             }
         )
     )
