@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ------------------------------------------------
         "text_token_count": text.token_count,
         "text_token_count_bpeish": text.token_count_bpeish,
+        "text_normalize_stopwords": text.normalize_stopwords,
         "text_stats": text.text_stats,
         "text_quality_score": text.quality_score,
         "text_lang_id": text.lang_id,
@@ -285,6 +286,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_token_count": (
             f"SELECT doc_id, {_N_TOKENS} AS n_tokens FROM documents"
+        ),
+        # same RE2 engine on both sides (Arrow replace_substring_regex /
+        # DuckDB regexp_replace) — parity exact by construction
+        "text_normalize_stopwords": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "text, '\\b(a|the|and|of|to)\\b', '', 'g'), '\\s+', ' ', 'g')) "
+            "AS norm_text FROM documents) "
+            "SELECT doc_id, norm_text, CASE WHEN norm_text = '' THEN 0 ELSE "
+            "CAST(length(norm_text) - length(replace(norm_text, ' ', '')) + 1 "
+            "AS BIGINT) END AS n_words FROM n"
         ),
         "text_token_count_bpeish": (
             "SELECT doc_id, len(regexp_extract_all(text, "

@@ -69,6 +69,44 @@ def token_count_bpeish(sf_dir: str):
     )
 
 
+STOPWORD_PATTERN = r"\b(a|the|and|of|to)\b"
+
+
+def normalize_stopwords(sf_dir: str):
+    """Pre-dedup text normalization: strip a tiny stop-word set, collapse
+    whitespace, trim — (doc_id, norm_text, n_words). Fully vectorized:
+    Arrow's replace_substring_regex is RE2, the same engine DuckDB uses,
+    so the oracle parity is exact by construction."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        norm = pc.replace_substring_regex(t, STOPWORD_PATTERN, "")
+        norm = pc.replace_substring_regex(norm, r"\s+", " ")
+        norm = pc.utf8_trim_whitespace(norm)
+        n = pc.if_else(
+            pc.equal(norm, ""),
+            pa.scalar(0, pa.int64()),
+            pc.add(
+                pc.cast(
+                    pc.count_substring(norm, " "), pa.int64()
+                ),
+                1,
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": norm,
+                "n_words": n,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def text_stats(sf_dir: str):
     """(doc_id, n_chars_actual, alpha_chars, digit_chars, n_tokens,
     uniq_tokens) — quality-scoring raw counts, all integers."""

@@ -37,6 +37,7 @@ CASES = [
     "text_curation_pipeline",
     "text_lang_id",
     "text_token_count",
+    "text_normalize_stopwords",
     "text_stats",
     "text_train_val_split",
     "text_decontaminate",
