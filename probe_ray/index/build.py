@@ -63,7 +63,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from probe_ray.tokenize.tokenizer import _ALNUM_RUNS, preprocess_text_with_filename
+from probe_ray.tokenize.tokenizer import (
+    _ALNUM_RUNS,
+    _raw_tokens,
+    tokenize,
+)
 from .codec import block_meta_multi, encode_varint_deltas_multi, pack_tf
 
 # Terms prefixed with this byte in the partial-run stream are UNIT
@@ -161,7 +165,13 @@ class TokenizePartial:
                 and len(content) > cfg.max_content_bytes
             ):
                 content = ""
-            toks = preprocess_text_with_filename(content, paths[i])
+            # ONE alnum-run pass per string, shared between tokenization
+            # and (below) unit extraction — _raw_tokens' token list equals
+            # _ALNUM_RUNS.findall(text) in both its branches
+            raw_c = _raw_tokens(content)
+            raw_p = _raw_tokens(paths[i])
+            toks = tokenize(content, precomputed_raw=raw_c)
+            toks.extend(tokenize(paths[i], precomputed_raw=raw_p))
             tf: dict[str, int] = {}
             for t in toks:
                 tf[t] = tf.get(t, 0) + 1
@@ -183,8 +193,15 @@ class TokenizePartial:
                 # str.lower() means lower(part of unit) is a substring of
                 # lower(unit), so these postings over-approximate every
                 # doc a special term can re-tokenize (hybrid.py module doc)
-                units = {u.lower() for u in _ALNUM_RUNS.findall(contents[i])}
-                units.update(u.lower() for u in _ALNUM_RUNS.findall(paths[i]))
+                if content is contents[i]:
+                    # dedup BEFORE lowering: distinct raw runs are far
+                    # fewer than total runs on repetitive text
+                    units = {u.lower() for u in set(raw_c[0])}
+                else:  # content was capped; units come from RAW text
+                    units = {
+                        u.lower() for u in set(_ALNUM_RUNS.findall(contents[i]))
+                    }
+                units.update(u.lower() for u in set(raw_p[0]))
                 for u in units:
                     key = (s, UNIT_PREFIX + u)
                     run = runs.get(key)
@@ -638,10 +655,13 @@ def build_index(
 
 
 def _finalize_task_impl(tok_dir: str, out_dir: str, wave: int, sub: int) -> dict:
+    t0 = time.time()
     part_dir = os.path.join(tok_dir, f"subshard={sub}")
     group = pq.read_table(part_dir)
     m = finalize_subshard(group, out_dir=out_dir, wave=wave, sub=sub)
-    return m.to_pylist()[0]
+    row = m.to_pylist()[0]
+    row["seconds"] = round(time.time() - t0, 3)
+    return row
 
 
 def _tokenize_wave(
@@ -685,8 +705,10 @@ def _tokenize_wave(
         import shutil
 
         shutil.rmtree(tok_dir, ignore_errors=True)
+        t_tok = time.time()
         out.write_parquet(tok_dir, partition_cols=["subshard"])
         steps["tokenized"] = "done"
+        steps["tokenize_s"] = round(time.time() - t_tok, 3)
         _write_json_atomic(wm_path, wm)
         _t(f"wave {wave} tokenize+write", _T0)
     return wm
@@ -732,12 +754,18 @@ def _collect_finalize(out_dir: str, wave: int, wm: dict, futs) -> None:
                     "n_tokens": int(r["n_tokens"]),
                     "n_terms": int(r["n_terms"]),
                     "n_postings": int(r["n_postings"]),
+                    "seconds": float(r.get("seconds", 0.0)),
                 }
                 for r in rows
             ),
             key=lambda x: x["subshard"],
         )
         wm["steps"]["finalized"] = "done"
+        # task-internal walls (overlap-independent): max ≈ the wave's
+        # finalize critical path, sum ≈ its total compute
+        secs = [float(r.get("seconds", 0.0)) for r in rows]
+        wm["steps"]["finalize_task_s_max"] = round(max(secs, default=0.0), 3)
+        wm["steps"]["finalize_task_s_sum"] = round(sum(secs), 3)
         _write_json_atomic(wm_path, wm)
     wm["status"] = "done"
     _write_json_atomic(wm_path, wm)

@@ -233,9 +233,20 @@ def _expand_token(
     return tuple(out)
 
 
-def tokenize(text: str, special_terms: frozenset[str] = _EMPTY) -> list[str]:
-    """Deduplicated token list, first-appearance order (tokenize() parity)."""
-    tokens, negated = _raw_tokens(text)
+def tokenize(
+    text: str,
+    special_terms: frozenset[str] = _EMPTY,
+    *,
+    precomputed_raw: tuple[list[str], set[str]] | None = None,
+) -> list[str]:
+    """Deduplicated token list, first-appearance order (tokenize() parity).
+
+    ``precomputed_raw`` lets a caller that already ran ``_raw_tokens(text)``
+    (the index build shares one alnum-run pass between tokenization and
+    unit-posting extraction) skip the second regex pass."""
+    tokens, negated = (
+        precomputed_raw if precomputed_raw is not None else _raw_tokens(text)
+    )
     expand = (
         _expand_token_default
         if not special_terms
