@@ -56,6 +56,7 @@ import hashlib
 import json
 import os
 import time
+from collections import Counter
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -172,9 +173,7 @@ class TokenizePartial:
             raw_p = _raw_tokens(paths[i])
             toks = tokenize(content, precomputed_raw=raw_c)
             toks.extend(tokenize(paths[i], precomputed_raw=raw_p))
-            tf: dict[str, int] = {}
-            for t in toks:
-                tf[t] = tf.get(t, 0) + 1
+            tf = Counter(toks)  # C-accelerated; TF∈{1,2} by construction
             dh = int(doc_hashes[i])
             s = (dh >> 32) % cfg.subshards
             sub_arr[i] = s
