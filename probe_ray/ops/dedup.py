@@ -28,6 +28,29 @@ def _read_documents(sf_dir: str, columns: list[str] | None = None):
     )
 
 
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+SHUFFLE_TARGET_BYTES = 64 << 20
+
+
+def _shuffle_parts(est_bytes: int, lo: int = 8, hi: int = 1024) -> int:
+    """Input-block count for a dataset about to enter an all-to-all.
+
+    Ray Data's sort-based shuffle schedules O(blocks x partitions)
+    intermediate objects, so on a small input the default read
+    parallelism (~2x CPUs worth of blocks) makes the exchange
+    overhead-dominated: measured 64-block -> 8-block coalesce cuts a
+    bench-scale groupby ~4x. Right-size to ~SHUFFLE_TARGET_BYTES per
+    block: at bench scale the floor wins; at 100-TB scale
+    est_bytes/64MB dominates and the repartition is a near-no-op
+    merge of already-large blocks."""
+    return int(max(lo, min(hi, est_bytes // SHUFFLE_TARGET_BYTES)))
+
+
 def _sha256_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     return pa.table(
@@ -46,8 +69,10 @@ def exact_dedup_groups(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Min
 
-    ds = _read_documents(sf_dir).map_batches(
-        _sha256_batch, batch_format="pyarrow"
+    ds = (
+        _read_documents(sf_dir)
+        .map_batches(_sha256_batch, batch_format="pyarrow")
+        .repartition(_shuffle_parts(_n_docs(sf_dir) * 96))
     )
     agg = ds.groupby("sha").aggregate(Min("doc_id"), Count())
 
@@ -151,6 +176,47 @@ def minhash_signatures(sf_dir: str):
 
 LSH_PARTITIONS = 64
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _sig_matrix(col: pa.ChunkedArray, width: int) -> np.ndarray:
+    """list<int64> column of fixed-length signatures -> (n, width) array,
+    via one offsets-respecting flatten (no per-row Python lists)."""
+    arr = col.combine_chunks()
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
+
+
+def _band_buckets(sig_mat: np.ndarray) -> np.ndarray:
+    """(n, N_PERM) signatures -> (n, N_BANDS) int64 band buckets in one
+    vectorized FNV-style pass: each band's rows are folded into a salted
+    63-bit mix, so equal (band, chunk) values collide — the only property
+    LSH banding needs (cross-band collisions are ruled out by the band
+    salt; spurious equal-hash collisions at 63 bits are negligible and
+    in any case removed by the exact-verify stage)."""
+    n = sig_mat.shape[0]
+    rows = N_PERM // N_BANDS
+    u = sig_mat.astype(np.uint64).reshape(n, N_BANDS, rows)
+    with np.errstate(over="ignore"):
+        h = np.full((n, N_BANDS), _FNV_OFFSET, dtype=np.uint64)
+        h ^= np.arange(N_BANDS, dtype=np.uint64)[None, :]
+        h *= _FNV_MIX
+        for i in range(rows):
+            h ^= u[:, :, i]
+            h *= _FNV_MIX
+            h ^= h >> np.uint64(29)
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def _repeat_list_column(mat: np.ndarray, times: int) -> pa.ListArray:
+    """Each row of ``mat`` repeated ``times`` consecutive rows, as a
+    list<int64> column (the per-band copy of a doc's signature)."""
+    reps = np.repeat(mat, times, axis=0)
+    offsets = np.arange(reps.shape[0] + 1, dtype=np.int32) * mat.shape[1]
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(reps.ravel(), pa.int64())
+    )
+
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     """Near-duplicate candidate pairs via LSH banding, verified with the
@@ -164,34 +230,23 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
     sigs = minhash_signatures(sf_dir)
 
     def bands(batch: pa.Table) -> pa.Table:
-        out_bucket, out_doc, out_sig = [], [], []
-        doc_ids = batch.column("doc_id").to_pylist()
-        sig_list = batch.column("sig").to_pylist()
-        rows_per_band = N_PERM // N_BANDS
-        for did, sig in zip(doc_ids, sig_list):
-            for b in range(N_BANDS):
-                chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
-                bucket = int.from_bytes(
-                    hashlib.blake2b(
-                        (str(b) + ":" + ",".join(map(str, chunk))).encode(),
-                        digest_size=8,
-                    ).digest(),
-                    "big",
-                ) & 0x7FFF_FFFF_FFFF_FFFF
-                out_bucket.append(bucket)
-                out_doc.append(did)
-                out_sig.append(sig)
-        buckets = np.asarray(out_bucket, dtype=np.int64)
+        sig_mat = _sig_matrix(batch.column("sig"), N_PERM)
+        buckets = _band_buckets(sig_mat).ravel()  # doc-major (n * N_BANDS)
         return pa.table(
             {
                 "part": pa.array(buckets % LSH_PARTITIONS),
                 "bucket": pa.array(buckets),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+                "doc_id": pa.array(
+                    np.repeat(batch.column("doc_id").to_numpy(), N_BANDS),
+                    pa.int64(),
+                ),
+                "sig": _repeat_list_column(sig_mat, N_BANDS),
             }
         )
 
-    banded = sigs.map_batches(bands, batch_format="pyarrow")
+    banded = sigs.map_batches(bands, batch_format="pyarrow").repartition(
+        _shuffle_parts(_n_docs(sf_dir) * N_BANDS * (N_PERM * 8 + 32))
+    )
 
     def pairs(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -202,12 +257,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
         g = group.take(order)
         buckets = g.column("bucket").to_numpy()
         ids = g.column("doc_id").to_numpy()
-        sig_mat = np.asarray(g.column("sig").to_pylist(), dtype=np.int64)
+        sig_mat = _sig_matrix(g.column("sig"), N_PERM)
         # run starts of equal-bucket spans
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
         ends = np.r_[starts[1:], len(buckets)]
-        a_out, b_out, sim_out = [], [], []
-        seen: set[tuple[int, int]] = set()
+        chunks: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
@@ -215,28 +269,49 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):
             uniq, first_pos = np.unique(run_ids, return_index=True)
             if len(uniq) < 2:
                 continue
-            for i in range(len(uniq)):
-                for j in range(i + 1, len(uniq)):
-                    key = (int(uniq[i]), int(uniq[j]))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    si = sig_mat[s + first_pos[i]]
-                    sj = sig_mat[s + first_pos[j]]
-                    est = float((si == sj).mean())
-                    if est >= threshold:
-                        a_out.append(key[0])
-                        b_out.append(key[1])
-                        sim_out.append(int(round(est * 1000)))
+            # all unique-doc pairs of the run at once (numpy, no loop)
+            iu, ju = np.triu_indices(len(uniq), k=1)
+            est = (
+                sig_mat[s + first_pos[iu]] == sig_mat[s + first_pos[ju]]
+            ).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                chunks.append(
+                    np.column_stack(
+                        [
+                            uniq[iu[keep]],
+                            uniq[ju[keep]],
+                            np.rint(est[keep] * 1000).astype(np.int64),
+                        ]
+                    )
+                )
+        if chunks:
+            allp = np.concatenate(chunks)
+            # dedup pairs colliding in several buckets of this partition
+            order = np.lexsort((allp[:, 1], allp[:, 0]))
+            allp = allp[order]
+            first = np.r_[
+                True,
+                (allp[1:, 0] != allp[:-1, 0]) | (allp[1:, 1] != allp[:-1, 1]),
+            ]
+            allp = allp[first]
+        else:
+            allp = np.empty((0, 3), dtype=np.int64)
         return pa.table(
             {
-                "a_id": pa.array(a_out, pa.int64()),
-                "b_id": pa.array(b_out, pa.int64()),
-                "est_sim_milli": pa.array(sim_out, pa.int64()),
+                "a_id": pa.array(allp[:, 0], pa.int64()),
+                "b_id": pa.array(allp[:, 1], pa.int64()),
+                "est_sim_milli": pa.array(allp[:, 2], pa.int64()),
             }
         )
 
-    cand = banded.groupby("part").map_groups(pairs, batch_format="pyarrow")
+    cand = (
+        banded.groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        # candidate pairs are 24 B/row — coalesce the per-group micro-blocks
+        # before the dedup shuffle (est: a few pairs per doc)
+        .repartition(_shuffle_parts(_n_docs(sf_dir) * 96))
+    )
 
     # distinct pairs (a pair can collide in buckets of different partitions)
     from ray.data.aggregate import Max
@@ -422,6 +497,8 @@ def minhash_verified_pairs(
 
     sided = (
         req.union(docs_sh)
+        # shingle rows dominate: ~8 B per shingle hash per doc
+        .repartition(_shuffle_parts(_n_docs(sf_dir) * 768))
         .groupby("dpart")
         .map_groups(attach, batch_format="pyarrow")
     )
@@ -460,13 +537,15 @@ def minhash_verified_pairs(
         )
 
     return (
-        sided.groupby("ppart")
+        sided.repartition(_shuffle_parts(_n_docs(sf_dir) * 768))
+        .groupby("ppart")
         .map_groups(verify, batch_format="pyarrow")
         .sort(["a_id", "b_id"])
     )
 
 
 _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def simhash(sf_dir: str):
@@ -562,7 +641,9 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 12):
             }
         )
 
-    banded = sigs.map_batches(bands, batch_format="pyarrow")
+    banded = sigs.map_batches(bands, batch_format="pyarrow").repartition(
+        _shuffle_parts(_n_docs(sf_dir) * 4 * 32)
+    )
 
     def pairs(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -576,35 +657,51 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 12):
         hs = g.column("simhash").to_numpy().astype(np.uint64)
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
         ends = np.r_[starts[1:], len(buckets)]
-        a_out, b_out, d_out = [], [], []
-        seen: set[tuple[int, int]] = set()
+        chunks: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    if ids[i] == ids[j]:
-                        continue
-                    key = (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                    if d <= max_hamming:
-                        a_out.append(key[0])
-                        b_out.append(key[1])
-                        d_out.append(d)
+            run_ids = ids[s:e]
+            uniq, first_pos = np.unique(run_ids, return_index=True)
+            if len(uniq) < 2:
+                continue
+            iu, ju = np.triu_indices(len(uniq), k=1)
+            x = hs[s + first_pos[iu]] ^ hs[s + first_pos[ju]]
+            # vectorized 64-bit popcount via byte LUT
+            d = _POPCNT[x.view(np.uint8).reshape(len(x), 8)].sum(
+                axis=1, dtype=np.int64
+            )
+            keep = d <= max_hamming
+            if keep.any():
+                chunks.append(
+                    np.column_stack([uniq[iu[keep]], uniq[ju[keep]], d[keep]])
+                )
+        if chunks:
+            allp = np.concatenate(chunks)
+            order = np.lexsort((allp[:, 1], allp[:, 0]))
+            allp = allp[order]
+            first = np.r_[
+                True,
+                (allp[1:, 0] != allp[:-1, 0]) | (allp[1:, 1] != allp[:-1, 1]),
+            ]
+            allp = allp[first]
+        else:
+            allp = np.empty((0, 3), dtype=np.int64)
         return pa.table(
             {
-                "a_id": pa.array(a_out, pa.int64()),
-                "b_id": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(d_out, pa.int64()),
+                "a_id": pa.array(allp[:, 0], pa.int64()),
+                "b_id": pa.array(allp[:, 1], pa.int64()),
+                "hamming": pa.array(allp[:, 2], pa.int64()),
             }
         )
 
     from ray.data.aggregate import Min
 
-    cand = banded.groupby("part").map_groups(pairs, batch_format="pyarrow")
+    cand = (
+        banded.groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .repartition(_shuffle_parts(_n_docs(sf_dir) * 96))
+    )
     agg = cand.groupby(["a_id", "b_id"]).aggregate(Min("hamming"))
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -893,7 +990,12 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
             }
         )
 
-    posting = docs.map_batches(tokens, batch_format="pyarrow").materialize()
+    posting = (
+        docs.map_batches(tokens, batch_format="pyarrow")
+        # postings are ~24 B + token text per row, max_doc_id docs
+        .repartition(_shuffle_parts(max_doc_id * 4096))
+        .materialize()
+    )
 
     sizes_rows = (
         posting.groupby("doc_id").count().take_all()
