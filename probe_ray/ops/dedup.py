@@ -34,21 +34,7 @@ def _n_docs(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
 
-SHUFFLE_TARGET_BYTES = 64 << 20
-
-
-def _shuffle_parts(est_bytes: int, lo: int = 8, hi: int = 1024) -> int:
-    """Input-block count for a dataset about to enter an all-to-all.
-
-    Ray Data's sort-based shuffle schedules O(blocks x partitions)
-    intermediate objects, so on a small input the default read
-    parallelism (~2x CPUs worth of blocks) makes the exchange
-    overhead-dominated: measured 64-block -> 8-block coalesce cuts a
-    bench-scale groupby ~4x. Right-size to ~SHUFFLE_TARGET_BYTES per
-    block: at bench scale the floor wins; at 100-TB scale
-    est_bytes/64MB dominates and the repartition is a near-no-op
-    merge of already-large blocks."""
-    return int(max(lo, min(hi, est_bytes // SHUFFLE_TARGET_BYTES)))
+from probe_ray.ops.sizing import SHUFFLE_TARGET_BYTES, shuffle_parts as _shuffle_parts  # noqa: F401
 
 
 def _sha256_batch(batch: pa.Table) -> pa.Table:

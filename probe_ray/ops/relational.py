@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from probe_ray.ops.sizing import shuffle_parts, table_rows
+
 
 def _milli(arr: np.ndarray) -> np.ndarray:
     return np.floor(arr * 1000.0 + 0.5).astype(np.int64)
@@ -459,8 +461,12 @@ def order_priority_semijoin(sf_dir: str, min_discount_milli: int = 80):
             }
         )
 
+    est_bytes = (table_rows(sf_dir, "lineitem") + table_rows(sf_dir, "orders")) * 56
     agg = (
         left.union(right)
+        # the mapped sides arrive as ~2x-CPUs micro-blocks each; coalesce
+        # before the O(blocks x partitions) groupby shuffle (ops/sizing.py)
+        .repartition(shuffle_parts(est_bytes))
         .groupby("part")
         .map_groups(meet, batch_format="pyarrow")
         .groupby("o_orderpriority")

@@ -1,0 +1,32 @@
+"""Shuffle-input sizing shared by the wide (all-to-all) pipelines.
+
+Ray Data's sort-based shuffle schedules O(input_blocks x partitions)
+intermediate objects, so a dataset entering a groupby/sort as many
+micro-blocks pays pure scheduling overhead.  These helpers right-size the
+input block count to ~SHUFFLE_TARGET_BYTES per block before the exchange:
+at bench scale the floor wins (a handful of blocks); at 100-TB scale
+``est_bytes // 64MB`` dominates and the repartition is a near-no-op merge
+of already-large blocks.
+"""
+
+from __future__ import annotations
+
+import os
+
+SHUFFLE_TARGET_BYTES = 64 << 20
+
+
+def shuffle_parts(est_bytes: int, lo: int = 8, hi: int = 1024) -> int:
+    """Input-block count for a dataset about to enter an all-to-all.
+
+    Measured: a 64-block -> 8-block coalesce cuts a bench-scale groupby
+    ~4x (see ops/dedup.py call sites).
+    """
+    return int(max(lo, min(hi, est_bytes // SHUFFLE_TARGET_BYTES)))
+
+
+def table_rows(sf_dir: str, table: str) -> int:
+    """Row count of one input table from parquet metadata (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
