@@ -65,6 +65,9 @@ def q1_pricing_summary(sf_dir: str):
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
         )
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # partials are ~6 rows/block; coalesce the micro-blocks before the
+        # all-to-all (ops/sizing.py)
+        .repartition(shuffle_parts(6 * 64, lo=4))
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("qty_sum"), Sum("price_sum"), Sum("disc_price_sum"), Sum("one_sum"))
     )
@@ -113,6 +116,8 @@ def top_customers_by_revenue(sf_dir: str, k: int = 20):
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # partial rows are bounded by the customer-key domain per block
+        .repartition(shuffle_parts(table_rows(sf_dir, "customer") * 16))
         .groupby("custkey")
         .aggregate(Sum("rev_sum"))
     )
@@ -157,6 +162,7 @@ def events_hourly_counts(sf_dir: str):
     agg = (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 2))
         .groupby(["event_type", "hour_id"])
         .aggregate(Sum("value_sum"), Sum("one_sum"))
     )
@@ -204,6 +210,8 @@ def events_sliding_window_counts(sf_dir: str):
     agg = (
         _read(sf_dir, "events", ["ts", "event_type"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # partials collapse to (event_type x hours-in-block) rows
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 2))
         .groupby(["event_type", "window_end_hour"])
         .aggregate(Sum("one_sum"))
     )
@@ -268,6 +276,7 @@ def top_event_per_user(sf_dir: str):
     return (
         _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
         .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 36))
         .groupby("part")
         .map_groups(tops, batch_format="pyarrow")
         .sort("user_id")
@@ -350,6 +359,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
         .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 24))
         .groupby("part")
         .map_groups(sessions, batch_format="pyarrow")
         .sort(["user_id", "session_idx"])
@@ -519,6 +529,8 @@ def top_brands_by_revenue(sf_dir: str, k: int = 10):
     agg = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # ~25 brand rows per block after the partial
+        .repartition(shuffle_parts(25 * 64, lo=4))
         .groupby("p_brand")
         .aggregate(Sum("rev_sum"))
     )
@@ -577,6 +589,8 @@ def customers_per_region(sf_dir: str):
     agg = (
         _read(sf_dir, "customer", ["c_nationkey"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # ~5 region rows per block after the partial
+        .repartition(shuffle_parts(5 * 64, lo=4))
         .groupby("r_name")
         .aggregate(Sum("one_sum"))
     )
