@@ -11,6 +11,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from probe_ray.ops.sizing import shuffle_parts, table_rows
+
 _WS = re.compile(r"\s+")
 _ALPHA = re.compile(r"[A-Za-z]")
 _DIGIT = re.compile(r"[0-9]")
@@ -383,6 +385,9 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 20):
     agg = (
         _read_documents(sf_dir, ["text"])
         .map_batches(partial, batch_format="pyarrow")
+        # per-batch distinct n-grams are still wide; coalesce the mapped
+        # micro-blocks before the all-to-all (ops/sizing.py)
+        .repartition(shuffle_parts(table_rows(sf_dir, "documents") * 2048))
         .groupby("ngram")
         .sum("cnt")
     )
@@ -444,6 +449,8 @@ def curation_pipeline(
     agg = (
         _read_documents(sf_dir, ["doc_id", "lang", "text"])
         .map_batches(fn, batch_format="pyarrow")
+        # surviving rows are 72 B each; coalesce before the dedup shuffle
+        .repartition(shuffle_parts(table_rows(sf_dir, "documents") * 96))
         .groupby("sha")
         .aggregate(Min("doc_id"))
     )
