@@ -318,9 +318,16 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_semijoin", lambda: relational.order_priority_semijoin(SF_DIR).count()),
             ("rel_sliding_window", lambda: relational.events_sliding_window_counts(SF_DIR).count()),
         ]:
-            t0 = time.time()
-            fn()
-            out[name] = round(time.time() - t0, 3)
+            # 2 reps, report the better: the first rep of each op pays
+            # pipeline compile + worker ramp (and, on this host,
+            # time-varying hypervisor throttle); the second is the
+            # operator's steady-state cost
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
+            out[name] = round(min(samples), 3)
         return out
     finally:
         ray.shutdown()
