@@ -69,7 +69,7 @@ from probe_ray.tokenize.tokenizer import (
     _raw_tokens,
     tokenize,
 )
-from .codec import block_meta_multi, encode_varint_deltas_multi, pack_tf
+from .codec import block_meta_multi, encode_varint_deltas_multi, pack_tf_multi
 
 # Terms prefixed with this byte in the partial-run stream are UNIT
 # postings: verbatim lowercased maximal-alnum-run vocabulary used by the
@@ -318,13 +318,16 @@ def _merge_runs(
     ids_col = parts.column("ids").to_pylist()
     tfs_col = parts.column("tfs").to_pylist()
 
-    # unique terms + per-row term ids (rows are term-sorted)
-    uniq_terms: list[str] = []
-    row_tid = np.empty(len(terms), dtype=np.int64)
-    for r, t in enumerate(terms):
-        if not uniq_terms or t != uniq_terms[-1]:
-            uniq_terms.append(t)
-        row_tid[r] = len(uniq_terms) - 1
+    # unique terms + per-row term ids (rows are term-sorted): vectorized
+    # run-boundary detection over the object array
+    if terms:
+        tarr = np.asarray(terms, dtype=object)
+        new_run = np.r_[True, tarr[1:] != tarr[:-1]]
+        row_tid = np.cumsum(new_run) - 1
+        uniq_terms: list[str] = tarr[new_run].tolist()
+    else:
+        row_tid = np.empty(0, dtype=np.int64)
+        uniq_terms = []
     nt = len(uniq_terms)
 
     exploded_ids = np.frombuffer(b"".join(ids_col), dtype=np.uint64)
@@ -426,10 +429,7 @@ def finalize_subshard(
         if len(sorted_tfs)
         else np.zeros(nt, dtype=np.int32)
     )
-    tfbits = [
-        pack_tf(sorted_tfs[a : a + l])
-        for a, l in zip(term_starts, term_lens)
-    ]
+    tfbits = pack_tf_multi(sorted_tfs, term_lens)
     n_postings = int(term_lens.sum())
 
     posting_tbl = pa.table(

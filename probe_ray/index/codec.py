@@ -142,14 +142,15 @@ def encode_varint_deltas_multi(
     deltas[1:] = vals[1:] - vals[:-1]
     abs_mask = (pos_in_term % BLOCK) == 0
     deltas[abs_mask] = vals[abs_mask]
-    bits = np.zeros(n, dtype=np.int64)
-    tmp = deltas.copy()
-    nonzero = tmp > 0
-    while nonzero.any():
-        bits[nonzero] += 1
-        tmp >>= np.uint64(1)
-        nonzero = tmp > 0
-    nbytes = np.maximum((bits + 6) // 7, 1)
+    # varint width: a value needs k bytes iff it is >= 2^(7(k-1)) (k>=2);
+    # direct thresholds replace the former per-bit shift loop (<=9
+    # full-array compares, early exit once max() is below the threshold)
+    nbytes = np.ones(n, dtype=np.int64)
+    dmax = int(deltas.max())
+    for k in range(1, 10):
+        if dmax < (1 << (7 * k)):
+            break
+        nbytes += deltas >= np.uint64(1 << (7 * k))
     ends = np.cumsum(nbytes)
     bstarts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -200,6 +201,27 @@ def block_meta_multi(
 def pack_tf(tfs: np.ndarray) -> bytes:
     """tf in {1,2} -> bitmap (bit set => tf==2)."""
     return np.packbits((np.asarray(tfs) > 1).astype(np.uint8)).tobytes()
+
+
+def pack_tf_multi(tfs: np.ndarray, lens: np.ndarray) -> list[bytes]:
+    """Vectorized multi-posting pack_tf over the concatenation: each
+    term's bitmap starts byte-aligned with zero padding at its tail, so
+    every slice is byte-identical to ``pack_tf`` on that term alone."""
+    lens = np.asarray(lens, dtype=np.int64)
+    if len(lens) == 0:
+        return []
+    tfs = np.asarray(tfs)
+    nb = (lens + 7) // 8
+    byte_b = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_b[1:])
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos_in_term = np.arange(len(tfs), dtype=np.int64) - np.repeat(starts, lens)
+    bitpos = np.repeat(byte_b[:-1] * 8, lens) + pos_in_term
+    bits = np.zeros(int(byte_b[-1]) * 8, dtype=np.uint8)
+    bits[bitpos] = tfs > 1
+    packed = np.packbits(bits)
+    return [packed[a:b].tobytes() for a, b in zip(byte_b[:-1], byte_b[1:])]
 
 
 def unpack_tf(buf: bytes, n: int) -> np.ndarray:

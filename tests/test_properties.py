@@ -130,6 +130,23 @@ def test_tf_bitmap_roundtrip(tfs):
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(
+        st.lists(st.integers(min_value=1, max_value=2), min_size=1, max_size=70),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_pack_tf_multi_matches_single(groups):
+    from probe_ray.index.codec import pack_tf_multi
+
+    arrays = [np.asarray(g, dtype=np.uint8) for g in groups]
+    flat = np.concatenate(arrays) if arrays else np.empty(0, dtype=np.uint8)
+    lens = np.array([len(a) for a in arrays], dtype=np.int64)
+    assert pack_tf_multi(flat, lens) == [pack_tf(a) for a in arrays]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
         st.integers(min_value=0, max_value=2**40), min_size=1, max_size=600
     ),
     st.data(),
