@@ -308,6 +308,26 @@ def _write_atomic(table: pa.Table, path: str, row_group_size: int | None = None)
     os.replace(tmp, path)
 
 
+def _flat_binary(col) -> np.ndarray:
+    """Concatenated payload bytes of a (chunked) non-null binary column as
+    one uint8 array — reads the Arrow offsets/values buffers directly
+    instead of materializing one Python bytes object per row."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = []
+    for a in chunks:
+        if len(a) == 0:
+            continue
+        otype = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+        offs = np.frombuffer(a.buffers()[1], dtype=otype)[
+            a.offset : a.offset + len(a) + 1
+        ]
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        out.append(data[offs[0] : offs[-1]])
+    if not out:
+        return np.empty(0, dtype=np.uint8)
+    return np.concatenate(out) if len(out) > 1 else out[0].copy()
+
+
 def _merge_runs(
     parts: pa.Table, terms: list[str], docmap: np.ndarray
 ) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -315,8 +335,6 @@ def _merge_runs(
     term_lens, term_starts, local_ids_sorted, tfs_sorted) with postings
     grouped by term and sorted by dense local id within each term."""
     ns = parts.column("n").to_numpy()
-    ids_col = parts.column("ids").to_pylist()
-    tfs_col = parts.column("tfs").to_pylist()
 
     # unique terms + per-row term ids (rows are term-sorted): vectorized
     # run-boundary detection over the object array
@@ -330,8 +348,8 @@ def _merge_runs(
         uniq_terms = []
     nt = len(uniq_terms)
 
-    exploded_ids = np.frombuffer(b"".join(ids_col), dtype=np.uint64)
-    exploded_tfs = np.frombuffer(b"".join(tfs_col), dtype=np.uint8)
+    exploded_ids = _flat_binary(parts.column("ids")).view(np.uint64)
+    exploded_tfs = _flat_binary(parts.column("tfs"))
     val_tid = np.repeat(row_tid, ns)
     # doc_hash -> dense local id FIRST (docmap sorted => monotone map, so
     # (tid, local) order == (tid, hash) order), then pack both into one

@@ -191,10 +191,9 @@ def block_meta_multi(
     # contiguous and cover all values, so boundaries line up exactly
     blk_b = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(nblocks, out=blk_b[1:])
+    maxtf = maxtf.astype(np.uint8, copy=False)
     out_last = [last[a:b].tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])]
-    out_maxtf = [
-        maxtf[a:b].astype(np.uint8).tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])
-    ]
+    out_maxtf = [maxtf[a:b].tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])]
     return out_last, out_maxtf
 
 
