@@ -944,23 +944,27 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     doc_id < max_doc_id: (a_id, b_id, inter_count, a_size, b_size).
 
     Token postings -> groupby(token) -> per-token pair emission ->
-    groupby(pair) count; sizes joined via a broadcast map (small side)."""
-    import ray
+    groupby(pair) count. Each posting row carries its doc's set size, so
+    sizes travel through the shuffle with the data — no driver-side size
+    map (at 10^12 docs a broadcast dict of every doc's size cannot fit on
+    the driver; a per-row column costs 8 B and nothing else)."""
     import ray.data
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     docs = _read_documents(sf_dir).filter(
         expr=f"doc_id < {max_doc_id}"
     )
 
     def tokens(batch: pa.Table) -> pa.Table:
-        out_tok, out_doc = [], []
+        out_tok, out_doc, out_sz = [], [], []
         for did, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            for tok in set(_WS.split(t.strip()) if t.strip() else []):
+            tset = set(_WS.split(t.strip()) if t.strip() else [])
+            for tok in tset:
                 out_tok.append(tok)
                 out_doc.append(did)
+                out_sz.append(len(tset))
         import zlib
 
         part = np.fromiter(
@@ -973,21 +977,15 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
                 "part": pa.array(part),
                 "tok": pa.array(out_tok, pa.string()),
                 "doc_id": pa.array(out_doc, pa.int64()),
+                "size": pa.array(out_sz, pa.int64()),
             }
         )
 
     posting = (
         docs.map_batches(tokens, batch_format="pyarrow")
-        # postings are ~24 B + token text per row, max_doc_id docs
+        # postings are ~32 B + token text per row, max_doc_id docs
         .repartition(_shuffle_parts(max_doc_id * 4096))
-        .materialize()
     )
-
-    sizes_rows = (
-        posting.groupby("doc_id").count().take_all()
-    )
-    sizes = {int(r["doc_id"]): int(r["count()"]) for r in sizes_rows}
-    sizes_ref = ray.put(sizes)
 
     def pairs(group: pa.Table) -> pa.Table:
         """One group = one token partition; equal-token runs found by one
@@ -1000,21 +998,27 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
         g = group.take(order)
         toks = np.asarray(g.column("tok").to_pylist(), dtype=object)
         ids = g.column("doc_id").to_numpy()
+        szs = g.column("size").to_numpy()
         starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
         ends = np.r_[starts[1:], len(toks)]
-        a_out, b_out = [], []
+        a_out, b_out, asz_out, bsz_out = [], [], [], []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
             run = ids[s:e]
+            rsz = szs[s:e]
             for i in range(len(run)):
                 for j in range(i + 1, len(run)):
                     a_out.append(int(run[i]))
                     b_out.append(int(run[j]))
+                    asz_out.append(int(rsz[i]))
+                    bsz_out.append(int(rsz[j]))
         return pa.table(
             {
                 "a_id": pa.array(a_out, pa.int64()),
                 "b_id": pa.array(b_out, pa.int64()),
+                "a_sz": pa.array(asz_out, pa.int64()),
+                "b_sz": pa.array(bsz_out, pa.int64()),
                 "one": pa.array([1] * len(a_out), pa.int64()),
             }
         )
@@ -1023,24 +1027,23 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
         posting.groupby("part")
         .map_groups(pairs, batch_format="pyarrow")
         .groupby(["a_id", "b_id"])
-        .aggregate(Sum("one"))
+        # sizes are constant per pair; Max is just "pick one"
+        .aggregate(Sum("one"), Max("a_sz"), Max("b_sz"))
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        szs = ray.get(sizes_ref)
-        a = batch.column("a_id").to_pylist()
-        b = batch.column("b_id").to_pylist()
-        inter = batch.column("sum(one)").to_pylist()
-        keep = [i for i, c in enumerate(inter) if c >= min_inter]
-        return pa.table(
+        inter = batch.column("sum(one)").to_numpy()
+        keep = inter >= min_inter
+        t = pa.table(
             {
-                "a_id": pa.array([a[i] for i in keep], pa.int64()),
-                "b_id": pa.array([b[i] for i in keep], pa.int64()),
-                "inter_count": pa.array([inter[i] for i in keep], pa.int64()),
-                "a_size": pa.array([szs[a[i]] for i in keep], pa.int64()),
-                "b_size": pa.array([szs[b[i]] for i in keep], pa.int64()),
+                "a_id": batch.column("a_id"),
+                "b_id": batch.column("b_id"),
+                "inter_count": batch.column("sum(one)"),
+                "a_size": batch.column("max(a_sz)"),
+                "b_size": batch.column("max(b_sz)"),
             }
         )
+        return t.filter(pa.array(keep))
 
     return counted.map_batches(finish, batch_format="pyarrow").sort(
         ["a_id", "b_id"]
