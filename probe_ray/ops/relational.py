@@ -19,6 +19,30 @@ import pyarrow as pa
 from probe_ray.ops.sizing import shuffle_parts, table_rows
 
 
+def _dataset_topk(ds, sort_keys: list[tuple[str, str]], k: int):
+    """Distributive top-k without a Sort all-to-all: prune each block to
+    its local top-k with one vectorized sort, collect the <= k x n_blocks
+    survivors on the driver (blocks are capped at 1024 by the sizing
+    helpers, so the merge is <= 1024k rows regardless of input size),
+    final sort + head. Returned as a Dataset for API parity with .sort()."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        return batch.take(pc.sort_indices(batch, sort_keys=sort_keys)[:k])
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    t = pa.concat_tables(
+        ray.get(list(pruned.to_arrow_refs())), promote_options="default"
+    )
+    return ray.data.from_arrow(
+        t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+    )
+
+
 def _milli(arr: np.ndarray) -> np.ndarray:
     return np.floor(arr * 1000.0 + 0.5).astype(np.int64)
 
@@ -132,10 +156,10 @@ def top_customers_by_revenue(sf_dir: str, k: int = 20):
             }
         )
 
-    return (
-        agg.map_batches(join_names, batch_format="pyarrow")
-        .sort(["revenue_milli", "custkey"], descending=[True, False])
-        .limit(k)
+    return _dataset_topk(
+        agg.map_batches(join_names, batch_format="pyarrow"),
+        [("revenue_milli", "descending"), ("custkey", "ascending")],
+        k,
     )
 
 
@@ -543,10 +567,10 @@ def top_brands_by_revenue(sf_dir: str, k: int = 10):
             }
         )
 
-    return (
-        agg.map_batches(rename, batch_format="pyarrow")
-        .sort(["revenue_milli", "p_brand"], descending=[True, False])
-        .limit(k)
+    return _dataset_topk(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        [("revenue_milli", "descending"), ("p_brand", "ascending")],
+        k,
     )
 
 
