@@ -19,28 +19,7 @@ import pyarrow as pa
 from probe_ray.ops.sizing import shuffle_parts, table_rows
 
 
-def _dataset_topk(ds, sort_keys: list[tuple[str, str]], k: int):
-    """Distributive top-k without a Sort all-to-all: prune each block to
-    its local top-k with one vectorized sort, collect the <= k x n_blocks
-    survivors on the driver (blocks are capped at 1024 by the sizing
-    helpers, so the merge is <= 1024k rows regardless of input size),
-    final sort + head. Returned as a Dataset for API parity with .sort()."""
-    import pyarrow.compute as pc
-    import ray
-    import ray.data
-
-    def prune(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= k:
-            return batch
-        return batch.take(pc.sort_indices(batch, sort_keys=sort_keys)[:k])
-
-    pruned = ds.map_batches(prune, batch_format="pyarrow")
-    t = pa.concat_tables(
-        ray.get(list(pruned.to_arrow_refs())), promote_options="default"
-    )
-    return ray.data.from_arrow(
-        t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
-    )
+from probe_ray.ops.topk import dataset_topk as _dataset_topk
 
 
 def _milli(arr: np.ndarray) -> np.ndarray:

@@ -400,10 +400,14 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 20):
             }
         )
 
-    return (
-        agg.map_batches(rename, batch_format="pyarrow")
-        .sort(["cnt", "ngram"], descending=[True, False])
-        .limit(k)
+    from probe_ray.ops.topk import dataset_topk
+
+    # the distinct-ngram table is vocabulary-sized — top-k via per-block
+    # prune + tiny driver merge, not a Sort all-to-all over the vocabulary
+    return dataset_topk(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        [("cnt", "descending"), ("ngram", "ascending")],
+        k,
     )
 
 
