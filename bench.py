@@ -347,11 +347,13 @@ def main():
         # stand-in for the same job on N- and 4N-node clusters.
         import ray
 
-        # 1.5M docs x ~6.5 KB ≈ 10 GB of content. One wave: at this data
-        # size a finalize group is ~300 MB (10 GB / 32 subshards), well
-        # within worker memory, so a single wave is the correct production
-        # config — waves exist to bound group memory and give checkpoint
-        # granularity when the corpus is orders of magnitude larger.
+        # 1.5M docs x ~6.5 KB ≈ 10 GB of content. Two waves: wave w's
+        # finalize tasks overlap wave w+1's tokenize Dataset job, hiding
+        # most of the finalize tail (measured at 12 CPUs on this corpus:
+        # 1 wave 125.7 s, 2 waves 95.9 s, 3 waves 107.8 s, 4 waves
+        # 140.8 s — more waves trade overlap for per-wave job fixed
+        # costs). Memory per finalize group stays tiny either way
+        # (~150-300 MB = wave_bytes / 32 subshards).
         s_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "1500000"))
         s_scale = int(os.environ.get("GRAFT_SCALING_STMTS", "8"))
         ray.init(address="local", include_dashboard=False, log_to_driver=False)
@@ -366,11 +368,11 @@ def main():
         hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", str(4 * lo_cpus)))
         lo = run_headline(
             lo_cpus, s_rows, f"c{lo_cpus}", stmt_scale=s_scale,
-            subshards=32, run_queries=False, num_waves=1,
+            subshards=32, run_queries=False, num_waves=2,
         )
         hi = run_headline(
             hi_cpus, s_rows, f"c{hi_cpus}", stmt_scale=s_scale,
-            subshards=32, run_queries=False, num_waves=1,
+            subshards=32, run_queries=False, num_waves=2,
         )
         eff = (hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"]))
         print(
