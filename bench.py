@@ -333,10 +333,66 @@ def run_sf_ops(num_cpus: int) -> dict:
         ray.shutdown()
 
 
+def run_latency(num_cpus: int, rows: int, reps: int = 100) -> dict:
+    """BASELINE.md measurement plan: p50/p99 over >=reps repetitions of
+    every index-path reference query against a warm reader."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, log_to_driver=False,
+    )
+    try:
+        from probe_ray.index.build import IndexConfig, build_index
+        from probe_ray.ops.fts import REFERENCE_QUERIES
+        from probe_ray.query.bm25 import create_query_plan
+        from probe_ray.search.searcher import IndexReader
+
+        corpus = _corpus(rows, 1)
+        idx = os.path.join(BENCH_ROOT, f"index_{rows}_lat")
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_index(
+                [corpus], idx,
+                IndexConfig(num_waves=2, subshards=max(4, num_cpus // 4)),
+            )
+        rd = IndexReader(idx)
+        rd.search("setTools", k=10)
+        qs = {
+            n: q for n, q in REFERENCE_QUERIES.items()
+            if not create_query_plan(q).special_terms
+        }
+        samples: list[float] = []
+        for _ in range(reps):
+            for q in qs.values():
+                t0 = time.time()
+                rd.search(q, k=10)
+                samples.append(time.time() - t0)
+        rd.close()
+        samples.sort()
+        n = len(samples)
+        return {
+            "queries": len(qs), "reps": reps, "n_samples": n,
+            "p50_ms": round(samples[n // 2] * 1000, 2),
+            "p99_ms": round(samples[int(n * 0.99)] * 1000, 2),
+            "max_ms": round(samples[-1] * 1000, 2),
+        }
+    finally:
+        ray.shutdown()
+
+
 def main():
     os.makedirs(BENCH_ROOT, exist_ok=True)
     sf = _sf()
     rows = max(2000, int(200_000 * sf))
+
+    if "--latency" in sys.argv:
+        out = run_latency(NUM_CPUS, rows)
+        print(json.dumps({
+            "metric": "index-path query latency (warm reader)",
+            "unit": "ms", "value": out["p50_ms"], "sf": sf,
+            "num_cpus": NUM_CPUS, **out,
+        }))
+        return
 
     if "--scaling" in sys.argv:
         # Scaling is measured on a compute-dominated corpus (~1.7 GB of
