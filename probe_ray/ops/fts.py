@@ -347,6 +347,11 @@ def index_doc_stats(sf_dir: str) -> pa.Table:
 
 
 def term_df_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k document-frequency terms over the documents-table index."""
+    return term_df_topk_from_index(ensure_index(sf_dir), k)
+
+
+def term_df_topk_from_index(idx: str, k: int = 20) -> pa.Table:
     """Top-k document-frequency terms: (term, df), ties broken by term asc.
 
     Reads the build's global sorted dictionary (``dict/*.parquet``,
@@ -355,8 +360,6 @@ def term_df_topk(sf_dir: str, k: int = 20) -> pa.Table:
     regardless of vocabulary size, and no postings file is touched."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-
-    idx = ensure_index(sf_dir)
     best: pa.Table | None = None
     for f in sorted(glob.glob(os.path.join(idx, "dict", "*.parquet"))):
         pf = pq.ParquetFile(f)
