@@ -350,11 +350,12 @@ def run_latency(num_cpus: int, rows: int, reps: int = 100) -> dict:
 
         corpus = _corpus(rows, 1)
         idx = os.path.join(BENCH_ROOT, f"index_{rows}_lat")
-        if not os.path.exists(os.path.join(idx, "manifest.json")):
-            build_index(
-                [corpus], idx,
-                IndexConfig(num_waves=2, subshards=max(4, num_cpus // 4)),
-            )
+        # resume-aware: a complete up-to-date index is a fast no-op, a
+        # stale or partial one is rebuilt
+        build_index(
+            [corpus], idx,
+            IndexConfig(num_waves=2, subshards=max(4, num_cpus // 4)),
+        )
         rd = IndexReader(idx)
         rd.search("setTools", k=10)
         qs = {
