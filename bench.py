@@ -127,6 +127,19 @@ def _warmup_ray_data():
     ds.map_batches(hold, batch_format="pyarrow").materialize()
 
 
+def _timed(fn, reps: int, stat: str) -> tuple[float, object]:
+    """Run fn reps times; return (rounded median or min of the wall
+    times, last return value)."""
+    samples, out = [], None
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        samples.append(time.time() - t0)
+    samples.sort()
+    val = samples[len(samples) // 2] if stat == "median" else samples[0]
+    return round(val, 4), out
+
+
 def _corpus_bytes(d: str) -> int:
     return sum(
         os.path.getsize(os.path.join(d, f))
@@ -203,13 +216,10 @@ def run_headline(
             # dynamic special queries run a candidate pipeline (unit-
             # postings discovery + candidate re-tokenize) — cheap enough
             # to take a median of 3; index-path queries median of 5
-            reps = 3 if special else 5
-            samples = []
-            for _ in range(reps):
-                t1 = time.time()
-                rd.search(q, k=10)
-                samples.append(time.time() - t1)
-            qtimes[f"fts_{name}"] = round(sorted(samples)[len(samples) // 2], 4)
+            qtimes[f"fts_{name}"], _ = _timed(
+                lambda q=q: rd.search(q, k=10),
+                reps=3 if special else 5, stat="median",
+            )
         # all index-path queries in ONE search_many batch: the shared
         # candidate/postings pass amortizes per-query overhead — the
         # realistic agent/MCP usage shape (reference serves one query per
@@ -234,19 +244,15 @@ def run_headline(
         # median of 3, like the query entries: the first rep also pays the
         # session's first task-pool Dataset pipeline spin-up, which is
         # Ray's constant, not the operator's cost
-        bsamples = []
-        for _ in range(3):
-            t1 = time.time()
-            bt = search_blocks(rd, cfiles, "error AND handling", k=10)
-            bsamples.append(time.time() - t1)
-        qtimes["fts_blocks_and"] = round(sorted(bsamples)[1], 4)
+        qtimes["fts_blocks_and"], bt = _timed(
+            lambda: search_blocks(rd, cfiles, "error AND handling", k=10),
+            reps=3, stat="median",
+        )
         p0 = bt.column("path").to_pylist()[0] if bt.num_rows else "none"
-        esamples = []
-        for _ in range(3):
-            t1 = time.time()
-            extract_specs(cfiles, [f"{p0}:1-5"], context_lines=0)
-            esamples.append(time.time() - t1)
-        qtimes["extract_range"] = round(sorted(esamples)[1], 4)
+        qtimes["extract_range"], _ = _timed(
+            lambda: extract_specs(cfiles, [f"{p0}:1-5"], context_lines=0),
+            reps=3, stat="median",
+        )
         # incremental append: +5% new docs re-invokes build_index on the
         # grown dir — done waves are kept as recorded (O(new files), not
         # a rebuild; index/build.py _plan_waves). Close the reader first
@@ -322,12 +328,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             # pipeline compile + worker ramp (and, on this host,
             # time-varying hypervisor throttle); the second is the
             # operator's steady-state cost
-            samples = []
-            for _ in range(2):
-                t0 = time.time()
-                fn()
-                samples.append(time.time() - t0)
-            out[name] = round(min(samples), 3)
+            out[name], _ = _timed(fn, reps=2, stat="min")
         return out
     finally:
         ray.shutdown()

@@ -17,8 +17,6 @@ import numpy as np
 import pyarrow as pa
 
 from probe_ray.ops.sizing import shuffle_parts, table_rows
-
-
 from probe_ray.ops.topk import dataset_topk as _dataset_topk
 
 

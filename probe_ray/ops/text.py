@@ -12,6 +12,7 @@ import numpy as np
 import pyarrow as pa
 
 from probe_ray.ops.sizing import shuffle_parts, table_rows
+from probe_ray.ops.topk import dataset_topk
 
 _WS = re.compile(r"\s+")
 _ALPHA = re.compile(r"[A-Za-z]")
@@ -399,8 +400,6 @@ def ngram_topk(sf_dir: str, n: int = 2, k: int = 20):
                 "cnt": batch.column("sum(cnt)"),
             }
         )
-
-    from probe_ray.ops.topk import dataset_topk
 
     # the distinct-ngram table is vocabulary-sized — top-k via per-block
     # prune + tiny driver merge, not a Sort all-to-all over the vocabulary

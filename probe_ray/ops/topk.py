@@ -25,9 +25,14 @@ def dataset_topk(ds, sort_keys: list[tuple[str, str]], k: int):
         return batch.take(pc.sort_indices(batch, sort_keys=sort_keys)[:k])
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
-    t = pa.concat_tables(
-        ray.get(list(pruned.to_arrow_refs())), promote_options="default"
-    )
+    tables = ray.get(list(pruned.to_arrow_refs()))
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
+        # preserve the schema when any (empty) block carries one — same
+        # contract as .sort().limit(k) on an empty dataset
+        base = next((t for t in tables if t.schema.names), pa.table({}))
+        return ray.data.from_arrow(base.slice(0, 0))
+    t = pa.concat_tables(nonempty, promote_options="default")
     return ray.data.from_arrow(
         t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
     )
