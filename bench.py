@@ -300,7 +300,7 @@ def run_sf_ops(num_cpus: int) -> dict:
         log_to_driver=False,
     )
     try:
-        from probe_ray.ops import ann, dedup, relational, text
+        from probe_ray.ops import ann, dedup, embed, multimodal, relational, text
 
         # same session warmup the build section uses: spawn the worker
         # pool on a trivial pipeline so the first timed op measures the
@@ -323,6 +323,9 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),
             ("rel_semijoin", lambda: relational.order_priority_semijoin(SF_DIR).count()),
             ("rel_sliding_window", lambda: relational.events_sliding_window_counts(SF_DIR).count()),
+            ("text_curation", lambda: text.curation_pipeline(SF_DIR).count()),
+            ("embed_neardup_chain", lambda: embed.text_embed_neardup_pairs(SF_DIR).count()),
+            ("multimodal_frames", lambda: multimodal.frame_features(SF_DIR).count()),
         ]:
             # 2 reps, report the better: the first rep of each op pays
             # pipeline compile + worker ramp (and, on this host,
