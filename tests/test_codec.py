@@ -90,3 +90,18 @@ def test_multi_codec_byte_identity():
     # and decode round-trips per term
     for (ids, _), payload in zip(arrays, encode_varint_deltas_multi(vals, lens)):
         assert np.array_equal(decode_varint_deltas(payload, len(ids)), ids)
+
+
+def test_varint_width_extremes():
+    """9- and 10-byte varints (values >= 2^56 / 2^63): the threshold-based
+    width computation must agree with the scalar encoder and round-trip."""
+    from probe_ray.index.codec import encode_varint_deltas_multi
+
+    ids = np.array(
+        [0, 127, 128, 2**56 - 1, 2**56, 2**63 - 1, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    lens = np.array([len(ids)])
+    multi = encode_varint_deltas_multi(ids, lens)
+    assert multi == [encode_varint_deltas(ids)]
+    assert np.array_equal(decode_varint_deltas(multi[0], len(ids)), ids)
