@@ -939,7 +939,22 @@ def neardup_clusters(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
-def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
+#: Tokens whose document frequency exceeds this cap are skipped during pair
+#: emission: a token in df docs emits df^2/2 pairs, so one hot token (a
+#: stopword present in every doc) is quadratic in corpus size. Tokens this
+#: common carry almost no similarity signal (they are in *everyone's* set),
+#: and classic prefix/frequency filtering drops them for the same reason.
+#: The default is far above any df reachable at the driver's max_doc_id=50
+#: gate, so CORRECTNESS results are exact; at web scale callers lower it.
+NGRAM_DF_CAP = 10_000
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    max_doc_id: int = 50,
+    min_inter: int = 5,
+    df_cap: int = NGRAM_DF_CAP,
+):
     """Distributed set-similarity join on whitespace-token sets for
     doc_id < max_doc_id: (a_id, b_id, inter_count, a_size, b_size).
 
@@ -947,7 +962,12 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     groupby(pair) count. Each posting row carries its doc's set size, so
     sizes travel through the shuffle with the data — no driver-side size
     map (at 10^12 docs a broadcast dict of every doc's size cannot fit on
-    the driver; a per-row column costs 8 B and nothing else)."""
+    the driver; a per-row column costs 8 B and nothing else).
+
+    ``df_cap`` bounds the one quadratic stage: a token present in df docs
+    emits df*(df-1)/2 pairs, so runs longer than the cap are skipped
+    entirely (see NGRAM_DF_CAP). With the cap, per-group work is
+    O(postings + pairs_emitted) with pairs_emitted <= df_cap * postings."""
     import ray.data
     from ray.data.aggregate import Max, Sum
 
@@ -956,28 +976,48 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
     )
 
     def tokens(batch: pa.Table) -> pa.Table:
-        out_tok, out_doc, out_sz = [], [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            tset = set(_WS.split(t.strip()) if t.strip() else [])
-            for tok in tset:
-                out_tok.append(tok)
-                out_doc.append(did)
-                out_sz.append(len(tset))
+        """Vectorized posting extraction: split -> flatten -> per-doc set
+        dedupe via one np.unique over (doc, token-code) keys. No Python
+        loop over rows; blake-free crc32 runs once per *distinct* token."""
         import zlib
 
-        part = np.fromiter(
-            (zlib.crc32(t.encode()) & (LSH_PARTITIONS - 1) for t in out_tok),
+        import pyarrow.compute as pc
+
+        txt = pc.utf8_trim_whitespace(
+            batch.column("text").combine_chunks().cast(pa.string())
+        )
+        lists = pc.split_pattern_regex(txt, pattern=r"\s+")
+        flat = lists.flatten()
+        # parent doc index for every flattened token
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+        # drop the empty token a fully-blank doc yields
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not nonempty.all():
+            parents = parents[nonempty]
+            flat = flat.filter(pa.array(nonempty))
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        # unique (doc, token) pairs in one shot
+        key = parents * np.int64(len(vocab) + 1) + codes
+        uniq, first = np.unique(key, return_index=True)
+        u_parents = parents[first]
+        u_codes = codes[first]
+        # set size per doc = distinct tokens per parent
+        sizes = np.bincount(u_parents, minlength=len(lists))
+        doc_ids = batch.column("doc_id").to_numpy()
+        part_by_code = np.fromiter(
+            (zlib.crc32(t.encode()) & (LSH_PARTITIONS - 1) for t in vocab.to_pylist()),
             dtype=np.int64,
-            count=len(out_tok),
+            count=len(vocab),
         )
         return pa.table(
             {
-                "part": pa.array(part),
-                "tok": pa.array(out_tok, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "size": pa.array(out_sz, pa.int64()),
+                "part": pa.array(part_by_code[u_codes]),
+                "tok": vocab.take(pa.array(u_codes)),
+                "doc_id": pa.array(doc_ids[u_parents], pa.int64()),
+                "size": pa.array(sizes[u_parents], pa.int64()),
             }
         )
 
@@ -989,37 +1029,57 @@ def ngram_jaccard_pairs(sf_dir: str, max_doc_id: int = 50, min_inter: int = 5):
 
     def pairs(group: pa.Table) -> pa.Table:
         """One group = one token partition; equal-token runs found by one
-        vectorized sort (no per-token Python group calls)."""
+        vectorized sort, pairs emitted per run with np.triu_indices (no
+        Python double loop), runs longer than df_cap skipped."""
         import pyarrow.compute as pc
 
         order = pc.sort_indices(
             group, sort_keys=[("tok", "ascending"), ("doc_id", "ascending")]
         )
         g = group.take(order)
-        toks = np.asarray(g.column("tok").to_pylist(), dtype=object)
+        tok = g.column("tok").combine_chunks()
         ids = g.column("doc_id").to_numpy()
         szs = g.column("size").to_numpy()
-        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
-        ends = np.r_[starts[1:], len(toks)]
-        a_out, b_out, asz_out, bsz_out = [], [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            run = ids[s:e]
-            rsz = szs[s:e]
-            for i in range(len(run)):
-                for j in range(i + 1, len(run)):
-                    a_out.append(int(run[i]))
-                    b_out.append(int(run[j]))
-                    asz_out.append(int(rsz[i]))
-                    bsz_out.append(int(rsz[j]))
+        n = len(tok)
+        if n == 0:
+            return pa.table(
+                {
+                    "a_id": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "a_sz": pa.array([], pa.int64()),
+                    "b_sz": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        neq = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.flatnonzero(np.r_[True, neq])
+        lens = np.r_[starts[1:], n] - starts
+        keep = (lens >= 2) & (lens <= df_cap)
+        a_parts, b_parts, asz_parts, bsz_parts = [], [], [], []
+        for s, ln in zip(starts[keep], lens[keep]):
+            iu, ju = np.triu_indices(int(ln), k=1)
+            run = ids[s : s + ln]
+            rsz = szs[s : s + ln]
+            a_parts.append(run[iu])
+            b_parts.append(run[ju])
+            asz_parts.append(rsz[iu])
+            bsz_parts.append(rsz[ju])
+        if a_parts:
+            a = np.concatenate(a_parts)
+            b = np.concatenate(b_parts)
+            asz = np.concatenate(asz_parts)
+            bsz = np.concatenate(bsz_parts)
+        else:
+            a = b = asz = bsz = np.array([], dtype=np.int64)
         return pa.table(
             {
-                "a_id": pa.array(a_out, pa.int64()),
-                "b_id": pa.array(b_out, pa.int64()),
-                "a_sz": pa.array(asz_out, pa.int64()),
-                "b_sz": pa.array(bsz_out, pa.int64()),
-                "one": pa.array([1] * len(a_out), pa.int64()),
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "a_sz": pa.array(asz, pa.int64()),
+                "b_sz": pa.array(bsz, pa.int64()),
+                "one": pa.array(np.ones(len(a), dtype=np.int64)),
             }
         )
 

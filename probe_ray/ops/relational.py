@@ -24,6 +24,117 @@ def _milli(arr: np.ndarray) -> np.ndarray:
     return np.floor(arr * 1000.0 + 0.5).astype(np.int64)
 
 
+#: Above this many dimension rows a driver-read broadcast dict stops being
+#: "small side" (TPC-H customer at sf100 is 15M rows — a multi-GB Python
+#: dict on the driver and in every worker); the join switches to the
+#: bounded-partition repartition join below.
+DICT_DRIVER_MAX_ROWS = 2_000_000
+
+SESSION_PARTITIONS = 64
+SEMIJOIN_PARTITIONS = 64
+
+
+def _lookup_join_distributed(
+    fact,
+    fact_key: str,
+    dim,
+    dim_key: str,
+    dim_val: str,
+    val_type: pa.DataType,
+    payload_cols: list[str],
+    out_name: str,
+    est_bytes: int,
+    partitions: int = SEMIJOIN_PARTITIONS,
+):
+    """Annotate (fact_key, *payload) rows with one dimension value via a
+    bounded-partition repartition join — the crossover target when the
+    dimension exceeds DICT_DRIVER_MAX_ROWS.
+
+    Both sides are keyed by ``key % partitions`` and met in one
+    union + groupby (the same shape as order_priority_semijoin below);
+    inside a group the lookup is a vectorized np.searchsorted against the
+    group's sorted dim keys, never a Python dict probe per row. Fact rows
+    whose key is absent from the dimension get a null ``out_name``
+    (broadcast ``dict.get`` parity). Keys must be non-null int64.
+
+    fact: Dataset[(fact_key:int64, *payload_cols:int64)]
+    dim:  Dataset[(dim_key:int64, dim_val:val_type)]
+    returns Dataset[(out_name:val_type, *payload_cols:int64)]
+    """
+
+    def fact_side(batch: pa.Table) -> pa.Table:
+        k = batch.column(fact_key).to_numpy().astype(np.int64)
+        cols = {
+            "part": pa.array(k % partitions),
+            "key": pa.array(k),
+            "side": pa.array(np.ones(len(k), dtype=np.int64)),
+            "val": pa.nulls(len(k), val_type),
+        }
+        for c in payload_cols:
+            cols[c] = batch.column(c).cast(pa.int64())
+        return pa.table(cols)
+
+    def dim_side(batch: pa.Table) -> pa.Table:
+        k = batch.column(dim_key).to_numpy().astype(np.int64)
+        cols = {
+            "part": pa.array(k % partitions),
+            "key": pa.array(k),
+            "side": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "val": batch.column(dim_val).cast(val_type),
+        }
+        for c in payload_cols:
+            cols[c] = pa.array(np.zeros(len(k), dtype=np.int64))
+        return pa.table(cols)
+
+    def meet(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("side").to_numpy()
+        keys = group.column("key").to_numpy()
+        dmask = side == 0
+        fidx = np.flatnonzero(~dmask)
+        if len(fidx) == 0:
+            cols = {out_name: pa.nulls(0, val_type)}
+            for c in payload_cols:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        dkeys = keys[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        dkeys_s = dkeys[order]
+        fkeys = keys[fidx]
+        if len(dkeys_s):
+            dvals = (
+                group.column("val")
+                .filter(pa.array(dmask))
+                .take(pa.array(order))
+                .combine_chunks()
+            )
+            pos = np.minimum(
+                np.searchsorted(dkeys_s, fkeys), len(dkeys_s) - 1
+            )
+            found = dkeys_s[pos] == fkeys
+            taken = dvals.take(pa.array(np.where(found, pos, 0)))
+            val_out = pc.if_else(
+                pa.array(found), taken, pa.nulls(len(fkeys), val_type)
+            )
+        else:
+            val_out = pa.nulls(len(fkeys), val_type)
+        sel = group.take(pa.array(fidx))
+        cols = {out_name: val_out}
+        for c in payload_cols:
+            cols[c] = sel.column(c)
+        return pa.table(cols)
+
+    f = fact.map_batches(fact_side, batch_format="pyarrow", zero_copy_batch=True)
+    d = dim.map_batches(dim_side, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        f.union(d)
+        .repartition(shuffle_parts(est_bytes))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+    )
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
@@ -92,18 +203,19 @@ def q1_pricing_summary(sf_dir: str):
 
 def top_customers_by_revenue(sf_dir: str, k: int = 20):
     """Top-k customers by total order value: partial sums by o_custkey,
-    global groupby, then a BROADCAST join against the small customer
-    dimension (read once on the driver, looked up inside map_batches),
-    sort desc + limit. (custkey, c_name, revenue_milli)."""
-    import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+    global groupby, distributive top-k, THEN a name lookup for only the
+    k winners via a predicate-pushdown read of the customer dimension.
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    names = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
-    )
+    No broadcast of the dimension at any scale: the top-k is selected on
+    (revenue, custkey) alone — names don't participate in ordering — so
+    the join touches exactly k keys whether customer has 150k rows or
+    15 billion (the ``c_custkey IN (...)`` filter prunes row groups at
+    the read). (custkey, c_name, revenue_milli)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -123,20 +235,42 @@ def top_customers_by_revenue(sf_dir: str, k: int = 20):
         .aggregate(Sum("rev_sum"))
     )
 
-    def join_names(batch: pa.Table) -> pa.Table:
-        keys = batch.column("custkey").to_pylist()
+    def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "custkey": batch.column("custkey"),
-                "c_name": pa.array([names.get(c) for c in keys], pa.string()),
                 "revenue_milli": batch.column("sum(rev_sum)").cast(pa.int64()),
             }
         )
 
-    return _dataset_topk(
-        agg.map_batches(join_names, batch_format="pyarrow"),
+    top = _dataset_topk(
+        agg.map_batches(rename, batch_format="pyarrow"),
         [("revenue_milli", "descending"), ("custkey", "ascending")],
         k,
+    )
+    t = pa.concat_tables(
+        ray.get(list(top.to_arrow_refs())), promote_options="default"
+    )
+    keys = t.column("custkey").to_pylist()
+    names_t = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=pads.field("c_custkey").isin(keys),
+    )
+    names = dict(
+        zip(
+            names_t.column("c_custkey").to_pylist(),
+            names_t.column("c_name").to_pylist(),
+        )
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "custkey": t.column("custkey"),
+                "c_name": pa.array([names.get(c) for c in keys], pa.string()),
+                "revenue_milli": t.column("revenue_milli"),
+            }
+        )
     )
 
 
@@ -284,9 +418,6 @@ def top_event_per_user(sf_dir: str):
     )
 
 
-SESSION_PARTITIONS = 64
-
-
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Windowed aggregate: split each user's event stream into sessions at
     inactivity gaps > gap_minutes; one row per session
@@ -412,9 +543,6 @@ def q6_revenue_filter(sf_dir: str):
     )
 
 
-SEMIJOIN_PARTITIONS = 64
-
-
 def order_priority_semijoin(sf_dir: str, min_discount_milli: int = 80):
     """Distributed hash SEMI-JOIN without a join primitive: orders that
     have >=1 lineitem with discount >= 0.08, counted per priority.
@@ -496,45 +624,83 @@ def order_priority_semijoin(sf_dir: str, min_discount_milli: int = 80):
 
 
 def top_brands_by_revenue(sf_dir: str, k: int = 10):
-    """Fact-dimension broadcast join + top-k: lineitem revenue rolled up
-    to p_brand via the small part dimension (driver-read lookup dict in
-    the closure, shipped once per worker), partial per-batch sums before
-    the 25-group global groupby. (p_brand, revenue_milli)."""
+    """Fact-dimension join + top-k: lineitem revenue rolled up to p_brand
+    via the part dimension, partial per-batch sums before the 25-group
+    global groupby. (p_brand, revenue_milli).
+
+    Size-aware join crossover: at <= DICT_DRIVER_MAX_ROWS dimension rows
+    the brand map is a driver-read dict shipped once per worker (closure
+    serialization, never per batch); above it, the same result comes from
+    the bounded-partition repartition join (_lookup_join_distributed) —
+    no whole-dimension dict on the driver or in workers."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    part_t = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    )
-    brands = dict(
-        zip(
-            part_t.column("p_partkey").to_pylist(),
-            part_t.column("p_brand").to_pylist(),
-        )
-    )
+    n_dim = table_rows(sf_dir, "part")
+    fact_cols = ["l_partkey", "l_extendedprice", "l_discount"]
 
-    def partial(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_pylist()
-        rev = _milli(
-            batch.column("l_extendedprice").to_numpy()
-            * (1.0 - batch.column("l_discount").to_numpy())
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        part_t = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
         )
-        t = pa.table(
-            {
-                "p_brand": pa.array([brands.get(x) for x in pk], pa.string()),
-                "rev": pa.array(rev),
-            }
+        brands = dict(
+            zip(
+                part_t.column("p_partkey").to_pylist(),
+                part_t.column("p_brand").to_pylist(),
+            )
         )
-        return t.group_by(["p_brand"]).aggregate([("rev", "sum")])
 
-    agg = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        # ~25 brand rows per block after the partial
-        .repartition(shuffle_parts(25 * 64, lo=4))
-        .groupby("p_brand")
-        .aggregate(Sum("rev_sum"))
-    )
+        def partial(batch: pa.Table) -> pa.Table:
+            pk = batch.column("l_partkey").to_pylist()
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())
+            )
+            t = pa.table(
+                {
+                    "p_brand": pa.array([brands.get(x) for x in pk], pa.string()),
+                    "rev": pa.array(rev),
+                }
+            )
+            return t.group_by(["p_brand"]).aggregate([("rev", "sum")])
+
+        agg = (
+            _read(sf_dir, "lineitem", fact_cols)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            # ~25 brand rows per block after the partial
+            .repartition(shuffle_parts(25 * 64, lo=4))
+            .groupby("p_brand")
+            .aggregate(Sum("rev_sum"))
+        )
+    else:
+
+        def partial_pk(batch: pa.Table) -> pa.Table:
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())
+            )
+            t = pa.table(
+                {"pk": batch.column("l_partkey"), "rev": pa.array(rev)}
+            )
+            # pre-aggregate by partkey per batch before the exchange
+            return t.group_by(["pk"]).aggregate([("rev", "sum")])
+
+        fact = _read(sf_dir, "lineitem", fact_cols).map_batches(
+            partial_pk, batch_format="pyarrow", zero_copy_batch=True
+        )
+        dim = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        joined = _lookup_join_distributed(
+            fact,
+            "pk",
+            dim,
+            "p_partkey",
+            "p_brand",
+            pa.string(),
+            ["rev_sum"],
+            "p_brand",
+            est_bytes=(table_rows(sf_dir, "lineitem") + n_dim) * 48,
+        )
+        agg = joined.groupby("p_brand").aggregate(Sum("rev_sum"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -552,49 +718,109 @@ def top_brands_by_revenue(sf_dir: str, k: int = 10):
 
 
 def customers_per_region(sf_dir: str):
-    """Customer count per region name via two chained broadcast lookups
-    (nation, region are tiny dimensions): (r_name, n_customers)."""
+    """Customer count per region name via two chained dimension lookups:
+    (r_name, n_customers).
+
+    nation (25 rows) and region (5 rows) are constant-size in TPC-H, so
+    the broadcast-dict path is the permanent fast path; the same
+    size-aware crossover as top_brands_by_revenue still guards it (and
+    gives the test suite a forced-distributed branch to pin): above
+    DICT_DRIVER_MAX_ROWS the rollup chains two bounded-partition
+    repartition joins (customer->nation, then region)."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
-    )
-    region = pq.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    nat2reg = dict(
-        zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_regionkey").to_pylist(),
-        )
-    )
-    reg2name = dict(
-        zip(
-            region.column("r_regionkey").to_pylist(),
-            region.column("r_name").to_pylist(),
-        )
-    )
+    n_dim = max(table_rows(sf_dir, "nation"), table_rows(sf_dir, "region"))
 
-    def partial(batch: pa.Table) -> pa.Table:
-        nk = batch.column("c_nationkey").to_pylist()
-        rn = [reg2name.get(nat2reg.get(x)) for x in nk]
-        t = pa.table(
-            {
-                "r_name": pa.array(rn, pa.string()),
-                "one": pa.array(np.ones(len(rn), dtype=np.int64)),
-            }
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        nation = pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
         )
-        return t.group_by(["r_name"]).aggregate([("one", "sum")])
+        region = pq.read_table(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        )
+        nat2reg = dict(
+            zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_regionkey").to_pylist(),
+            )
+        )
+        reg2name = dict(
+            zip(
+                region.column("r_regionkey").to_pylist(),
+                region.column("r_name").to_pylist(),
+            )
+        )
 
-    agg = (
-        _read(sf_dir, "customer", ["c_nationkey"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        # ~5 region rows per block after the partial
-        .repartition(shuffle_parts(5 * 64, lo=4))
-        .groupby("r_name")
-        .aggregate(Sum("one_sum"))
-    )
+        def partial(batch: pa.Table) -> pa.Table:
+            nk = batch.column("c_nationkey").to_pylist()
+            rn = [reg2name.get(nat2reg.get(x)) for x in nk]
+            t = pa.table(
+                {
+                    "r_name": pa.array(rn, pa.string()),
+                    "one": pa.array(np.ones(len(rn), dtype=np.int64)),
+                }
+            )
+            return t.group_by(["r_name"]).aggregate([("one", "sum")])
+
+        agg = (
+            _read(sf_dir, "customer", ["c_nationkey"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            # ~5 region rows per block after the partial
+            .repartition(shuffle_parts(5 * 64, lo=4))
+            .groupby("r_name")
+            .aggregate(Sum("one_sum"))
+        )
+    else:
+
+        def partial_nk(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "nk": batch.column("c_nationkey"),
+                    "one": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64)
+                    ),
+                }
+            )
+            return t.group_by(["nk"]).aggregate([("one", "sum")])
+
+        fact = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+            partial_nk, batch_format="pyarrow", zero_copy_batch=True
+        )
+        est = (table_rows(sf_dir, "customer") + n_dim) * 48
+        j1 = _lookup_join_distributed(
+            fact,
+            "nk",
+            _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]),
+            "n_nationkey",
+            "n_regionkey",
+            pa.int64(),
+            ["one_sum"],
+            "rk",
+            est_bytes=est,
+        )
+        per_region = j1.groupby("rk").aggregate(Sum("one_sum"))
+
+        def rename_rk(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "rk": batch.column("rk"),
+                    "one_sum": batch.column("sum(one_sum)").cast(pa.int64()),
+                }
+            )
+
+        j2 = _lookup_join_distributed(
+            per_region.map_batches(rename_rk, batch_format="pyarrow"),
+            "rk",
+            _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+            "r_regionkey",
+            "r_name",
+            pa.string(),
+            ["one_sum"],
+            "r_name",
+            est_bytes=est,
+        )
+        agg = j2.groupby("r_name").aggregate(Sum("one_sum"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -43,6 +43,7 @@ CASES = [
     "text_decontaminate",
     "text_ngram_topk",
     "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
     "dedup_neardup_clusters",
     "embedding_neardup_pairs",
     "fts_extract_docs",
@@ -122,6 +123,67 @@ def test_minhash_verify_distributed_equals_driver(ray_session, monkeypatch):
     dist = _canon(_to_table(dedup.minhash_verified_pairs(SF_DIR)))
     assert fast == dist
     assert len(fast) > 0
+
+
+def test_relational_join_crossover_identity(ray_session, monkeypatch):
+    """The size-aware dimension-join crossover: forcing the distributed
+    bounded-partition repartition-join branch (DICT_DRIVER_MAX_ROWS = -1)
+    must produce exactly the broadcast-dict result."""
+    from probe_ray.ops import relational
+
+    brands = _canon(_to_table(relational.top_brands_by_revenue(SF_DIR)))
+    regions = _canon(_to_table(relational.customers_per_region(SF_DIR)))
+    assert len(brands) > 0 and len(regions) > 0
+    monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
+    assert _canon(_to_table(relational.top_brands_by_revenue(SF_DIR))) == brands
+    assert _canon(_to_table(relational.customers_per_region(SF_DIR))) == regions
+
+
+def test_ngram_jaccard_hot_token_df_cap(ray_session, tmp_path):
+    """A token shared by every doc used to emit df^2/2 pairs in a Python
+    double loop; df_cap skips such runs. Both the uncapped and the capped
+    result must equal a brute-force intersection count with the same
+    df-filter applied."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from probe_ray.ops import dedup
+
+    n = 120
+    texts = [f"common u{i}a u{i}b u{i}c shared{i % 4} x{i}" for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    sets = [set(t.split()) for t in texts]
+    df = Counter(tok for s in sets for tok in s)
+
+    def brute(cap):
+        out = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                inter = sum(1 for tok in sets[i] & sets[j] if df[tok] <= cap)
+                if inter >= 1:
+                    out[(i, j)] = inter
+        return out
+
+    def run(**kw):
+        t = _to_table(
+            dedup.ngram_jaccard_pairs(str(tmp_path), max_doc_id=n, min_inter=1, **kw)
+        )
+        return {
+            (r["a_id"], r["b_id"]): r["inter_count"] for r in t.to_pylist()
+        }
+
+    assert run() == brute(dedup.NGRAM_DF_CAP)  # hot token within default cap
+    assert run(df_cap=20) == brute(20)  # hot + shared tokens skipped
 
 
 def test_neardup_clusters_distributed_equals_driver(ray_session, monkeypatch):
