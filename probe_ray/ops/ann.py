@@ -14,6 +14,18 @@ import numpy as np
 import pyarrow as pa
 
 
+def _list_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy decode of a fixed-width list<float> column to (n, dim):
+    combine_chunks -> flatten -> one buffer-backed to_numpy -> reshape
+    (the dedup.py _sig_matrix idiom). Replaces .to_pylist() -> np.array,
+    which churned a Python object per row in the hottest ANN loops."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(len(arr), -1)
+
+
 def _read_embeddings(sf_dir: str):
     import ray.data
 
@@ -36,7 +48,7 @@ def _query_matrix(sf_dir: str, nq: int) -> tuple[np.ndarray, list[int]]:
         .sort_by([("vec_id", "ascending")])
     )
     ids = t.column("vec_id").to_pylist()[:nq]
-    vecs = np.array(t.column("embedding").to_pylist()[:nq], dtype=np.float64)
+    vecs = _list_matrix(t.column("embedding"))[:nq]
     return vecs, ids
 
 
@@ -49,8 +61,8 @@ def ann_brute_topk(sf_dir: str, k: int = 5, nq: int = 4):
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
 
     def fn(batch: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _list_matrix(batch.column("embedding"))
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = qn @ mn.T  # (nq, batch)
         out_q, out_v, out_s = [], [], []
@@ -104,7 +116,7 @@ def ann_lsh_buckets(sf_dir: str):
     """Hyperplane-LSH bucket assignment (the ANN scale path's index):
     (vec_id, bucket)."""
     def fn(batch: pa.Table) -> pa.Table:
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        m = _list_matrix(batch.column("embedding"))
         planes = _planes(m.shape[1])
         bits = (m @ planes.T) > 0
         bucket = bits @ (1 << np.arange(N_PLANES))
@@ -127,8 +139,8 @@ def ann_lsh_topk(sf_dir: str, k: int = 5, nq: int = 4):
     q_buckets = (((q @ planes.T) > 0) @ (1 << np.arange(N_PLANES))).astype(int)
 
     def fn(batch: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _list_matrix(batch.column("embedding"))
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         buckets = (((m @ planes.T) > 0) @ (1 << np.arange(N_PLANES))).astype(int)
         out_q, out_v, out_s = [], [], []
@@ -189,8 +201,8 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < 2048
     )
-    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))[:2048]
-    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))[:2048]
+    m = _list_matrix(t.column("embedding"))[order]
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     rng = np.random.default_rng(4242)
     cent = mn[rng.choice(len(mn), size=min(N_CENTROIDS, len(mn)), replace=False)]
@@ -217,8 +229,8 @@ def ann_ivf_topk(sf_dir: str, k: int = 5, nq: int = 4):
     q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :IVF_NPROBE]
 
     def fn(batch: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _list_matrix(batch.column("embedding"))
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         assign = np.argmax(mn @ cent.T, axis=1)
         out_q, out_v, out_s = [], [], []
@@ -286,7 +298,7 @@ def ivf_build(sf_dir: str, out_dir: str) -> str:
     cent = _ivf_centroids(sf_dir)
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        m = _list_matrix(batch.column("embedding"))
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         bucket = np.argmax(mn @ cent.T, axis=1).astype(np.int64)
         return pa.table(
@@ -327,7 +339,7 @@ def ivf_search(
     import pyarrow.parquet as pq
 
     cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
-    cent = np.array(cent_t.column("centroid").to_pylist(), dtype=np.float64)
+    cent = _list_matrix(cent_t.column("centroid"))
     q, q_ids = _query_matrix(sf_dir, nq)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
@@ -341,8 +353,8 @@ def ivf_search(
         filter=pads.field("bucket").isin(need),
     )
     ids = t.column("vec_id").to_numpy()
-    buckets = np.asarray(t.column("bucket").to_pylist(), dtype=np.int64)
-    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    buckets = t.column("bucket").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    m = _list_matrix(t.column("embedding"))
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     out = {"query_id": [], "rank": [], "vec_id": []}
     for qi in range(len(q_ids)):
@@ -404,7 +416,7 @@ def ann_kmeans(sf_dir: str, k: int = N_KMEANS, iters: int = KMEANS_ITERS):
 
         def partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
             c = ray.get(_ref)
-            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            m = _list_matrix(batch.column("embedding"))
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             assign = np.argmax(mn @ c.T, axis=1)
             sums = np.zeros((len(c), mn.shape[1]), dtype=np.float64)
@@ -441,7 +453,7 @@ def ann_kmeans(sf_dir: str, k: int = N_KMEANS, iters: int = KMEANS_ITERS):
 
     def assign_fn(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        m = _list_matrix(batch.column("embedding"))
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pa.table(
             {
@@ -469,15 +481,15 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.42, max_id: int = 
     t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < max_id
     )
-    ids_all = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    m_all = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids_all = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    m_all = _list_matrix(t.column("embedding"))
     mn_all = m_all / np.linalg.norm(m_all, axis=1, keepdims=True)
 
     def fn(batch: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
         sel = vec_ids < max_id
         vec_ids = vec_ids[sel]
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)[sel]
+        m = _list_matrix(batch.column("embedding"))[sel]
         if len(m) == 0:
             return pa.table(
                 {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}

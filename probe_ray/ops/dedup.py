@@ -194,14 +194,17 @@ def _band_buckets(sig_mat: np.ndarray) -> np.ndarray:
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
-def _repeat_list_column(mat: np.ndarray, times: int) -> pa.ListArray:
+def _repeat_list_column(mat: np.ndarray, times: int) -> pa.Array:
     """Each row of ``mat`` repeated ``times`` consecutive rows, as a
-    list<int64> column (the per-band copy of a doc's signature)."""
+    list<int64> column (the per-band copy of a doc's signature).
+    Offsets are computed in int64 so a batch with > 2^31 total signature
+    values cannot silently wrap, then cast back to the list<int64> type
+    the downstream schema expects (cheap: offsets only)."""
     reps = np.repeat(mat, times, axis=0)
-    offsets = np.arange(reps.shape[0] + 1, dtype=np.int32) * mat.shape[1]
-    return pa.ListArray.from_arrays(
+    offsets = np.arange(reps.shape[0] + 1, dtype=np.int64) * mat.shape[1]
+    return pa.LargeListArray.from_arrays(
         pa.array(offsets), pa.array(reps.ravel(), pa.int64())
-    )
+    ).cast(pa.list_(pa.int64()))
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5):

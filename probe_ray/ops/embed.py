@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from probe_ray.ops.ann import _list_matrix
 from probe_ray.search.rerank import _hash_embed
 
 EMBED_DIM = 64
@@ -40,12 +41,15 @@ class HashEmbedder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = self._embed(batch.column("text").to_pylist())
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
-            }
-        )
+        n, d = vecs.shape
+        # vectorized list<double> emission: flat values + arithmetic
+        # offsets, no per-row .tolist() churn (int64 offsets — immune to
+        # the int32 wrap at n*d > 2^31)
+        emb = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64)),
+            pa.array(vecs.ravel(), pa.float64()),
+        ).cast(pa.list_(pa.float64()))
+        return pa.table({"doc_id": batch.column("doc_id"), "embedding": emb})
 
 
 def doc_embeddings(sf_dir: str, concurrency: int = 2, batch_size: int = 256):
@@ -90,10 +94,7 @@ def text_embed_neardup_pairs(
                     "sim_milli": pa.array([], pa.int64()),
                 }
             )
-        vecs = np.array(
-            batch.filter(pa.array(sel)).column("embedding").to_pylist(),
-            dtype=np.float64,
-        )
+        vecs = _list_matrix(batch.filter(pa.array(sel)).column("embedding"))
         sims = vecs @ m_all.T
         sims_milli = np.floor(sims * 1000.0 + 0.5).astype(np.int64)
         a_out, b_out, s_out = [], [], []
