@@ -327,11 +327,11 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("embed_neardup_chain", lambda: embed.text_embed_neardup_pairs(SF_DIR).count()),
             ("multimodal_frames", lambda: multimodal.frame_features(SF_DIR).count()),
         ]:
-            # 2 reps, report the better: the first rep of each op pays
-            # pipeline compile + worker ramp (and, on this host,
-            # time-varying hypervisor throttle); the second is the
-            # operator's steady-state cost
-            out[name], _ = _timed(fn, reps=2, stat="min")
+            # median-of-3, matching the query entries' methodology: the
+            # first rep of each op pays pipeline compile + worker ramp,
+            # and a lone min-of-2 systematically reported best-case
+            # numbers that weren't comparable to older one-shot rows
+            out[name], _ = _timed(fn, reps=3, stat="median")
         return out
     finally:
         ray.shutdown()

@@ -30,6 +30,12 @@ def _milli(arr: np.ndarray) -> np.ndarray:
 #: bounded-partition repartition join below.
 DICT_DRIVER_MAX_ROWS = 2_000_000
 
+#: Upper bound on the worst-case row count (key domain x partial-block
+#: count) a per-key aggregate may coalesce into ONE task for its final
+#: sum+top-k; above it the aggregate hash-partitions by key instead.
+#: 20M rows of (int64 key, int64 sum) is ~320 MB — one task's heap.
+TOPK_SINGLE_MERGE_MAX_ROWS = 20_000_000
+
 SESSION_PARTITIONS = 64
 SEMIJOIN_PARTITIONS = 64
 
@@ -203,19 +209,30 @@ def q1_pricing_summary(sf_dir: str):
 
 def top_customers_by_revenue(sf_dir: str, k: int = 20):
     """Top-k customers by total order value: partial sums by o_custkey,
-    global groupby, distributive top-k, THEN a name lookup for only the
-    k winners via a predicate-pushdown read of the customer dimension.
+    a single exchange that folds the final per-key sum AND the top-k
+    prune together, THEN a name lookup for only the k winners via a
+    predicate-pushdown read of the customer dimension.
 
     No broadcast of the dimension at any scale: the top-k is selected on
     (revenue, custkey) alone — names don't participate in ordering — so
     the join touches exactly k keys whether customer has 150k rows or
     15 billion (the ``c_custkey IN (...)`` filter prunes row groups at
-    the read). (custkey, c_name, revenue_milli)."""
+    the read). (custkey, c_name, revenue_milli).
+
+    Size-aware exchange crossover (r2 bench regression fix: the generic
+    groupby(custkey) sort-shuffle + a separate dataset_topk exchange
+    cost ~2 extra all-to-alls of fixed overhead): when the worst-case
+    partial-row count (key domain x shuffle partitions) fits one task's
+    heap, the partials coalesce into ONE block and a single downstream
+    task does groupby-sum + top-k; above that, partials hash-partition
+    by ``custkey % P`` and each partition emits its own sum + local
+    top-k (every key's partials land in one partition, so its local
+    top-k is exact), leaving <= P*k rows for the bounded final merge."""
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -226,28 +243,59 @@ def top_customers_by_revenue(sf_dir: str, k: int = 20):
         )
         return t.group_by(["custkey"]).aggregate([("rev", "sum")])
 
-    agg = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        # partial rows are bounded by the customer-key domain per block
-        .repartition(shuffle_parts(table_rows(sf_dir, "customer") * 16))
-        .groupby("custkey")
-        .aggregate(Sum("rev_sum"))
-    )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def _sum_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "custkey": pa.array([], pa.int64()),
+                    "revenue_milli": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["custkey"]).aggregate([("rev_sum", "sum")])
+        out = pa.table(
             {
-                "custkey": batch.column("custkey"),
-                "revenue_milli": batch.column("sum(rev_sum)").cast(pa.int64()),
+                "custkey": g.column("custkey"),
+                "revenue_milli": g.column("rev_sum_sum").cast(pa.int64()),
             }
         )
+        order = pc.sort_indices(
+            out,
+            sort_keys=[("revenue_milli", "descending"), ("custkey", "ascending")],
+        )
+        return out.take(order[:k])
 
-    top = _dataset_topk(
-        agg.map_batches(rename, batch_format="pyarrow"),
-        [("revenue_milli", "descending"), ("custkey", "ascending")],
-        k,
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    n_keys = table_rows(sf_dir, "customer")
+    parts = shuffle_parts(n_keys * 16)
+
+    if n_keys * parts <= TOPK_SINGLE_MERGE_MAX_ROWS:
+        top = partials.repartition(1).map_batches(
+            _sum_topk, batch_format="pyarrow", batch_size=None
+        )
+    else:
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            ck = batch.column("custkey").to_numpy()
+            return batch.append_column(
+                "part", pa.array((ck % parts).astype(np.int64))
+            )
+
+        per_part = (
+            partials.map_batches(keyed, batch_format="pyarrow")
+            .repartition(parts)
+            .groupby("part")
+            .map_groups(
+                lambda g: _sum_topk(g.drop_columns(["part"])),
+                batch_format="pyarrow",
+            )
+        )
+        top = _dataset_topk(
+            per_part,
+            [("revenue_milli", "descending"), ("custkey", "ascending")],
+            k,
+        )
     t = pa.concat_tables(
         ray.get(list(top.to_arrow_refs())), promote_options="default"
     )

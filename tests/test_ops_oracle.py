@@ -139,6 +139,21 @@ def test_relational_join_crossover_identity(ray_session, monkeypatch):
     assert _canon(_to_table(relational.customers_per_region(SF_DIR))) == regions
 
 
+def test_top_customers_exchange_crossover_identity(ray_session, monkeypatch):
+    """top_customers_by_revenue's single-merge vs hash-partitioned
+    sum+top-k exchange: forcing the partitioned branch
+    (TOPK_SINGLE_MERGE_MAX_ROWS = -1) must produce exactly the
+    single-merge result."""
+    from probe_ray.ops import relational
+
+    small = _canon(_to_table(relational.top_customers_by_revenue(SF_DIR)))
+    assert len(small) == 20
+    monkeypatch.setattr(relational, "TOPK_SINGLE_MERGE_MAX_ROWS", -1)
+    assert (
+        _canon(_to_table(relational.top_customers_by_revenue(SF_DIR))) == small
+    )
+
+
 def test_ngram_jaccard_hot_token_df_cap(ray_session, tmp_path):
     """A token shared by every doc used to emit df^2/2 pairs in a Python
     double loop; df_cap skips such runs. Both the uncapped and the capped
