@@ -177,14 +177,50 @@ def filter_tokenized_block(tokens: list[str], plan: QueryPlan) -> bool:
 
 _TEST_FN = re.compile(r"^\s*(pub\s+)?fn test_")
 
+#: Text-level analogs of the per-language AST ``is_test_node`` checks
+#: (src/language/{go,python,javascript,typescript,rust}.rs). The
+#: reference applies these on its tree-sitter path; its fallback path
+#: (the one this module ports) only has the Rust string checks. Since
+#: every block here takes the fallback path, these line heuristics
+#: stand in for the AST checks — a documented superset of the fallback
+#: filter, matching what the reference's primary path would filter.
+_LANG_TEST_LINE = {
+    # go.rs:45-66 — function_declaration whose identifier starts "Test"
+    # (method declarations are NOT flagged: the receiver form is skipped)
+    "go": re.compile(r"^\s*func\s+Test\w*\s*\("),
+    # python.rs:41-62 — function_definition named test_*
+    "py": re.compile(r"^\s*(async\s+)?def\s+test_"),
+    # rust.rs:98-140 — #[test] attr (handled separately) or fn test_*
+    "rs": re.compile(r"^\s*(pub\s+)?fn\s+test_"),
+}
+# javascript.rs:51-95 / typescript.rs:59-105 — function/method/arrow
+# whose name contains test/Test, or describe/it/test/expect call
+_JS_TEST_DEF = re.compile(
+    r"^\s*(?:export\s+)?(?:async\s+)?function\s+\w*[tT]est\w*\s*\("
+    r"|^\s*(?:const|let|var)\s+\w*[tT]est\w*\s*=.*=>"
+)
+_JS_TEST_CALL = re.compile(r"\b(?:describe|it|test|expect)\s*\(")
+_JS_EXTS = {"js", "ts", "jsx", "tsx", "mjs", "cjs"}
 
-def _is_test_context(code: str) -> bool:
-    """String-based test detection for merged windows, :703-714."""
+
+def _is_test_context(code: str, ext: str | None = None) -> bool:
+    """String-based test detection for merged windows.
+
+    The ext=None behavior is the exact port of the reference's fallback
+    filter (file_processing.rs:703-714: #[test] / fn test_); with an
+    extension, the matching language's ``is_test_node`` analog from
+    ``_LANG_TEST_LINE`` / the JS rules also applies."""
     if "#[test]" in code:
         return True
+    lang_re = _LANG_TEST_LINE.get(ext or "")
+    is_js = ext in _JS_EXTS
     for line in code.split("\n"):
         t = line.strip()
         if t.startswith("fn test_") or t.startswith("pub fn test_"):
+            return True
+        if lang_re is not None and lang_re.match(line):
+            return True
+        if is_js and (_JS_TEST_DEF.match(line) or _JS_TEST_CALL.search(line)):
             return True
     return False
 
@@ -247,7 +283,7 @@ def extract_blocks(
         matched_lines, len(lines), context
     ):
         code = "\n".join(lines[start - 1 : end])
-        if not allow_tests and _is_test_context(code):
+        if not allow_tests and _is_test_context(code, ext):
             continue
         # aggressive pre-filter: cheap substring check before tokenizing
         low = code.lower()

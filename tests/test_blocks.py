@@ -157,6 +157,75 @@ def test_extract_skips_test_context():
     assert len(got) == 1
 
 
+# Fixtures mirroring the reference's tests/mocks behavior: filenames like
+# test_ip_whitelist.go / test_object.js do NOT match the allow_tests=false
+# ignore set (Go test files are *_test.go, JS are *.spec/.test.*), so the
+# files participate; only blocks flagged by the per-language is_test_node
+# analogs are filtered.
+def test_go_mock_like_file_not_excluded_by_name():
+    assert is_test_file("mocks/test_ip_whitelist.go") is False
+    assert is_test_file("mocks/test_object.js") is False
+    assert is_test_file("pkg/ip_test.go") is True
+    assert is_test_file("web/app.test.js") is True
+
+
+def test_go_test_function_detection():
+    """go.rs:45-66 analog: func Test*( is a test node; a method on a
+    receiver and a non-Test function are not."""
+    plan = create_query_plan("whitelist")
+    non_test = (
+        "package middleware\n\n"
+        "// checks if the client IP is in the whitelist\n"
+        "type WhitelistGuard struct {\n\tWhitelist []string\n}\n\n"
+        "func (g *WhitelistGuard) Name() string {\n"
+        '\treturn "whitelist"\n}\n'
+    )
+    got = extract_blocks("r", "mw/test_guard.go", non_test, plan, allow_tests=False)
+    assert len(got) >= 1  # no test node -> survives exclude-tests
+    test_fn = "package mw\n\nfunc TestWhitelist(t *testing.T) {\n\twhitelist()\n}\n"
+    assert extract_blocks("r", "mw/guard.go", test_fn, plan, allow_tests=False) == []
+    # but the same content is kept when tests are allowed
+    assert len(extract_blocks("r", "mw/guard.go", test_fn, plan, allow_tests=True)) == 1
+
+
+def test_js_test_call_detection():
+    """javascript.rs:51-95 analog: describe/it/test/expect calls and
+    test-named function definitions flag the window; plain JS survives."""
+    plan = create_query_plan("display")
+    plain = (
+        "// display user info\n"
+        "function displayUser(user) {\n"
+        "  console.log(user.display);\n}\n"
+    )
+    assert len(extract_blocks("r", "web/test_obj.js", plain, plan, allow_tests=False)) == 1
+    suite = (
+        'describe("display", () => {\n'
+        '  it("renders display", () => { expect(display()).toBe(1); });\n'
+        "});\n"
+    )
+    assert extract_blocks("r", "web/obj.js", suite, plan, allow_tests=False) == []
+    named = "const displayTestHarness = (x) => display(x);\n"
+    assert extract_blocks("r", "web/obj.js", named, plan, allow_tests=False) == []
+
+
+def test_py_test_function_detection():
+    """python.rs:41-62 analog: def test_* is a test node; `testify`-like
+    prefixes in other identifiers are not."""
+    plan = create_query_plan("parse")
+    testfn = "def test_parse_header():\n    assert parse() == 1\n"
+    assert extract_blocks("r", "lib/a.py", testfn, plan, allow_tests=False) == []
+    plain = "def parse_testimony(x):\n    return parse(x)\n"
+    assert len(extract_blocks("r", "lib/a.py", plain, plan, allow_tests=False)) == 1
+
+
+def test_lang_detection_is_ext_scoped():
+    """A Go-style Test function in a .rs file is NOT filtered (the
+    reference dispatches is_test_node per language impl)."""
+    plan = create_query_plan("whitelist")
+    content = "func TestWhitelist(t *testing.T) {\n\twhitelist()\n}\n"
+    assert len(extract_blocks("r", "x/a.rs", content, plan, allow_tests=False)) == 1
+
+
 def test_node_type_boosts():
     assert node_type_boost("function_item", 1, 10) == 2.0
     assert node_type_boost("struct_item", 1, 10) == 1.8
