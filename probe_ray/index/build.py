@@ -289,6 +289,33 @@ def _units_path(out_dir: str, wave: int, subshard: int) -> str:
     )
 
 
+def _units_grams_path(out_dir: str, wave: int, subshard: int) -> str:
+    return os.path.join(
+        out_dir, "waves", f"w{wave:04d}", "units_grams", f"sub-{subshard:04d}.parquet"
+    )
+
+
+def _unit_trigram_sidecar(terms: list[str]) -> pa.Table:
+    """(gram, rg) rows: which units-file row groups (POSTINGS_ROW_GROUP
+    terms each, in term order) contain each character trigram. A term
+    containing substring t contains every trigram of t, so at query time
+    the intersection of t's grams' rg-sets is a no-false-negative
+    candidate set — the special-term vocabulary scan reads only those
+    row groups instead of the whole vocabulary (searcher.unit_candidates)."""
+    gram_rg: set[tuple[str, int]] = set()
+    for i, term in enumerate(terms):
+        rg = i // POSTINGS_ROW_GROUP
+        for j in range(len(term) - 2):
+            gram_rg.add((term[j : j + 3], rg))
+    rows = sorted(gram_rg)
+    return pa.table(
+        {
+            "gram": pa.array([g for g, _ in rows], pa.string()),
+            "rg": pa.array([r for _, r in rows], pa.int32()),
+        }
+    )
+
+
 def _load_docmap(out_dir: str, wave: int, subshard: int) -> np.ndarray:
     key = (out_dir, wave, subshard)
     hit = _DOCMAP_CACHE.get(key)
@@ -419,11 +446,10 @@ def finalize_subshard(
         u_terms, u_lens, _, u_local, _ = _merge_runs(
             parts.slice(0, split), all_terms[:split], docmap
         )
+        unit_strs = [t[len(UNIT_PREFIX):] for t in u_terms]
         unit_tbl = pa.table(
             {
-                "term": pa.array(
-                    [t[len(UNIT_PREFIX):] for t in u_terms], pa.string()
-                ),
+                "term": pa.array(unit_strs, pa.string()),
                 "df": pa.array(u_lens),
                 "payload": pa.array(
                     encode_varint_deltas_multi(u_local, u_lens), pa.binary()
@@ -432,6 +458,11 @@ def finalize_subshard(
         )
         _write_atomic(
             unit_tbl, _units_path(out_dir, wave, sub), POSTINGS_ROW_GROUP
+        )
+        _write_atomic(
+            _unit_trigram_sidecar(unit_strs),
+            _units_grams_path(out_dir, wave, sub),
+            POSTINGS_ROW_GROUP,
         )
         parts = parts.slice(split)
         all_terms = all_terms[split:]

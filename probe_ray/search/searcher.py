@@ -61,6 +61,7 @@ import pyarrow.parquet as pq
 from probe_ray.index.build import (
     _docstats_path,
     _postings_path,
+    _units_grams_path,
     _units_path,
     lookup_df,
 )
@@ -478,29 +479,74 @@ class SegmentWorker:
         )
         return stage(tbl)
 
+    def _matching_units(self, w: int, s: int, terms: list[str]) -> list[str]:
+        """Vocabulary terms of segment (w, s) containing any query term
+        as a substring. Terms of >= 3 chars go through the build's
+        trigram sidecar (units_grams/): the intersection of a term's
+        trigrams' row-group sets is a no-false-negative candidate set,
+        so only those row groups of the unit vocabulary are read and
+        substring-verified — sublinear in vocabulary size. Shorter terms
+        (or a pre-sidecar index layout) fall back to the full cached-
+        vocabulary substring pass."""
+        gpath = _units_grams_path(self.index_dir, w, s)
+        pruned = [t for t in terms if len(t) >= 3] if os.path.exists(gpath) else []
+        full = [t for t in terms if t not in pruned]
+        matched: set[str] = set()
+        if pruned:
+            grams = sorted({t[j : j + 3] for t in pruned for j in range(len(t) - 2)})
+            gt = pq.read_table(gpath, filters=[("gram", "in", grams)])
+            g2rg: dict[str, set[int]] = {}
+            for g, rg in zip(
+                gt.column("gram").to_pylist(), gt.column("rg").to_pylist()
+            ):
+                g2rg.setdefault(g, set()).add(rg)
+            need_rgs: dict[int, list[str]] = {}
+            for t in pruned:
+                sets = [
+                    g2rg.get(t[j : j + 3], set()) for j in range(len(t) - 2)
+                ]
+                cand = set.intersection(*sets) if sets else set()
+                for rg in cand:
+                    need_rgs.setdefault(rg, []).append(t)
+            if need_rgs:
+                pf = pq.ParquetFile(_units_path(self.index_dir, w, s))
+                for rg in sorted(need_rgs):
+                    vocab_rg = pf.read_row_group(rg, columns=["term"]).column(
+                        "term"
+                    ).combine_chunks()
+                    mask = None
+                    for t in need_rgs[rg]:
+                        m = pc.match_substring(vocab_rg, t)
+                        mask = m if mask is None else pc.or_(mask, m)
+                    idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+                    if len(idxs):
+                        matched.update(vocab_rg.take(pa.array(idxs)).to_pylist())
+        if full:
+            vocab = self._unit_vocab(w, s)
+            mask = None
+            for t in full:
+                m = pc.match_substring(vocab, t)
+                mask = m if mask is None else pc.or_(mask, m)
+            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            if len(idxs):
+                matched.update(vocab.take(pa.array(idxs)).to_pylist())
+        return sorted(matched)
+
     def unit_candidates(self, terms: list[str]) -> pa.Table:
         """Distinct (repo, path) rows of this worker's segments whose
         content or path contains any of ``terms`` (lowercased alnum-only
         special terms) as a case-insensitive substring — answered from
         the build's unit-postings files (index/build.py UNIT_PREFIX), no
-        corpus read. Per segment: one substring pass over the cached unit
-        vocabulary, then a term-pruned parquet read of just the matching
-        units' payloads."""
+        corpus read. Per segment: a trigram-pruned (or, fallback, full)
+        pass over the unit vocabulary (_matching_units), then a
+        term-pruned parquet read of just the matching units' payloads."""
         out_repo: list[str] = []
         out_path: list[str] = []
         out_dlen: list[int] = []
         for w, s in self.parts:
-            vocab = self._unit_vocab(w, s)
-            mask = None
-            for t in terms:
-                m = pc.match_substring(vocab, t)
-                mask = m if mask is None else pc.or_(mask, m)
-            if mask is None:
+            matched = self._matching_units(w, s, terms)
+            if not matched:
                 continue
-            idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
-            if not len(idxs):
-                continue
-            matched = vocab.take(pa.array(idxs)).to_pylist()
             got = pq.read_table(
                 _units_path(self.index_dir, w, s),
                 filters=[("term", "in", matched)],

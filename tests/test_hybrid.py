@@ -336,3 +336,72 @@ def test_hybrid_field_filters(edge_index):
         assert [r[1:] for r in _as_rows(got)] == [r[1:] for r in want]
     finally:
         rd.close()
+
+
+def test_unit_vocab_trigram_pruning_sublinear(ray_session, tmp_path_factory):
+    """With an inflated unit vocabulary, a rare special term must touch
+    only the row groups selected by its trigram intersection — not the
+    whole vocabulary — and return exactly the full-scan result."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from probe_ray.index.build import (
+        IndexConfig,
+        _units_grams_path,
+        _units_path,
+        build_index,
+    )
+    from probe_ray.search.searcher import SegmentWorker
+
+    d = tmp_path_factory.mktemp("bigvocab_corpus")
+    n = 400
+    rows = {
+        "repo": [f"r{i % 3}" for i in range(n)],
+        "path": [f"p/f{i:04d}.py" for i in range(n)],
+        "commit": ["c0"] * n,
+        "lang": ["py"] * n,
+        # ~20 distinct units per doc -> ~8k distinct units >> one
+        # POSTINGS_ROW_GROUP (2048), so the units file has several RGs
+        "content": [
+            " ".join(f"uniqtok{i:04d}x{j:02d}" for j in range(20))
+            + (" zzrarezz" if i == 137 else "")
+            for i in range(n)
+        ],
+    }
+    pq.write_table(pa.table(rows), str(d / "part0.parquet"))
+    idx = str(tmp_path_factory.mktemp("bigvocab_index"))
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index([str(d)], idx, IndexConfig(num_waves=1, subshards=1))
+
+    assert _os.path.exists(_units_grams_path(idx, 0, 0))
+    total_rgs = _pq.ParquetFile(_units_path(idx, 0, 0)).num_row_groups
+    assert total_rgs >= 3  # vocabulary really is inflated
+
+    w = SegmentWorker(idx, [(0, 0)], avgdl=20.0, min_dlen=1)
+    touched: list[int] = []
+    orig = _pq.ParquetFile.read_row_group
+
+    def spy(self, rg, *a, **kw):
+        touched.append(rg)
+        return orig(self, rg, *a, **kw)
+
+    _pq.ParquetFile.read_row_group = spy
+    try:
+        pruned = w._matching_units(0, 0, ["zzrarezz"])
+    finally:
+        _pq.ParquetFile.read_row_group = orig
+    # sublinear: the rare term's trigrams select far fewer RGs than exist
+    assert len(set(touched)) < total_rgs
+    # identity: the pruned result equals the full-vocabulary fallback
+    g = _units_grams_path(idx, 0, 0)
+    _os.rename(g, g + ".off")
+    try:
+        full = w._matching_units(0, 0, ["zzrarezz"])
+    finally:
+        _os.rename(g + ".off", g)
+    assert pruned == full == ["zzrarezz"]
+    # a substring-of-many term stays correct through the pruned path too
+    assert w._matching_units(0, 0, ["x01"]) == sorted(
+        f"uniqtok{i:04d}x01" for i in range(n)
+    )
