@@ -5,16 +5,42 @@ with file/line/column spans). ast-grep needs tree-sitter grammars that
 are not available in this environment, so this is a documented
 TEXT-LEVEL APPROXIMATION of the pattern language:
 
-  $NAME   — a metavariable binding one identifier
-            ([A-Za-z_][A-Za-z0-9_]*); a repeated metavariable must
-            bind the same text (backreference), like ast-grep
-  $$$     — zero or more of anything, non-greedy (ast-grep's multi
-            metavariable)
-  literal — matched exactly, with whitespace runs relaxed to \\s*
-            (AST matching is whitespace-insensitive)
+  $NAME      — a metavariable binding one identifier
+               ([A-Za-z_][A-Za-z0-9_]*); a repeated metavariable must
+               bind the same text (backreference), like ast-grep
+  $$$        — zero or more of anything (ast-grep's anonymous multi
+               metavariable)
+  $$$PARAMS  — named multi metavariable: same extent rules, and the
+               matched text is captured under PARAMS (the form the
+               reference's own test fixtures use,
+               tests/query_command_tests.rs:28,80,100)
+  literal    — matched exactly, with whitespace runs relaxed to \\s*
+               (AST matching is whitespace-insensitive)
 
-It matches raw text, so it can match inside strings/comments where a
-real AST matcher would not — an explicit, documented divergence.
+Multi-metavariable extent (balanced, counted — not line-local regex):
+  - between a delimiter pair — ``($$$)`` / ``[$$$]`` / ``{$$$}`` — the
+    extent is found by COUNTING NESTING of that delimiter kind, so
+    ``foo($$$ARGS)`` matches ``foo(bar(x), y)`` whole, binding
+    ``bar(x), y``;
+  - trailing (end of pattern, the ast-grep "rest of the node" position,
+    e.g. ``fn $NAME($$$) $$$BODY``): the extent runs through the first
+    balanced ``{...}`` block if a ``{`` opens before any ``;``,
+    else up to and including the next ``;`` (statement end), else to
+    end of line — mirroring what the reference's fixtures assert
+    (a fn match includes its whole body; an arrow-fn body stops at
+    the statement);
+  - otherwise: shortest extent such that the rest of the pattern
+    matches (lazy), as before.
+
+REMAINING DIVERGENCES from real AST matching (the documented set):
+  1. raw text matching — can match inside strings/comments;
+  2. delimiter counting does not skip delimiters inside string
+     literals of the scanned source;
+  3. a pattern is matched wherever its first token occurs, not only at
+     AST node boundaries (e.g. ``$A + $B`` can match a slice of a
+     larger expression);
+  4. unnamed ``$_``-style wildcards and ast-grep's ``$$`` (non-greedy
+     single-node) are not supported.
 
 Output mirrors AstMatch (query.rs:13-20): one row per match with
 (repo, path, line_start, line_end, column_start, column_end,
@@ -23,13 +49,14 @@ Columns are 1-based, like editors and the reference's printed output.
 
 Distributed composition: one map_batches scan over the corpus (language
 pruning by extension happens in the reader filter when ``language`` is
-given), per-batch regex matching with a pattern compiled once per task.
+given), per-batch matching with a pattern compiled once per task.
 """
 
 from __future__ import annotations
 
 import json
 import re
+from dataclasses import dataclass
 
 import pyarrow as pa
 
@@ -51,37 +78,234 @@ LANG_EXTENSIONS: dict[str, list[str]] = {
     "csharp": ["cs"],
 }
 
-_META = re.compile(r"\$\$\$|\$[A-Z_][A-Z0-9_]*")
+_META = re.compile(r"\$\$\$[A-Z_][A-Z0-9_]*|\$\$\$|\$[A-Z_][A-Z0-9_]*")
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_IDENT_RE = re.compile(_IDENT)
+_OPEN_FOR = {")": "(", "]": "[", "}": "{"}
+_CLOSE_FOR = {v: k for k, v in _OPEN_FOR.items()}
 
 
-def compile_pattern(pattern: str) -> re.Pattern:
-    """Translate an ast-grep-style pattern into a regex."""
-    out: list[str] = []
-    seen: set[str] = set()
-    pos = 0
-    for m in _META.finditer(pattern):
-        out.append(_literal(pattern[pos : m.start()]))
-        tok = m.group(0)
-        if tok == "$$$":
-            out.append(r"[\s\S]*?")
-        else:
-            name = tok[1:]
-            if name in seen:
-                out.append(f"(?P={name})")  # same metavar -> same text
+@dataclass(frozen=True)
+class _Lit:
+    frag: str  # whitespace-relaxed regex fragment
+    text: str  # the raw pattern text (for delimiter-context checks)
+
+
+@dataclass(frozen=True)
+class _Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class _Multi:
+    name: str | None  # None for anonymous $$$
+
+
+class _Match:
+    """re.Match-alike over the custom matcher's result."""
+
+    __slots__ = ("_start", "_end", "_text", "_caps")
+
+    def __init__(self, start: int, end: int, text: str, caps: dict[str, str]):
+        self._start, self._end, self._text, self._caps = start, end, text, caps
+
+    def start(self) -> int:
+        return self._start
+
+    def end(self) -> int:
+        return self._end
+
+    def group(self, i: int = 0) -> str:
+        assert i == 0
+        return self._text
+
+    def groupdict(self) -> dict[str, str]:
+        return dict(self._caps)
+
+
+class CompiledPattern:
+    """Token-level matcher with backtracking and balanced-delimiter
+    multi-metavariable extents (see module docstring)."""
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+        self.tokens: list[_Lit | _Var | _Multi] = []
+        pos = 0
+        for m in _META.finditer(pattern):
+            if m.start() > pos:
+                self._push_lit(pattern[pos : m.start()])
+            tok = m.group(0)
+            if tok.startswith("$$$"):
+                self.tokens.append(_Multi(tok[3:] or None))
             else:
-                seen.add(name)
-                out.append(f"(?P<{name}>{_IDENT})")
-        pos = m.end()
-    out.append(_literal(pattern[pos:]))
-    return re.compile("".join(out))
+                self.tokens.append(_Var(tok[1:]))
+            pos = m.end()
+        if pos < len(pattern):
+            self._push_lit(pattern[pos:])
+        # pre-compiled anchored fragments for _Lit tokens
+        self._lit_re = {
+            i: re.compile(t.frag)
+            for i, t in enumerate(self.tokens)
+            if isinstance(t, _Lit)
+        }
+        # a scanner for candidate start positions of the first token
+        first = self.tokens[0] if self.tokens else None
+        if isinstance(first, _Lit):
+            self._scan = re.compile(first.frag)
+        elif isinstance(first, _Var):
+            self._scan = _IDENT_RE
+        else:  # starts with $$$ (or empty): try every position
+            self._scan = None
+
+    def _push_lit(self, text: str):
+        if text.strip() == "" and not self.tokens:
+            return  # leading pure-whitespace literal carries no anchor
+        # whitespace-insensitive between ALL pattern tokens (words and
+        # punctuation), like AST matching: "() {}" matches "()\n{\n}"
+        parts = re.findall(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]", text)
+        frag = r"\s*".join(re.escape(p) for p in parts)
+        if not parts:
+            frag = r"\s*"
+        elif self.tokens:
+            frag = r"\s*" + frag  # interior literal: ws-insensitive edge
+        self.tokens.append(_Lit(frag, text))
+
+    # -- matching ---------------------------------------------------------
+
+    def finditer(self, content: str):
+        """Leftmost, non-overlapping matches (re.finditer semantics)."""
+        pos = 0
+        n = len(content)
+        while pos <= n:
+            if self._scan is not None:
+                anchor = self._scan.search(content, pos)
+                if anchor is None:
+                    return
+                start = anchor.start()
+            else:
+                start = pos
+            got = self._match_from(0, content, start, {})
+            if got is not None:
+                end, caps = got
+                if end > start:
+                    yield _Match(start, end, content[start:end], caps)
+                    pos = end
+                    continue
+            pos = start + 1
+
+    def _match_from(
+        self, ti: int, content: str, pos: int, caps: dict[str, str]
+    ):
+        if ti == len(self.tokens):
+            return pos, caps
+        tok = self.tokens[ti]
+        if isinstance(tok, _Lit):
+            m = self._lit_re[ti].match(content, pos)
+            if m is None:
+                return None
+            return self._match_from(ti + 1, content, m.end(), caps)
+        if isinstance(tok, _Var):
+            m = _IDENT_RE.match(content, _skip_ws(content, pos))
+            if m is None:
+                return None
+            if tok.name in caps and caps[tok.name] != m.group(0):
+                return None
+            return self._match_from(
+                ti + 1, content, m.end(), {**caps, tok.name: m.group(0)}
+            )
+        return self._match_multi(ti, tok, content, pos, caps)
+
+    def _match_multi(
+        self, ti: int, tok: _Multi, content: str, pos: int, caps: dict[str, str]
+    ):
+        pos = _skip_ws(content, pos)
+
+        def bind_and_continue(end: int, cont: int):
+            text = content[pos:end]
+            if tok.name is not None:
+                if tok.name in caps and caps[tok.name] != text:
+                    return None
+                new = {**caps, tok.name: text}
+            else:
+                new = caps
+            return self._match_from(ti + 1, content, cont, new)
+
+        nxt = self.tokens[ti + 1] if ti + 1 < len(self.tokens) else None
+
+        # between a delimiter pair: counted-nesting extent
+        if isinstance(nxt, _Lit):
+            closer = nxt.text.lstrip()[:1]
+            prev = self.tokens[ti - 1] if ti > 0 else None
+            opener = (
+                prev.text.rstrip()[-1:] if isinstance(prev, _Lit) else ""
+            )
+            if closer in _OPEN_FOR and _OPEN_FOR[closer] == opener:
+                end = _balanced_end(content, pos, opener, closer)
+                if end is None:
+                    return None
+                return bind_and_continue(end, end)
+
+        # trailing: through the first balanced {...} block opening before
+        # any ';', else through the next ';', else to end of line
+        if nxt is None:
+            brace = content.find("{", pos)
+            semi = content.find(";", pos)
+            if brace != -1 and (semi == -1 or brace < semi):
+                close = _balanced_end(content, brace + 1, "{", "}")
+                if close is not None:
+                    return bind_and_continue(close + 1, close + 1)
+            if semi != -1:
+                return bind_and_continue(semi + 1, semi + 1)
+            nl = content.find("\n", pos)
+            end = nl if nl != -1 else len(content)
+            return bind_and_continue(end, end)
+
+        # general case: lazy — shortest extent whose continuation matches
+        if isinstance(nxt, _Lit):
+            scan = self._lit_re[ti + 1]
+            cur = pos
+            while cur <= len(content):
+                m = scan.search(content, cur)
+                if m is None:
+                    return None
+                got = bind_and_continue(m.start(), m.start())
+                if got is not None:
+                    return got
+                cur = m.start() + 1
+            return None
+        # next token is a metavar: step one char at a time (rare shape)
+        for end in range(pos, len(content) + 1):
+            got = bind_and_continue(end, end)
+            if got is not None:
+                return got
+        return None
 
 
-def _literal(text: str) -> str:
-    # whitespace-insensitive literals: any whitespace run in the pattern
-    # matches any (possibly empty) whitespace run in the source
-    parts = re.split(r"\s+", text)
-    return r"\s*".join(re.escape(p) for p in parts)
+def _skip_ws(content: str, pos: int) -> int:
+    while pos < len(content) and content[pos].isspace():
+        pos += 1
+    return pos
+
+
+def _balanced_end(content: str, pos: int, opener: str, closer: str):
+    """Index of the closer matching an already-open ``opener`` (depth 1
+    at ``pos``), counting nesting; None if unbalanced. Does not skip
+    string literals (documented divergence #2)."""
+    depth = 1
+    for i in range(pos, len(content)):
+        c = content[i]
+        if c == opener:
+            depth += 1
+        elif c == closer:
+            depth -= 1
+            if depth == 0:
+                return i
+    return None
+
+
+def compile_pattern(pattern: str) -> CompiledPattern:
+    """Compile an ast-grep-style pattern (see module docstring)."""
+    return CompiledPattern(pattern)
 
 
 def match_content(

@@ -107,3 +107,77 @@ def test_max_results(ray_session, small_corpus):
     files = sorted(glob.glob(os.path.join(small_corpus, "*.parquet")))
     t = query_pattern(files, "fn $ID", max_results=3)
     assert t.num_rows == 3
+
+
+# ---- fixtures pinned from the reference's own query tests ----------------
+# tests/query_command_tests.rs:6-57 (rust fn with named multi metavars),
+# :59-110 (js function + arrow), :140 (empty-body fn). Same content shapes,
+# same assertions on match counts and captured/matched text.
+
+RUST_SRC = """
+fn hello_world() {
+    println!("Hello, world!");
+}
+
+fn add(a: i32, b: i32) -> i32 {
+    a + b
+}
+"""
+
+JS_SRC = """
+function greet(name) {
+    return `Hello, ${name}!`;
+}
+
+const multiply = (a, b) => a * b;
+"""
+
+
+def test_named_multi_rust_functions():
+    p = compile_pattern("fn $NAME($$$PARAMS) $$$BODY")
+    got = match_content(p, RUST_SRC)
+    assert len(got) == 2
+    by_name = {m[5]["NAME"]: m for m in got}
+    assert "println!" in by_name["hello_world"][4]
+    assert "a + b" in by_name["add"][4]
+    assert by_name["add"][5]["PARAMS"] == "a: i32, b: i32"
+    # the trailing multi runs through the whole balanced body
+    assert by_name["add"][5]["BODY"].strip().endswith("}")
+
+
+def test_named_multi_js_function_not_arrow():
+    p = compile_pattern("function $NAME($$$PARAMS) $$$BODY")
+    got = match_content(p, JS_SRC)
+    assert len(got) == 1
+    assert got[0][5]["NAME"] == "greet"
+    assert "return" in got[0][4]
+
+
+def test_named_multi_js_arrow():
+    p = compile_pattern("const $NAME = ($$$PARAMS) => $$$BODY")
+    got = match_content(p, JS_SRC)
+    assert len(got) == 1
+    assert got[0][5]["NAME"] == "multiply"
+    assert got[0][5]["PARAMS"] == "a, b"
+    assert got[0][5]["BODY"] == "a * b;"
+
+
+def test_empty_body_pattern():
+    p = compile_pattern("fn $NAME() {}")
+    src = "fn a() {}\nfn b() {\n    work();\n}\nfn c() {\n}\n"
+    got = match_content(p, src)
+    assert [m[5]["NAME"] for m in got] == ["a", "c"]
+
+
+def test_balanced_multi_spans_nested_delimiters():
+    """The r2 divergence: $$$ between delimiters must count nesting, not
+    stop at the first closer."""
+    p = compile_pattern("foo($$$ARGS)")
+    got = match_content(p, "x = foo(bar(1, 2), baz[3]);")
+    assert len(got) == 1
+    assert got[0][5]["ARGS"] == "bar(1, 2), baz[3]"
+    p2 = compile_pattern("if $COND { $$$ }")
+    src = "if ready { if deep { a(); } b(); }"
+    got2 = match_content(p2, src)
+    assert len(got2) == 1
+    assert got2[0][4] == src
