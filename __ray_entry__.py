@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf_dir, _n=name: fts.fts_search_blocks(sf_dir, _n)
         )
     q["fts_search_blocks_reranked"] = fts.fts_search_blocks_reranked
+    q["fts_search_blocks_balanced"] = fts.fts_search_blocks_balanced
     return q
 
 

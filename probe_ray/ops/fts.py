@@ -231,6 +231,25 @@ def fts_search_blocks(sf_dir: str, name: str, k: int = 10) -> pa.Table:
     return t.drop_columns(["code"])  # stable, compact driver surface
 
 
+def fts_search_blocks_balanced(sf_dir: str, k: int = 10) -> pa.Table:
+    """Block search with opt-in balanced node extents (the AST-path
+    approximation — search/blocks.py _balanced_extent): matched windows
+    widen to their enclosing declaration's balanced extent. Rows-only;
+    extent semantics pinned by tests/test_blocks.py."""
+    import glob as _glob
+
+    from probe_ray.search.blocks import search_blocks
+
+    idx = ensure_code_index(sf_dir)
+    corpus = code_corpus_parquet(sf_dir)
+    files = sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+    t = search_blocks(
+        _reader(idx), files, BLOCK_QUERIES["blocks_and"], k=k,
+        node_extent="balanced",
+    )
+    return t.drop_columns(["code"])
+
+
 def fts_search_blocks_reranked(sf_dir: str, k: int = 10) -> pa.Table:
     """Block search re-scored by the cross-encoder actor-pool stage
     (deterministic stand-in model — search/rerank.py)."""

@@ -237,6 +237,71 @@ class Block:
     block_unique_terms: int
 
 
+# ---- balanced node extents (opt-in) ---------------------------------------
+# The reference's PRIMARY output unit is a tree-sitter node
+# (src/language/parser.rs); this environment has no tree-sitter, so the
+# default here is the reference's fallback line-window path. node_extent=
+# "balanced" is the closest text-level approximation of the AST path: a
+# matched window whose nearest enclosing declaration can be found gets the
+# declaration's full extent — balanced-brace counting for brace languages,
+# the indentation suite for Python — so "show me the function" returns the
+# function. Opt-in only: default output stays pinned to the fallback port.
+
+_BRACE_EXTS = {
+    "rs", "go", "js", "jsx", "ts", "tsx", "java", "c", "h", "cpp", "hpp",
+    "cc", "hh", "cs", "php", "swift", "kt", "mjs", "cjs",
+}
+_DECL_SCAN_UP = 200  # how far above a match to look for its declaration
+_EXTENT_CAP = 2000  # max lines a balanced extent may span
+
+
+def _find_declaration(lines: list[str], seed_idx: int, ext: str | None):
+    """Index of the nearest declaration line at/above ``seed_idx`` whose
+    fallback node type is function/class, or None."""
+    lo = max(0, seed_idx - _DECL_SCAN_UP)
+    for i in range(seed_idx, lo - 1, -1):
+        if not lines[i]:
+            continue
+        if determine_fallback_node_type(lines[i], ext) in ("function", "class"):
+            return i
+    return None
+
+
+def _balanced_extent(lines: list[str], decl_idx: int, ext: str | None):
+    """(start_idx, end_idx) 0-based inclusive extent of the declaration
+    at ``decl_idx``, or None when no well-formed extent is found."""
+    if ext in _BRACE_EXTS:
+        depth = 0
+        opened = False
+        hi = min(len(lines), decl_idx + _EXTENT_CAP)
+        for i in range(decl_idx, hi):
+            for ch in lines[i]:
+                if ch == "{":
+                    depth += 1
+                    opened = True
+                elif ch == "}":
+                    depth -= 1
+                    if opened and depth == 0:
+                        return decl_idx, i
+            if not opened and i > decl_idx + 10:
+                return None  # declaration never opened a body
+        return None
+    if ext == "py":
+        decl = lines[decl_idx]
+        base = len(decl) - len(decl.lstrip())
+        end = decl_idx
+        hi = min(len(lines), decl_idx + 1 + _EXTENT_CAP)
+        for i in range(decl_idx + 1, hi):
+            ln = lines[i]
+            if not ln.strip():
+                continue  # blank lines don't end a suite
+            if len(ln) - len(ln.lstrip()) <= base:
+                break
+            end = i
+        return (decl_idx, end) if end > decl_idx else None
+    return None
+
+
 def extract_blocks(
     repo: str,
     path: str,
@@ -244,6 +309,7 @@ def extract_blocks(
     plan: QueryPlan,
     allow_tests: bool = True,
     context: int = CONTEXT_SIZE,
+    node_extent: str = "window",
 ) -> list[Block]:
     """All blocks of one file that pass the tokenized-block filter.
 
@@ -253,7 +319,11 @@ def extract_blocks(
     analog of the reference's per-term regex patterns (query.rs:409-487
     generates one pattern per tokenized/stemmed keyword). Exact-term
     keywords additionally match by lowercase substring (their pattern is
-    the verbatim literal)."""
+    the verbatim literal).
+
+    ``node_extent="balanced"`` (opt-in): windows whose nearest enclosing
+    declaration is found are widened to that declaration's balanced
+    extent and de-duplicated — see the _balanced_extent block comment."""
     if not allow_tests and is_test_file(path):
         return []
     ext = path.rsplit(".", 1)[-1] if "." in path.rsplit("/", 1)[-1] else None
@@ -278,10 +348,29 @@ def extract_blocks(
         return []
 
     query_terms_lower = [t.lower() for t in plan.term_indices]
+    windows = merge_context_windows(matched_lines, len(lines), context)
+    if node_extent == "balanced":
+        widened: list[tuple[list[int], int, int, str | None]] = []
+        seen_ranges: dict[tuple[int, int], int] = {}
+        for original, start, end in windows:
+            d = _find_declaration(lines, original[0] - 1, ext)
+            rng = _balanced_extent(lines, d, ext) if d is not None else None
+            if rng is None:
+                widened.append((original, start, end, None))
+                continue
+            s, e = rng[0] + 1, rng[1] + 1
+            key = (s, e)
+            if key in seen_ranges:  # two windows inside one declaration
+                widened[seen_ranges[key]][0].extend(original)
+                continue
+            seen_ranges[key] = len(widened)
+            ntype = determine_fallback_node_type(lines[rng[0]], ext)
+            widened.append((original, s, e, ntype))
+        windows_iter = widened
+    else:
+        windows_iter = [(o, s, e, None) for o, s, e in windows]
     out: list[Block] = []
-    for original, start, end in merge_context_windows(
-        matched_lines, len(lines), context
-    ):
+    for original, start, end, forced_type in windows_iter:
         code = "\n".join(lines[start - 1 : end])
         if not allow_tests and _is_test_context(code, ext):
             continue
@@ -292,7 +381,9 @@ def extract_blocks(
         toks = tokenize(code, plan.special_terms)
         if not filter_tokenized_block(toks, plan):
             continue
-        node_type = determine_fallback_node_type(lines[original[0] - 1], ext)
+        node_type = forced_type or determine_fallback_node_type(
+            lines[original[0] - 1], ext
+        )
         tokset = set(toks)
         uniq = sum(1 for t in plan.term_indices if t in tokset)
         out.append(
@@ -409,6 +500,7 @@ def search_blocks(
     k: int = 10,
     allow_tests: bool = True,
     file_candidates: int = FILE_CANDIDATES,
+    node_extent: str = "window",
 ) -> pa.Table:
     """Distributed block search: index-guided candidate files -> block
     extraction as a map_batches stage over only those files (pushdown
@@ -431,7 +523,12 @@ def search_blocks(
             batch.column("path").to_pylist(),
             batch.column("content").to_pylist(),
         ):
-            rows.extend(extract_blocks(repo, path, content, plan, allow_tests))
+            rows.extend(
+                extract_blocks(
+                    repo, path, content, plan, allow_tests,
+                    node_extent=node_extent,
+                )
+            )
         return pa.table(
             {
                 "repo": pa.array([b.repo for b in rows], pa.string()),
@@ -470,6 +567,7 @@ def search_blocks_scalar(
     k: int = 10,
     allow_tests: bool = True,
     file_candidates: int = FILE_CANDIDATES,
+    node_extent: str = "window",
 ) -> pa.Table:
     """Pure-scalar oracle for search_blocks: whole-file BM25 candidate
     ranking via rank_files over the full corpus, sequential block
@@ -483,5 +581,9 @@ def search_blocks_scalar(
     blocks: list[Block] = []
     for i, _score in ranked_files:
         repo, path, content = corpus_rows[i]
-        blocks.extend(extract_blocks(repo, path, content, plan, allow_tests))
+        blocks.extend(
+            extract_blocks(
+                repo, path, content, plan, allow_tests, node_extent=node_extent
+            )
+        )
     return _blocks_to_table(rank_blocks(blocks, query), k)

