@@ -237,3 +237,35 @@ def test_static_special_case_changes_nothing(content, word):
     d = preprocess_text_with_filename(content, "p.py")
     c = preprocess_text_with_filename(content, "p.py", frozenset({word}))
     assert d == c, (word,)
+
+
+# --- pattern matcher totality + match invariants ---------------------------
+
+_pat_piece = st.sampled_from(
+    ["fn ", "$NAME", "$$$", "$$$ARGS", "(", ")", "{", "}", " ", "foo",
+     "= ", ";", "$A", "->"]
+)
+_src_st = st.text(
+    alphabet="abfnoparens(){};=$->_ \n", min_size=0, max_size=200
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_pat_piece, min_size=1, max_size=6), _src_st)
+def test_pattern_matcher_total_and_sound(pieces, src):
+    """compile_pattern/finditer never crash; matches are in-bounds,
+    non-overlapping, ordered, and non-empty; every literal word of the
+    pattern appears (case-sensitively) inside its match."""
+    from probe_ray.search.pattern import _META, compile_pattern
+
+    pattern = "".join(pieces)
+    p = compile_pattern(pattern)
+    prev_end = 0
+    words = [w for w in _META.sub(" ", pattern).split() if w.isalnum()]
+    for m in p.finditer(src):
+        assert 0 <= m.start() < m.end() <= len(src)
+        assert m.start() >= prev_end  # non-overlapping, ordered
+        prev_end = m.end()
+        assert src[m.start():m.end()] == m.group(0)
+        for w in words:
+            assert w in m.group(0)
