@@ -67,7 +67,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from probe_ray.index.build import lookup_df
 from probe_ray.query.bm25 import QueryPlan, idf as idf_fn
 from probe_ray.query.parser import is_only_excluded_terms
 from probe_ray.search.scoring import eval_mask, score_ast
@@ -261,7 +260,7 @@ def hybrid_search_many(
 
     n_docs = reader.n_docs
     n_tokens = int(reader.manifest.get("n_tokens", 0))
-    df_global = lookup_df(reader.index_dir, keywords)
+    df_global = reader.df_lookup(keywords)
 
     def _scan_fallback():
         # degenerate special term (matches much of the corpus):

@@ -66,6 +66,15 @@ def test_dictionary_df_matches_postings(built_index):
     got = lookup_df(idx, sample)
     assert got == {t: df_sum[t] for t in sample}
 
+    # the reader's shard-pruned cached lookup (_DfDict) must agree with
+    # the generic path, including negative entries, warm and cold
+    from probe_ray.search.searcher import _DfDict
+
+    dd = _DfDict(os.path.join(idx, "dict"))
+    probe = sample + ["zz_absent_term", "aaa_absent"]
+    assert dd.lookup(probe) == got
+    assert dd.lookup(probe) == got  # cached second pass identical
+
 
 def test_cli_search_json(built_index, capsys, ray_session):
     from probe_ray.cli import main
