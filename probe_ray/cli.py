@@ -246,6 +246,12 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from probe_ray.server import serve_stdio
+
+    return serve_stdio(args.cache_dir)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="probe_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -343,6 +349,14 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--exclude-tests", action="store_true")
     pq.add_argument("--json", action="store_true")
     pq.set_defaults(fn=cmd_query)
+
+    sv = sub.add_parser(
+        "serve",
+        help="MCP-analog stdio server (JSON-RPC: search_code / "
+             "query_code / extract_code over a corpus)",
+    )
+    sv.add_argument("--cache-dir", default=None)
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)
