@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_event_per_user": relational.top_event_per_user,
         "rel_order_priority_semijoin": relational.order_priority_semijoin,
         "rel_top_brands_by_revenue": relational.top_brands_by_revenue,
+        "rel_asof_last_click": relational.events_asof_last_click,
+        "rel_band_join_counts": relational.events_band_join_counts,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
         "fts_corpus_sha256": fts.corpus_sha256,
         "fts_index_doc_stats": fts.index_doc_stats,
@@ -163,6 +165,23 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us "
             "FROM s GROUP BY user_id, session_idx "
             "ORDER BY user_id, session_idx"
+        ),
+        "rel_asof_last_click": (
+            "SELECT p.event_id, p.user_id, "
+            "CAST(coalesce(date_diff('microsecond', v.ts, p.ts), -1) "
+            "AS BIGINT) AS gap_us "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type='click') v "
+            "ON p.user_id = v.user_id AND p.ts > v.ts ORDER BY p.event_id"
+        ),
+        "rel_band_join_counts": (
+            "SELECT p.event_id, p.user_id, count(c.ts) AS n_prior "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c "
+            "ON p.user_id = c.user_id "
+            "AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts "
+            "GROUP BY 1, 2 ORDER BY 1"
         ),
         "rel_q6_revenue_filter": (
             "SELECT CAST(sum("

@@ -879,3 +879,172 @@ def customers_per_region(sf_dir: str):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("r_name")
+
+
+# --------------------------------------------------------------------------
+# As-of / band (range) joins — operators Ray Data has no native form of
+# (SURVEY.md §3.6 "custom operators" note). Both are expressed as ONE
+# hash-partition shuffle on the join key plus a vectorized per-partition
+# kernel, the partitioning assumption being that a single key's rows fit a
+# partition (keys are salted only by user_id % EVENT_JOIN_PARTITIONS here;
+# a pathological single-user stream would need ts-range sub-salting with a
+# cross-boundary carry pass).
+
+EVENT_JOIN_PARTITIONS = 64
+
+
+def _two_sided_events(sf_dir: str, left_type: str, right_type: str):
+    """Events filtered to the two sides (pushed into the read), keyed for
+    one bounded-partition shuffle: (part, side, event_id, user_id, ts_us)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        side = pa.compute.equal(batch.column("event_type"), left_type)
+        return pa.table(
+            {
+                "part": pa.array((uid % EVENT_JOIN_PARTITIONS).astype(np.int64)),
+                "side": side.cast(pa.int8()),
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pads.field("event_type").isin([left_type, right_type]),
+    )
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 26))
+        .groupby("part")
+    )
+
+
+def _rank_keys(users: np.ndarray, ts: np.ndarray, codes_of, n_right: int):
+    """Composite (user_code, ts_rank) keys packed into one int64 so a
+    single np.searchsorted answers per-user temporal range queries —
+    the fully-vectorized replacement for a per-user Python loop."""
+    code = codes_of(users)
+    assert code.size == 0 or int(code.max()) < 2**31, "user-code overflow"
+    assert n_right < 2**31, "per-partition right side too large for packed keys"
+    return code.astype(np.int64) * (n_right + 1)
+
+
+def _asof_band_kernel(group: pa.Table, window_us: int | None):
+    """Shared per-partition kernel. Sort once by (user, ts); split sides;
+    map every timestamp into rank space over the RIGHT side's globally
+    ts-sorted array (rank = count of right rows with ts strictly less, so
+    ties are exact); then per-left-row range positions come from two
+    searchsorted calls over the packed (user_code, rank) key array.
+
+    window_us=None  -> as-of: (event_id, user_id, gap_us) with gap_us=-1
+                       when the user has no strictly-earlier right row.
+    window_us=W     -> band count: (event_id, user_id, n_prior) of right
+                       rows with ts in [t-W, t)."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        group, sort_keys=[("user_id", "ascending"), ("ts_us", "ascending")]
+    )
+    g = group.take(order)
+    side = g.column("side").to_numpy()
+    uid = g.column("user_id").to_numpy()
+    ts = g.column("ts_us").to_numpy()
+    eid = g.column("event_id").to_numpy()
+
+    left = side == 1
+    lu, lt, le = uid[left], ts[left], eid[left]
+    ru, rt = uid[~left], ts[~left]
+    n_right = rt.size
+
+    out_id = pa.array(le, pa.int64())
+    out_uid = pa.array(lu, pa.int64())
+    if lu.size == 0 or n_right == 0:
+        fill = (
+            np.full(lu.size, -1, np.int64)
+            if window_us is None
+            else np.zeros(lu.size, np.int64)
+        )
+        name = "gap_us" if window_us is None else "n_prior"
+        return pa.table({"event_id": out_id, "user_id": out_uid, name: pa.array(fill)})
+
+    all_users = np.unique(uid)
+
+    def codes_of(u):
+        return np.searchsorted(all_users, u)
+
+    rt_sorted = np.sort(rt)
+    base_r = _rank_keys(ru, rt, codes_of, n_right)
+    # right rows are already (user, ts)-sorted, so ranks are nondecreasing
+    # within a user and the packed keys are globally sorted
+    rkeys = base_r + np.searchsorted(rt_sorted, rt, side="left")
+    base_l = _rank_keys(lu, lt, codes_of, n_right)
+    hi = np.searchsorted(
+        rkeys, base_l + np.searchsorted(rt_sorted, lt, side="left"), side="left"
+    )
+    if window_us is None:
+        cand = hi - 1
+        valid = (cand >= 0) & (ru[np.clip(cand, 0, None)] == lu)
+        gap = np.where(valid, lt - rt[np.clip(cand, 0, None)], -1)
+        return pa.table(
+            {
+                "event_id": out_id,
+                "user_id": out_uid,
+                "gap_us": pa.array(gap.astype(np.int64)),
+            }
+        )
+    lo = np.searchsorted(
+        rkeys,
+        base_l + np.searchsorted(rt_sorted, lt - window_us, side="left"),
+        side="left",
+    )
+    return pa.table(
+        {
+            "event_id": out_id,
+            "user_id": out_uid,
+            "n_prior": pa.array((hi - lo).astype(np.int64)),
+        }
+    )
+
+
+def events_asof_last_click(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+):
+    """As-of join: for each `left_type` event, the gap (microseconds) to
+    the same user's most recent strictly-earlier `right_type` event;
+    -1 when none exists. Output (event_id, user_id, gap_us), one row per
+    left event — equivalent to DuckDB's ASOF LEFT JOIN."""
+
+    def kern(group: pa.Table) -> pa.Table:
+        return _asof_band_kernel(group, None)
+
+    return (
+        _two_sided_events(sf_dir, left_type, right_type)
+        .map_groups(kern, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+def events_band_join_counts(
+    sf_dir: str,
+    window_hours: int = 24,
+    left_type: str = "purchase",
+    right_type: str = "click",
+):
+    """Band (range) join: per `left_type` event, how many of the same
+    user's `right_type` events fall in the preceding window
+    [t - window, t). Output (event_id, user_id, n_prior)."""
+    window_us = window_hours * 3_600_000_000
+
+    def kern(group: pa.Table) -> pa.Table:
+        return _asof_band_kernel(group, window_us)
+
+    return (
+        _two_sided_events(sf_dir, left_type, right_type)
+        .map_groups(kern, batch_format="pyarrow")
+        .sort("event_id")
+    )

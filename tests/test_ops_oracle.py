@@ -33,6 +33,8 @@ CASES = [
     "rel_top_event_per_user",
     "rel_order_priority_semijoin",
     "rel_top_brands_by_revenue",
+    "rel_asof_last_click",
+    "rel_band_join_counts",
     "text_quality_score",
     "text_curation_pipeline",
     "text_lang_id",
