@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_brands_by_revenue": relational.top_brands_by_revenue,
         "rel_asof_last_click": relational.events_asof_last_click,
         "rel_band_join_counts": relational.events_band_join_counts,
+        "rel_value_quantiles": relational.column_quantiles_disc,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
         "fts_corpus_sha256": fts.corpus_sha256,
         "fts_index_doc_stats": fts.index_doc_stats,
@@ -182,6 +183,16 @@ def oracle_sql() -> dict[str, str]:
             "ON p.user_id = c.user_id "
             "AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts "
             "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        "rel_value_quantiles": (
+            "SELECT * FROM (SELECT CAST(0.25 AS DOUBLE) AS q, "
+            "quantile_disc(value, 0.25) AS value FROM events UNION ALL "
+            "SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) "
+            "FROM events UNION ALL "
+            "SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) "
+            "FROM events UNION ALL "
+            "SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) "
+            "FROM events) ORDER BY q"
         ),
         "rel_q6_revenue_filter": (
             "SELECT CAST(sum("

@@ -324,6 +324,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_semijoin", lambda: relational.order_priority_semijoin(SF_DIR).count()),
             ("rel_sliding_window", lambda: relational.events_sliding_window_counts(SF_DIR).count()),
             ("rel_asof_join", lambda: relational.events_asof_last_click(SF_DIR).count()),
+            ("rel_quantiles", lambda: relational.column_quantiles_disc(SF_DIR).num_rows),
             ("text_curation", lambda: text.curation_pipeline(SF_DIR).count()),
             ("embed_neardup_chain", lambda: embed.text_embed_neardup_pairs(SF_DIR).count()),
             ("multimodal_frames", lambda: multimodal.frame_features(SF_DIR).count()),

@@ -1048,3 +1048,152 @@ def events_band_join_counts(
         .map_groups(kern, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact distributed order statistics (discrete quantiles) WITHOUT a global
+# sort: one histogram pass locates the bin holding the k-th order stat,
+# then a filtered read collects only that bin's values (re-binned exactly
+# in the batch fn; the read filter is a widened pushdown range). If a bin
+# is still too large to collect (heavy duplication / 100-TB inputs), the
+# histogram recurses INTO the bin — each round shrinks the candidate range
+# by QUANTILE_BINS x, so a handful of passes reach float64 resolution.
+
+QUANTILE_BINS = 4096
+#: max values collected driver-side to finish a quantile exactly
+QUANTILE_COLLECT_MAX = 5_000_000
+
+
+def _value_histogram(files, column: str, lo: float, hi: float):
+    """One streaming pass: per-batch np.bincount into QUANTILE_BINS linear
+    bins over [lo, hi] (values outside are dropped — callers pass the
+    enclosing range), summed driver-side (one tiny row per block)."""
+    import ray.data
+
+    import pyarrow.dataset as pads
+
+    w = hi - lo
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v <= hi)]
+        idx = np.clip(
+            ((v - lo) / w * QUANTILE_BINS).astype(np.int64),
+            0,
+            QUANTILE_BINS - 1,
+        )
+        counts = np.bincount(idx, minlength=QUANTILE_BINS)
+        return pa.table({"counts": pa.array([counts], pa.list_(pa.int64()))})
+
+    eps = w / QUANTILE_BINS
+    ds = ray.data.read_parquet(
+        files,
+        columns=[column],
+        filter=(pads.field(column) >= lo - eps) & (pads.field(column) <= hi + eps),
+    )
+    total = np.zeros(QUANTILE_BINS, dtype=np.int64)
+    for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        flat = t.column("counts").combine_chunks()
+        mat = flat.flatten().to_numpy().reshape(len(t), QUANTILE_BINS)
+        total += mat.sum(axis=0)
+    return total
+
+
+def _collect_range(files, column: str, lo: float, hi: float, last: bool):
+    """Values v with lo <= v < hi (<= hi when ``last``), one filtered
+    streaming read, concatenated driver-side (caller bounds the size)."""
+    import ray.data
+
+    import pyarrow.dataset as pads
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        keep = (v >= lo) & ((v <= hi) if last else (v < hi))
+        return pa.table({column: pa.array(v[keep], pa.float64())})
+
+    ds = ray.data.read_parquet(
+        files,
+        columns=[column],
+        filter=(pads.field(column) >= lo) & (pads.field(column) <= hi),
+    )
+    parts = [
+        pa.table(b).column(column).to_numpy()
+        for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    return np.concatenate(parts) if parts else np.array([], np.float64)
+
+
+def _order_stat(files, column: str, k: int, lo: float, hi: float, counts):
+    """Exact k-th (0-based) order statistic given the histogram of
+    [lo, hi]; recurses into the holding bin while it exceeds the driver
+    collect cap."""
+    while True:
+        if lo == hi:
+            return lo
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, k + 1, side="left"))
+        k_in = k - (int(cum[b - 1]) if b > 0 else 0)
+        w = (hi - lo) / QUANTILE_BINS
+        blo, bhi = lo + b * w, lo + (b + 1) * w
+        last = b == QUANTILE_BINS - 1
+        if last:
+            bhi = hi
+        if int(counts[b]) > QUANTILE_COLLECT_MAX and bhi > blo:
+            lo, hi, k = blo, bhi, k_in
+            counts = _value_histogram(files, column, lo, hi)
+            # drop values that straddled the (widened) pushdown but fall
+            # outside [lo,hi): _value_histogram already range-filters
+            continue
+        vals = np.sort(_collect_range(files, column, blo, bhi, last))
+        assert vals.size == int(counts[b]), "histogram/collect mismatch"
+        return float(vals[k_in])
+
+
+def column_quantiles_disc(
+    sf_dir: str,
+    table: str = "events",
+    column: str = "value",
+    qs: tuple = (0.25, 0.5, 0.9, 0.99),
+):
+    """Exact discrete quantiles (DuckDB quantile_disc convention:
+    0-based index max(0, ceil(q*n)-1) of the sorted non-null column).
+    Output (q:double, value:double), one row per requested quantile.
+
+    Global min/max/row-count come from the Parquet footer statistics —
+    no data read; then ONE histogram pass is shared by all quantiles."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    pf = pq.ParquetFile(path)
+    ci = pf.schema_arrow.get_field_index(column)
+    lo, hi, n = math.inf, -math.inf, 0
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(ci).statistics
+        lo = min(lo, st.min)
+        hi = max(hi, st.max)
+        n += st.num_values  # non-null count
+    if n == 0:
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+        )
+    counts = _value_histogram([path], column, lo, hi)
+    out = []
+    for q in qs:
+        k = max(0, math.ceil(q * n) - 1)
+        out.append((float(q), _order_stat([path], column, k, lo, hi, counts)))
+    out.sort()
+    return pa.table(
+        {
+            "q": pa.array([q for q, _ in out], pa.float64()),
+            "value": pa.array([v for _, v in out], pa.float64()),
+        }
+    )
