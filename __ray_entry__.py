@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_extract": fts.fts_extract,
         "fts_extract_docs": fts.fts_extract_docs,
         "fts_pattern_query": fts.fts_pattern_query,
+        "fts_hybrid_rrf": fts.hybrid_rrf_search,
         # --- text analysis ------------------------------------------------
         "text_token_count": text.token_count,
         "text_token_count_bpeish": text.token_count_bpeish,

@@ -11,6 +11,7 @@ import glob
 import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 
 from probe_ray.index.build import IndexConfig, build_index
@@ -398,5 +399,99 @@ def term_df_topk_from_index(idx: str, k: int = 20) -> pa.Table:
         {
             "term": best.column("term"),
             "df": best.column("df").cast(pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (inverted index) + embedding cosine (brute-force
+# over the aligned embeddings table), fused with Reciprocal Rank Fusion
+# (RRF, Cormack et al. 2009: score = sum 1/(C + rank)). The dense side's
+# query vector is the embedding of the BM25 top hit, so the whole pipeline
+# is deterministic with no model in the environment. doc_id <-> vec_id are
+# aligned by construction of the testdata tables.
+
+RRF_C = 60
+
+
+def _doc_id_from_path(path: str) -> int:
+    # corpus_parquet writes path = f"{source}/doc_{doc_id:08d}.txt"
+    return int(path.rsplit("doc_", 1)[1].split(".")[0])
+
+
+def _cosine_topk_single(sf_dir: str, query_vec_id: int, k: int) -> list[int]:
+    """vec_ids of the k nearest (cosine) embeddings to one stored vector —
+    pushdown read for the query row, streaming per-batch matmul + top-k,
+    bounded driver merge (<= k rows per block)."""
+    import pyarrow.dataset as pads
+
+    from probe_ray.ops.ann import _list_matrix, _read_embeddings
+
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") == query_vec_id,
+    )
+    q = _list_matrix(qt.column("embedding"))[0]
+    q = q / np.linalg.norm(q)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _list_matrix(batch.column("embedding"))
+        sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ q
+        kk = min(k, sims.size)
+        part = np.argpartition(-sims, kk - 1)[:kk]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids[part], pa.int64()),
+                "sim": pa.array(sims[part], pa.float64()),
+            }
+        )
+
+    rows = (
+        _read_embeddings(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .take_all()
+    )
+    ranked = sorted(rows, key=lambda r: (-r["sim"], r["vec_id"]))[:k]
+    return [int(r["vec_id"]) for r in ranked]
+
+
+def hybrid_rrf_search(
+    sf_dir: str, query: str = "hash AND join", k: int = 10, fetch_k: int = 50
+) -> pa.Table:
+    """Top-k documents by RRF over (BM25 rank, cosine rank). Output
+    (rank, doc_id, rrf_milli, in_bm25, in_ann); rrf in integer milli-units
+    so the row hash is float-format independent. Ties break on doc_id."""
+    bm25 = _reader(ensure_index(sf_dir)).search(query, k=fetch_k)
+    bm_ids = [_doc_id_from_path(p) for p in bm25.column("path").to_pylist()]
+    if not bm_ids:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rrf_milli": pa.array([], pa.int64()),
+                "in_bm25": pa.array([], pa.int8()),
+                "in_ann": pa.array([], pa.int8()),
+            }
+        )
+    ann_ids = _cosine_topk_single(sf_dir, bm_ids[0], fetch_k)
+    # integer micro-unit RRF partials keep the fused score exact and
+    # platform-independent: 10^9 // (C + rank)
+    score: dict[int, int] = {}
+    flags: dict[int, list] = {}
+    for rank, d in enumerate(bm_ids, 1):
+        score[d] = score.get(d, 0) + 1_000_000_000 // (RRF_C + rank)
+        flags.setdefault(d, [0, 0])[0] = 1
+    for rank, d in enumerate(ann_ids, 1):
+        score[d] = score.get(d, 0) + 1_000_000_000 // (RRF_C + rank)
+        flags.setdefault(d, [0, 0])[1] = 1
+    fused = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+            "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+            "rrf_milli": pa.array([s // 1000 for _, s in fused], pa.int64()),
+            "in_bm25": pa.array([flags[d][0] for d, _ in fused], pa.int8()),
+            "in_ann": pa.array([flags[d][1] for d, _ in fused], pa.int8()),
         }
     )
