@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_last_click": relational.events_asof_last_click,
         "rel_band_join_counts": relational.events_band_join_counts,
         "rel_value_quantiles": relational.column_quantiles_disc,
+        "text_heavy_hitters": text.heavy_hitters,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
         "fts_corpus_sha256": fts.corpus_sha256,
         "fts_index_doc_stats": fts.index_doc_stats,
@@ -184,6 +185,15 @@ def oracle_sql() -> dict[str, str]:
             "ON p.user_id = c.user_id "
             "AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts "
             "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        "text_heavy_hitters": (
+            "WITH tok AS (SELECT unnest(string_split_regex(trim(text), "
+            "'\\s+')) AS token FROM documents WHERE trim(text) <> ''), "
+            "tot AS (SELECT count(*) AS n FROM tok) "
+            "SELECT token, count(*) AS cnt FROM tok, tot "
+            "GROUP BY token, tot.n "
+            "HAVING count(*) >= CAST(ceil(0.001 * n) AS BIGINT) "
+            "ORDER BY cnt DESC, token"
         ),
         "rel_value_quantiles": (
             "SELECT * FROM (SELECT CAST(0.25 AS DOUBLE) AS q, "

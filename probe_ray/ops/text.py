@@ -462,3 +462,114 @@ def curation_pipeline(
         return pa.table({"doc_id": batch.column("min(doc_id)")})
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries summaries per batch (mergeable-sketch family,
+# Agarwal et al. 2012) screen candidates in one bounded shuffle, then an
+# exact recount of only the candidate set makes the final counts EXACT —
+# no full-vocabulary aggregation ever happens, so the wide state is
+# O(batches x k) summary rows and the driver holds <= ~2/phi candidates.
+
+
+def heavy_hitters(sf_dir: str, phi: float = 0.001):
+    """Exact whitespace-token heavy hitters: every token whose corpus
+    frequency is >= ceil(phi * total_tokens), as (token, cnt) sorted by
+    (cnt desc, token asc). Three streaming passes:
+      1. narrow token-count pass -> total n (no shuffle);
+      2. per-batch Misra-Gries summaries (k = 4/phi counters; compressing
+         by the (k+1)-th count keeps the summary error <= batch_n/(k+1))
+         -> groupby(token).sum -> distributed screen at
+         cut = threshold - n//(k+1), which cannot drop a true heavy
+         hitter (sum of per-batch underestimates <= n/(k+1));
+      3. exact recount of the candidate set (broadcast, zero shuffle)."""
+    import math
+    from collections import Counter
+
+    import ray.data  # noqa: F401
+
+    k = max(64, int(4 / phi))
+    docs = _read_documents(sf_dir, ["text"])
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        tot = sum(len(t.split()) for t in batch.column("text").to_pylist())
+        return pa.table({"n": pa.array([tot], pa.int64())})
+
+    n = int(
+        docs.map_batches(ntok, batch_format="pyarrow").sum("n") or 0
+    )
+    empty = pa.table(
+        {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+    if n == 0:
+        return empty
+    threshold = int(math.ceil(phi * n))
+    cut = max(1, threshold - n // (k + 1))
+
+    def mg(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        if len(c) > k:
+            items = c.most_common()
+            dec = items[k][1]  # (k+1)-th largest count
+            items = [(tok, m - dec) for tok, m in items[:k] if m > dec]
+        else:
+            items = list(c.items())
+        items.sort()
+        return pa.table(
+            {
+                "token": pa.array([x[0] for x in items], pa.string()),
+                "cnt": pa.array([x[1] for x in items], pa.int64()),
+            }
+        )
+
+    def screen(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("sum(cnt)"), cut))
+
+    cand_t = (
+        docs.map_batches(mg, batch_format="pyarrow")
+        .repartition(shuffle_parts(table_rows(sf_dir, "documents") * 64))
+        .groupby("token")
+        .sum("cnt")
+        .map_batches(screen, batch_format="pyarrow")
+        .take_all()
+    )
+    cand = {r["token"] for r in cand_t}
+    if not cand:
+        return empty
+
+    def recount(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(w for w in t.split() if w in cand)
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "token": pa.array([x[0] for x in items], pa.string()),
+                "cnt": pa.array([x[1] for x in items], pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .take_all()
+    )
+    out = sorted(
+        (
+            (r["token"], int(r["sum(cnt)"]))
+            for r in rows
+            if int(r["sum(cnt)"]) >= threshold
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in out], pa.string()),
+            "cnt": pa.array([c for _, c in out], pa.int64()),
+        }
+    )
