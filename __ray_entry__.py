@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_last_click": relational.events_asof_last_click,
         "rel_band_join_counts": relational.events_band_join_counts,
         "rel_value_quantiles": relational.column_quantiles_disc,
+        "rel_value_quantiles_by_type": relational.column_quantiles_by_group,
         "text_heavy_hitters": text.heavy_hitters,
         # --- fulltext index + BM25 search (core engine; rows-only checks) --
         "fts_corpus_sha256": fts.corpus_sha256,
@@ -185,6 +186,15 @@ def oracle_sql() -> dict[str, str]:
             "ON p.user_id = c.user_id "
             "AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts "
             "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        "rel_value_quantiles_by_type": (
+            "SELECT * FROM ("
+            "SELECT event_type, CAST(0.5 AS DOUBLE) AS q, "
+            "quantile_disc(value, 0.5) AS value FROM events "
+            "GROUP BY event_type UNION ALL "
+            "SELECT event_type, CAST(0.9 AS DOUBLE), "
+            "quantile_disc(value, 0.9) FROM events GROUP BY event_type"
+            ") ORDER BY event_type, q"
         ),
         "text_heavy_hitters": (
             "WITH tok AS (SELECT unnest(string_split_regex(trim(text), "

@@ -1186,10 +1186,81 @@ def column_quantiles_disc(
             {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
         )
     counts = _value_histogram([path], column, lo, hi)
-    out = []
+    # locate every q's holding bin first, then collect ALL small bins in
+    # one shared pass (a separate read per quantile is wasted I/O); only
+    # bins over the driver cap take the recursive per-q path
+    cum = np.cumsum(counts)
+    w = hi - lo
+    plan = []  # (q, bin, k_in)
     for q in qs:
         k = max(0, math.ceil(q * n) - 1)
-        out.append((float(q), _order_stat([path], column, k, lo, hi, counts)))
+        b = int(np.searchsorted(cum, k + 1, side="left"))
+        plan.append((float(q), b, k - (int(cum[b - 1]) if b > 0 else 0)))
+    small_bins = sorted(
+        {
+            b
+            for _, b, _ in plan
+            if int(counts[b]) <= QUANTILE_COLLECT_MAX
+        }
+    )
+    bin_vals: dict[int, np.ndarray] = {}
+    if small_bins:
+        import ray.data
+
+        import pyarrow.dataset as pads
+
+        want = np.zeros(QUANTILE_BINS, bool)
+        want[small_bins] = True
+
+        def pick(batch: pa.Table) -> pa.Table:
+            v = batch.column(column).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            idx = np.clip(
+                ((v - lo) / w * QUANTILE_BINS).astype(np.int64),
+                0,
+                QUANTILE_BINS - 1,
+            )
+            return pa.table({column: pa.array(v[want[idx]], pa.float64())})
+
+        blo = lo + small_bins[0] * (w / QUANTILE_BINS)
+        bhi = (
+            hi
+            if small_bins[-1] == QUANTILE_BINS - 1
+            else lo + (small_bins[-1] + 1) * (w / QUANTILE_BINS)
+        )
+        eps = w / QUANTILE_BINS
+        ds = ray.data.read_parquet(
+            [path],
+            columns=[column],
+            filter=(pads.field(column) >= blo - eps)
+            & (pads.field(column) <= bhi + eps),
+        )
+        parts = [
+            pa.table(x).column(column).to_numpy()
+            for x in ds.map_batches(
+                pick, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+        ]
+        vals = (
+            np.concatenate(parts) if parts else np.array([], np.float64)
+        )
+        idx = np.clip(
+            ((vals - lo) / w * QUANTILE_BINS).astype(np.int64),
+            0,
+            QUANTILE_BINS - 1,
+        )
+        for b in small_bins:
+            bin_vals[b] = np.sort(vals[idx == b])
+            assert bin_vals[b].size == int(counts[b]), (
+                "histogram/collect mismatch"
+            )
+    out = []
+    for q, b, k_in in plan:
+        if b in bin_vals:
+            out.append((q, float(bin_vals[b][k_in])))
+        else:
+            k = max(0, math.ceil(q * n) - 1)
+            out.append((q, _order_stat([path], column, k, lo, hi, counts)))
     out.sort()
     return pa.table(
         {
@@ -1197,3 +1268,142 @@ def column_quantiles_disc(
             "value": pa.array([v for _, v in out], pa.float64()),
         }
     )
+
+
+def column_quantiles_by_group(
+    sf_dir: str,
+    table: str = "events",
+    column: str = "value",
+    group: str = "event_type",
+    qs: tuple = (0.5, 0.9),
+):
+    """Per-group exact discrete quantiles: (group, q, value). One
+    histogram pass computes EVERY group's bin counts at once (np.add.at
+    on a groups x bins matrix keyed by a broadcast group dictionary);
+    the per-group order stats then reuse _order_stat with group-filtered
+    collects. Group cardinality is assumed dictionary-small (it rides in
+    every task's closure); high-cardinality grouped quantiles belong in
+    a sketch, not an exact operator."""
+    import math
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = f"{sf_dir}/{table}.parquet"
+    pf = pq.ParquetFile(path)
+    ci = pf.schema_arrow.get_field_index(column)
+    lo, hi = math.inf, -math.inf
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(ci).statistics
+        lo = min(lo, st.min)
+        hi = max(hi, st.max)
+
+    groups = sorted(
+        pads.dataset(path)
+        .to_table(columns=[group])
+        .column(group)
+        .unique()
+        .to_pylist()
+    )
+    gidx = {g: i for i, g in enumerate(groups)}
+    w = hi - lo
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        gcol = batch.column(group).to_pylist()
+        gc = np.array([gidx[g] for g in gcol], np.int64)
+        ok = ~np.isnan(v)
+        v, gc = v[ok], gc[ok]
+        b = np.clip(
+            ((v - lo) / w * QUANTILE_BINS).astype(np.int64),
+            0,
+            QUANTILE_BINS - 1,
+        )
+        mat = np.zeros((len(groups), QUANTILE_BINS), np.int64)
+        np.add.at(mat, (gc, b), 1)
+        return pa.table(
+            {"counts": pa.array([mat.ravel()], pa.list_(pa.int64()))}
+        )
+
+    total = np.zeros((len(groups), QUANTILE_BINS), np.int64)
+    ds = ray.data.read_parquet(path, columns=[group, column])
+    for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        flat = t.column("counts").combine_chunks()
+        total += (
+            flat.flatten()
+            .to_numpy()
+            .reshape(len(t), len(groups), QUANTILE_BINS)
+            .sum(axis=0)
+        )
+
+    out_g, out_q, out_v = [], [], []
+    for g in groups:
+        counts = total[gidx[g]]
+        n = int(counts.sum())
+        if n == 0:
+            continue
+        for q in qs:
+            k = max(0, math.ceil(q * n) - 1)
+            # group-filtered collect: _collect_range sees only this
+            # group's values via a pre-filtered read
+            val = _order_stat_grouped(path, column, group, g, k, lo, hi, counts)
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(val)
+    order = sorted(range(len(out_g)), key=lambda i: (out_g[i], out_q[i]))
+    return pa.table(
+        {
+            group: pa.array([out_g[i] for i in order], pa.string()),
+            "q": pa.array([out_q[i] for i in order], pa.float64()),
+            "value": pa.array([out_v[i] for i in order], pa.float64()),
+        }
+    )
+
+
+def _order_stat_grouped(
+    path: str, column: str, group: str, gval, k: int, lo: float, hi: float, counts
+):
+    """_order_stat over one group's histogram: identical bin math, with
+    the collect read filtered to the group (pushdown + exact re-check)."""
+    import ray.data
+
+    import pyarrow.dataset as pads
+
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, k + 1, side="left"))
+    k_in = k - (int(cum[b - 1]) if b > 0 else 0)
+    w = (hi - lo) / QUANTILE_BINS
+    blo, bhi = lo + b * w, lo + (b + 1) * w
+    last = b == QUANTILE_BINS - 1
+    if last:
+        bhi = hi
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column(group), gval))
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        keep = (v >= blo) & ((v <= bhi) if last else (v < bhi))
+        return pa.table({column: pa.array(v[keep], pa.float64())})
+
+    ds = ray.data.read_parquet(
+        [path],
+        columns=[group, column],
+        filter=(pads.field(group) == gval)
+        & (pads.field(column) >= blo)
+        & (pads.field(column) <= bhi),
+    )
+    parts = [
+        pa.table(x).column(column).to_numpy()
+        for x in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    vals = np.sort(np.concatenate(parts) if parts else np.array([], np.float64))
+    assert vals.size == int(counts[b]), "grouped histogram/collect mismatch"
+    return float(vals[k_in])

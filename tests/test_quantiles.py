@@ -67,3 +67,17 @@ def test_order_stat_exhaustive_small(ray_session, duck_events):
             float(v[0]), float(v[-1]), counts,
         )
         assert got == v[k]
+
+
+def test_grouped_quantiles_match_duckdb(ray_session, duck_events):
+    got = relational.column_quantiles_by_group(SF).to_pylist()
+    want = duck_events.execute(
+        "SELECT * FROM ("
+        "SELECT event_type, CAST(0.5 AS DOUBLE) AS q, "
+        "quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type "
+        "UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), "
+        "quantile_disc(value, 0.9) FROM events GROUP BY event_type"
+        ") ORDER BY event_type, q"
+    ).fetchall()
+    assert [(r["event_type"], r["q"], r["value"]) for r in got] == want
+    assert len(got) == 10  # 5 event types x 2 quantiles
