@@ -52,6 +52,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_brands_by_revenue": relational.top_brands_by_revenue,
         "rel_asof_last_click": relational.events_asof_last_click,
         "rel_band_join_counts": relational.events_band_join_counts,
+        "rel_asof_last_click_salted": lambda sf: (
+            relational.events_asof_last_click_salted(sf, bucket_hours=24)
+        ),
+        "rel_band_join_counts_salted": lambda sf: (
+            relational.events_band_join_counts_salted(
+                sf, window_hours=24, bucket_hours=24
+            )
+        ),
         "rel_value_quantiles": relational.column_quantiles_disc,
         "rel_value_quantiles_by_type": relational.column_quantiles_by_group,
         "text_heavy_hitters": text.heavy_hitters,
@@ -180,6 +188,25 @@ def oracle_sql() -> dict[str, str]:
             "ON p.user_id = v.user_id AND p.ts > v.ts ORDER BY p.event_id"
         ),
         "rel_band_join_counts": (
+            "SELECT p.event_id, p.user_id, count(c.ts) AS n_prior "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c "
+            "ON p.user_id = c.user_id "
+            "AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts "
+            "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        # salted variants compute the SAME result as their plain forms
+        # (the salt only changes the exchange), so they share the oracle
+        "rel_asof_last_click_salted": (
+            "SELECT p.event_id, p.user_id, "
+            "CAST(coalesce(date_diff('microsecond', v.ts, p.ts), -1) "
+            "AS BIGINT) AS gap_us "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type='click') v "
+            "ON p.user_id = v.user_id AND p.ts > v.ts ORDER BY p.event_id"
+        ),
+        "rel_band_join_counts_salted": (
             "SELECT p.event_id, p.user_id, count(c.ts) AS n_prior "
             "FROM (SELECT * FROM events WHERE event_type='purchase') p "
             "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c "

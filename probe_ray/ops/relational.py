@@ -1407,3 +1407,282 @@ def _order_stat_grouped(
     vals = np.sort(np.concatenate(parts) if parts else np.array([], np.float64))
     assert vals.size == int(counts[b]), "grouped histogram/collect mismatch"
     return float(vals[k_in])
+
+
+# ---- skew-hardened variants ------------------------------------------------
+# The plain asof/band partitioning is user-hash only: one pathological user
+# (a single key with billions of events) lands in one partition. The salted
+# variants sub-salt by TIME BUCKET so a hot key spreads across partitions:
+#   band: rights are REPLICATED into the next bucket (window <= bucket span
+#         => every left's window is fully present in its own partition;
+#         each right appears exactly once there — original if same bucket,
+#         replica if previous), so one shuffle still suffices;
+#   asof: lookback is unbounded, so a per-(user,bucket) summary table
+#         (last right ts per slice) gets a per-user running prefix-max in a
+#         second TINY shuffle, and the carry is joined back to lefts that
+#         found no in-bucket match. All shuffled side data is O(slices),
+#         never O(rows of the hot key).
+
+ASOF_SALT_PARTS = EVENT_JOIN_PARTITIONS
+
+
+def _salted_two_sided(sf_dir, left_type, right_type, bucket_us, replicate_right):
+    import pyarrow.dataset as pads
+    import ray.data
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        side = (
+            pa.compute.equal(batch.column("event_type"), left_type)
+            .cast(pa.int8())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = batch.column("event_id").to_numpy()
+        bucket = ts // bucket_us
+        cols = {
+            "side": side,
+            "event_id": eid,
+            "user_id": uid,
+            "ts_us": ts,
+            "bucket": bucket,
+        }
+        if replicate_right:
+            r = side == 0
+            reps = {
+                k: np.concatenate([v, v[r]]) for k, v in cols.items()
+            }
+            reps["bucket"] = np.concatenate([bucket, bucket[r] + 1])
+            # replicas are marked so kernels can exclude them from
+            # summaries / self-windows
+            reps["replica"] = np.concatenate(
+                [np.zeros(len(uid), np.int8), np.ones(int(r.sum()), np.int8)]
+            )
+            cols = reps
+        else:
+            cols["replica"] = np.zeros(len(uid), np.int8)
+        part = (
+            (cols["user_id"] * np.int64(1_000_003) + cols["bucket"])
+            % ASOF_SALT_PARTS
+        ).astype(np.int64)
+        return pa.table({"part": pa.array(part), **{
+            k: pa.array(v) for k, v in cols.items()
+        }})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pads.field("event_type").isin([left_type, right_type]),
+    )
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 36))
+        .groupby("part")
+    )
+
+
+def events_band_join_counts_salted(
+    sf_dir: str,
+    window_hours: int = 24,
+    bucket_hours: int = 24,
+    left_type: str = "purchase",
+    right_type: str = "click",
+):
+    """Skew-hardened band join: identical output to
+    events_band_join_counts (pinned in tests) with partitions keyed by
+    (user, time bucket). Requires window <= bucket span."""
+    assert window_hours <= bucket_hours, "window must fit one bucket"
+    window_us = window_hours * 3_600_000_000
+    bucket_us = bucket_hours * 3_600_000_000
+
+    def kern(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # within a partition, (user, bucket) slices are independent;
+        # reuse the rank-key kernel with user' = (user, bucket) packed
+        # via dense codes over the pair
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("bucket", "ascending"),
+                ("ts_us", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        side = g.column("side").to_numpy()
+        uid = g.column("user_id").to_numpy()
+        bucket = g.column("bucket").to_numpy()
+        ts = g.column("ts_us").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        # dense pair codes (sorted by (user,bucket) so codes follow order)
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (bucket[1:] != bucket[:-1])]
+        pair_code = np.cumsum(new) - 1
+        sub = pa.table(
+            {
+                "part": g.column("part"),
+                "side": pa.array(side, pa.int8()),
+                # stash row indices so true (event_id, user_id) come back
+                # by fancy indexing — no per-row dict rebuild
+                "event_id": pa.array(np.arange(len(side)), pa.int64()),
+                "user_id": pa.array(pair_code, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+            }
+        )
+        out = _asof_band_kernel(sub, window_us)
+        li = out.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(eid[li], pa.int64()),
+                "user_id": pa.array(uid[li], pa.int64()),
+                "n_prior": out.column("n_prior"),
+            }
+        )
+
+    return (
+        _salted_two_sided(sf_dir, left_type, right_type, bucket_us, True)
+        .map_groups(kern, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+def events_asof_last_click_salted(
+    sf_dir: str,
+    bucket_hours: int = 168,
+    left_type: str = "purchase",
+    right_type: str = "click",
+):
+    """Skew-hardened as-of join: output identical to
+    events_asof_last_click (pinned). Per-partition local matches, then a
+    per-(user,bucket) last-right-ts summary gets a per-user exclusive
+    prefix-max (tiny second shuffle) joined back as the carry for lefts
+    whose match is in an earlier bucket."""
+    import ray
+    import ray.data
+
+    bucket_us = bucket_hours * 3_600_000_000
+
+    def kern(group: pa.Table) -> pa.Table:
+        """Local pass: per slice emit left rows with the in-bucket match
+        (local_ts or -1) plus one summary row per (user,bucket) with the
+        slice's max right ts."""
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("bucket", "ascending"),
+                ("ts_us", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        side = g.column("side").to_numpy()
+        uid = g.column("user_id").to_numpy()
+        bucket = g.column("bucket").to_numpy()
+        ts = g.column("ts_us").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (bucket[1:] != bucket[:-1])]
+        pair_code = np.cumsum(new) - 1
+        sub = pa.table(
+            {
+                "part": g.column("part"),
+                "side": pa.array(side, pa.int8()),
+                # stash the row index as event_id so we can recover ts
+                "event_id": pa.array(np.arange(len(side)), pa.int64()),
+                "user_id": pa.array(pair_code, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+            }
+        )
+        loc = _asof_band_kernel(sub, None)
+        li = loc.column("event_id").to_numpy()  # row indices of lefts
+        gap = loc.column("gap_us").to_numpy()
+        local_ts = np.where(gap >= 0, ts[li] - gap, -1)
+        lefts = pa.table(
+            {
+                "kind": pa.array(np.zeros(li.size, np.int8)),
+                "user_id": pa.array(uid[li], pa.int64()),
+                "bucket": pa.array(bucket[li], pa.int64()),
+                "event_id": pa.array(eid[li], pa.int64()),
+                "ts_us": pa.array(ts[li], pa.int64()),
+                "local_ts": pa.array(local_ts.astype(np.int64)),
+            }
+        )
+        # per-slice summary of rights
+        r = side == 0
+        if r.any():
+            ru, rb, rt = uid[r], bucket[r], ts[r]
+            nn = np.r_[True, (ru[1:] != ru[:-1]) | (rb[1:] != rb[:-1])]
+            starts = np.flatnonzero(nn)
+            ends = np.r_[starts[1:], rt.size]
+            summ = pa.table(
+                {
+                    "kind": pa.array(np.ones(starts.size, np.int8)),
+                    "user_id": pa.array(ru[starts], pa.int64()),
+                    "bucket": pa.array(rb[starts], pa.int64()),
+                    "event_id": pa.array(np.full(starts.size, -1, np.int64)),
+                    "ts_us": pa.array(rt[ends - 1], pa.int64()),  # max ts
+                    "local_ts": pa.array(np.full(starts.size, -1, np.int64)),
+                }
+            )
+            return pa.concat_tables([lefts, summ])
+        return lefts
+
+    local = (
+        _salted_two_sided(sf_dir, left_type, right_type, bucket_us, False)
+        .map_groups(kern, batch_format="pyarrow")
+    )
+
+    # second (tiny) shuffle: per user, exclusive prefix-max of summary ts
+    # over buckets becomes the carry for each left's bucket
+    def add_upart(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column(
+            "upart", pa.array((u % ASOF_SALT_PARTS).astype(np.int64))
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy()
+        uid = group.column("user_id").to_numpy()
+        bucket = group.column("bucket").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        ts = group.column("ts_us").to_numpy()
+        local_ts = group.column("local_ts").to_numpy()
+        lmask = kind == 0
+        lu, lb = uid[lmask], bucket[lmask]
+        su, sb, st = uid[~lmask], bucket[~lmask], ts[~lmask]
+        # Per user, summary ts is STRICTLY increasing in bucket (all rights
+        # in bucket B precede all rights in B+1), so "max summary ts over
+        # strictly-earlier buckets" = the ts of the LATEST earlier-bucket
+        # summary — one searchsorted over packed (user_code, bucket) keys,
+        # no per-row scan.
+        if su.size and lu.size:
+            all_users = np.unique(uid)
+            base = int(bucket.min())
+            m = np.int64(int(bucket.max()) - base + 2)
+            sord = np.argsort(
+                np.searchsorted(all_users, su) * m + (sb - base), kind="stable"
+            )
+            skey = np.searchsorted(all_users, su[sord]) * m + (sb[sord] - base)
+            lkey = np.searchsorted(all_users, lu) * m + (lb - base)
+            pos = np.searchsorted(skey, lkey, side="left") - 1
+            valid = (pos >= 0) & (su[sord][np.clip(pos, 0, None)] == lu)
+            carry = np.where(valid, st[sord][np.clip(pos, 0, None)], -1)
+        else:
+            carry = np.full(lu.size, -1, np.int64)
+        final_ts = np.maximum(local_ts[lmask], carry)
+        gap = np.where(final_ts >= 0, ts[lmask] - final_ts, -1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[lmask], pa.int64()),
+                "user_id": pa.array(lu, pa.int64()),
+                "gap_us": pa.array(gap.astype(np.int64)),
+            }
+        )
+
+    return (
+        local.map_batches(add_upart, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(resolve, batch_format="pyarrow")
+        .sort("event_id")
+    )

@@ -127,3 +127,98 @@ def test_asof_e2e_matches_duckdb(ray_session):
     assert got["gap_us"].tolist() == want["gap_us"].tolist()
     # non-vacuous: both matched and unmatched rows present
     assert (got["gap_us"] >= 0).any() and (got["gap_us"] == -1).any()
+
+
+# ---- skew-hardened (salted) variants ---------------------------------------
+# Identity vs the plain one-shuffle forms on real sf data, plus a synthetic
+# single-hot-user corpus (every row one user) — the exact case the
+# time-bucket sub-salting exists for: the plain variant puts that user in
+# ONE partition; the salted variant spreads it across buckets and must
+# still produce the identical answer via replicas (band) / carries (asof).
+
+
+def _pin_identical(plain_df, salted_df):
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        plain_df.reset_index(drop=True), salted_df.reset_index(drop=True)
+    )
+
+
+def test_salted_asof_identity_sf(ray_session):
+    from probe_ray.ops.relational import (
+        events_asof_last_click,
+        events_asof_last_click_salted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = events_asof_last_click(sf).to_pandas()
+    # bucket_hours=1 forces nearly every match across a bucket boundary
+    salted = events_asof_last_click_salted(sf, bucket_hours=1).to_pandas()
+    _pin_identical(plain, salted)
+    assert (plain["gap_us"] >= 0).any() and (plain["gap_us"] == -1).any()
+
+
+def test_salted_band_identity_sf(ray_session):
+    from probe_ray.ops.relational import (
+        events_band_join_counts,
+        events_band_join_counts_salted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for w, b in ((24, 24), (2, 3)):
+        plain = events_band_join_counts(sf, window_hours=w).to_pandas()
+        salted = events_band_join_counts_salted(
+            sf, window_hours=w, bucket_hours=b
+        ).to_pandas()
+        _pin_identical(plain, salted)
+        assert (plain["n_prior"] > 0).any()
+
+
+def test_salted_single_hot_user(ray_session, tmp_path):
+    """One user owns every event: brute-force scalar answer must match the
+    salted distributed one with tiny buckets (many cross-bucket carries)."""
+    import pyarrow.parquet as pq
+
+    from probe_ray.ops.relational import (
+        events_asof_last_click_salted,
+        events_band_join_counts_salted,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    hour_us = 3_600_000_000
+    ts = np.sort(rng.integers(0, 48 * hour_us, n))  # 48h span, ties likely
+    etype = np.where(rng.integers(3, size=n) == 0, "purchase", "click")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "event_type": pa.array(etype.tolist(), pa.string()),
+            "value": pa.array(np.ones(n, np.float64)),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+    rows = [
+        (1 if e == "purchase" else 0, i, 0, int(t))
+        for i, (e, t) in enumerate(zip(etype, ts))
+    ]
+    want_asof = brute(rows, None)
+    got = events_asof_last_click_salted(sf, bucket_hours=1).to_pandas()
+    assert {
+        int(r.event_id): (int(r.user_id), int(r.gap_us))
+        for r in got.itertuples()
+    } == want_asof
+
+    w_hours = 2
+    want_band = brute(rows, w_hours * hour_us)
+    got_b = events_band_join_counts_salted(
+        sf, window_hours=w_hours, bucket_hours=2
+    ).to_pandas()
+    assert {
+        int(r.event_id): (int(r.user_id), int(r.n_prior))
+        for r in got_b.itertuples()
+    } == want_band
