@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_train_val_split": text.train_val_split,
         "text_decontaminate": text.decontaminate,
         "text_ngram_topk": text.ngram_topk,
+        "text_repetition_stats": text.repetition_stats,
+        "text_stratified_sample": text.stratified_sample,
+        "text_shared_ngram_counts": text.shared_ngram_counts,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,
         "dedup_exact_keep_first": dedup.exact_dedup_keep_first,
@@ -417,6 +420,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM tok WHERE len(w) >= 2) "
             "SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM ng "
             "GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 20"
+        ),
+        # Gopher-style within-doc repetition counts (raw ints so the hash
+        # is exact; ratios are derived downstream)
+        "text_repetition_stats": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS word, "
+            "generate_subscripts(ws, 1) AS pos FROM w), "
+            "uniq AS (SELECT doc_id, count(DISTINCT word) AS n_uniq "
+            "FROM tok GROUP BY doc_id), "
+            "bg AS (SELECT a.doc_id, a.word AS w1, b.word AS w2 FROM tok a "
+            "JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "bgc AS (SELECT doc_id, w1, w2, count(*) AS c "
+            "FROM bg GROUP BY doc_id, w1, w2), "
+            "top AS (SELECT doc_id, max(c) AS top_bigram_n "
+            "FROM bgc GROUP BY doc_id) "
+            "SELECT w.doc_id, len(ws) AS n_words, u.n_uniq AS n_uniq_words, "
+            "greatest(len(ws) - 1, 0) AS n_bigrams, "
+            "CAST(coalesce(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n "
+            "FROM w JOIN uniq u USING (doc_id) LEFT JOIN top t USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
+        # deterministic per-language stratified sampling: Fibonacci-hash
+        # LCG on doc_id, identical expression on both engines
+        "text_stratified_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < "
+            "CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 1073741824 "
+            "WHEN 'fr' THEN 1073741824 WHEN 'es' THEN 1073741824 "
+            "WHEN 'zh' THEN 429496729 ELSE 0 END ORDER BY doc_id"
+        ),
+        # per-doc count of word-4-gram occurrences shared with >= 2 docs
+        "text_shared_ngram_counts": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 3), "
+            "i -> array_to_string(list_slice(ws, i + 1, i + 4), ' '))) AS gram "
+            "FROM w WHERE len(ws) >= 4), "
+            "occ AS (SELECT doc_id, gram, count(*) AS occ "
+            "FROM g GROUP BY doc_id, gram), "
+            "shared AS (SELECT gram FROM occ GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "sh AS (SELECT doc_id, sum(occ) AS n_shared FROM occ "
+            "JOIN shared USING (gram) GROUP BY doc_id) "
+            "SELECT w.doc_id, greatest(len(ws) - 3, CAST(0 AS BIGINT)) "
+            "AS n_grams, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared "
+            "FROM w LEFT JOIN sh USING (doc_id) ORDER BY doc_id"
         ),
         "dedup_exact_groups": (
             "SELECT sha256(text) AS sha, min(doc_id) AS keeper_id, "

@@ -573,3 +573,266 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
             "cnt": pa.array([c for _, c in out], pa.int64()),
         }
     )
+
+
+def _split_words(batch: pa.Table):
+    """Whitespace-split words for a batch, fully in Arrow: returns
+    (n_docs, n_words:int64[doc], doc_idx:int64[word], codes:int64[word])
+    where ``codes`` are per-batch dictionary codes (equal words = equal
+    codes). Matches DuckDB's string_split_regex(trim(text), '\\s+') exactly
+    — including the [''] result for an all-whitespace document."""
+    import pyarrow.compute as pc
+
+    lists = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(batch.column("text").combine_chunks())
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy()
+    n_words = np.diff(offsets).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+    flat = lists.flatten()
+    codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+    return len(n_words), n_words, doc_idx, codes
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals, all integers:
+    (doc_id, n_words, n_uniq_words, n_bigrams, top_bigram_n) where
+    top_bigram_n is the occurrence count of the document's most frequent
+    word bigram (0 when the doc has < 2 words). Derived ratios
+    (duplicate-word fraction = 1 - n_uniq/n_words, top-bigram fraction =
+    top_bigram_n/n_bigrams) are the Gopher repetition-filter signals; the
+    raw counts are emitted so the DuckDB oracle hash is exact.
+
+    Fully vectorized: one dictionary-encode over the batch's words, then
+    lexsort run-length math for per-doc distinct counts and bigram modes —
+    no per-document Counter loops."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_docs, n_words, doc_idx, codes = _split_words(batch)
+        n_uniq = np.zeros(n_docs, np.int64)
+        if codes.size:
+            order = np.lexsort((codes, doc_idx))
+            d, c = doc_idx[order], codes[order]
+            new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+            n_uniq = np.bincount(d[new], minlength=n_docs).astype(np.int64)
+        top = np.zeros(n_docs, np.int64)
+        n_bigrams = np.maximum(n_words - 1, 0)
+        if codes.size > 1:
+            same = doc_idx[1:] == doc_idx[:-1]
+            bd, b1, b2 = doc_idx[:-1][same], codes[:-1][same], codes[1:][same]
+            if bd.size:
+                order = np.lexsort((b2, b1, bd))
+                d, x, y = bd[order], b1[order], b2[order]
+                new = np.r_[
+                    True,
+                    (d[1:] != d[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1]),
+                ]
+                starts = np.flatnonzero(new)
+                counts = np.diff(np.r_[starts, d.size])
+                gd = d[starts]
+                doc_starts = np.flatnonzero(np.r_[True, gd[1:] != gd[:-1]])
+                top[gd[doc_starts]] = np.maximum.reduceat(counts, doc_starts)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "n_uniq_words": pa.array(n_uniq),
+                "n_bigrams": pa.array(n_bigrams),
+                "top_bigram_n": pa.array(top),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# deterministic per-language sampling rates for the stratified sampler —
+# Fibonacci-hash LCG on doc_id so the SAME expression is computable in
+# ANSI SQL ((doc_id * 2654435761) % 2^32 < rate * 2^32; exact for
+# doc_id < 2^32, which holds at every test scale; the numpy side wraps
+# in uint64 and stays deterministic beyond that)
+STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.10}
+_FIB_MULT = 2654435761
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None):
+    """Deterministic stratified downsampling of documents by language:
+    keep a doc iff lcg(doc_id) < rate[lang] (unknown langs dropped).
+    Output (doc_id, lang, source), the corpus-rebalancing primitive —
+    no shuffle, no RNG state, resumable by construction (pure filter)."""
+    import pyarrow.compute as pc
+
+    rates = STRATA_RATES if rates is None else rates
+    cuts = {k: np.int64(int(v * 2**32)) for k, v in rates.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        with np.errstate(over="ignore"):
+            h = (did.astype(np.uint64) * np.uint64(_FIB_MULT)) % np.uint64(
+                2**32
+            )
+        lang = batch.column("lang").to_pylist()
+        cut = np.array([cuts.get(la, np.int64(0)) for la in lang], np.int64)
+        keep = h.astype(np.int64) < cut
+        return batch.filter(pa.array(keep))
+
+    return _read_documents(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SHARED_GRAM_PARTITIONS = 64
+
+
+def shared_ngram_counts(sf_dir: str, n: int = 4):
+    """Cross-document n-gram duplication (the signal behind exact-substring
+    dedup a la "Deduplicating Training Data Makes LMs Better"): per doc,
+    how many of its word n-gram OCCURRENCES use a gram that appears in at
+    least 2 distinct documents. Output (doc_id, n_grams, n_shared).
+
+    Scale shape: grams never leave their partition — stage 1 pre-aggregates
+    (gram_hash, doc_id, occ) per batch and shuffles by gram_hash %
+    SHARED_GRAM_PARTITIONS (bounded partition count); stage 2 finds >= 2
+    distinct-doc grams with run-length math and emits per-doc partial sums
+    (O(docs) rows); stage 3 is one more bounded shuffle keyed by doc to sum
+    partials and join the per-doc totals. No all-pairs step, no driver
+    materialization; gram identity is a 64-bit blake2b hash (collision
+    probability ~ grams^2 / 2^64)."""
+    import hashlib
+
+    import ray.data
+
+    def grams_stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        dids = batch.column("doc_id").to_numpy()
+        cache: dict[str, int] = {}
+        out_part, out_gh, out_doc, out_occ = [], [], [], []
+        totals = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            ws = _WS.split(t.strip()) if t.strip() else [""]
+            if len(ws) < n:
+                continue
+            totals[i] = len(ws) - n + 1
+            counts: dict[int, int] = {}
+            for j in range(len(ws) - n + 1):
+                g = " ".join(ws[j : j + n])
+                h = cache.get(g)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "big",
+                    ) & ((1 << 63) - 1)
+                    cache[g] = h
+                counts[h] = counts.get(h, 0) + 1
+            out_gh.extend(counts.keys())
+            out_occ.extend(counts.values())
+            out_doc.extend([int(dids[i])] * len(counts))
+        gh = np.array(out_gh, np.int64)
+        return pa.table(
+            {
+                "part": pa.array(gh % SHARED_GRAM_PARTITIONS),
+                "gh": pa.array(gh),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "occ": pa.array(out_occ, pa.int64()),
+            }
+        )
+
+    def shared_partials(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("gh", "ascending"), ("doc_id", "ascending")],
+            )
+        )
+        gh = g.column("gh").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        occ = g.column("occ").to_numpy()
+        new = np.r_[True, gh[1:] != gh[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, gh.size])
+        # each (gh, doc_id) pair is globally unique (one doc per stage-1
+        # batch, per-doc dict dedup), so distinct docs per gram == run length
+        shared_run = np.repeat(lens >= 2, lens)
+        sel_doc, sel_occ = doc[shared_run], occ[shared_run]
+        if sel_doc.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(sel_doc, kind="stable")
+        sd, so = sel_doc[order], sel_occ[order]
+        dstart = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[dstart]),
+                "n_shared": pa.array(np.add.reduceat(so, dstart)),
+            }
+        )
+
+    def totals_stage(batch: pa.Table) -> pa.Table:
+        _, n_words, _, _ = _split_words(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(np.maximum(n_words - n + 1, 0)),
+                "n_shared": pa.array(np.zeros(len(n_words), np.int64)),
+            }
+        )
+
+    def with_docpart(zero_grams: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy()
+            t = batch.append_column(
+                "docpart", pa.array((d % SHARED_GRAM_PARTITIONS).astype(np.int64))
+            )
+            if zero_grams:
+                t = t.append_column(
+                    "n_grams", pa.array(np.zeros(len(d), np.int64))
+                )
+            return t.select(["docpart", "doc_id", "n_grams", "n_shared"])
+
+        return f
+
+    def combine(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy()
+        gr = group.column("n_grams").to_numpy()
+        sh = group.column("n_shared").to_numpy()
+        order = np.argsort(doc, kind="stable")
+        d, g_, s = doc[order], gr[order], sh[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "n_grams": pa.array(np.add.reduceat(g_, starts)),
+                "n_shared": pa.array(np.add.reduceat(s, starts)),
+            }
+        )
+
+    rows = table_rows(sf_dir, "documents")
+    partials = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(grams_stage, batch_format="pyarrow")
+        .repartition(shuffle_parts(rows * 140))
+        .groupby("part")
+        .map_groups(shared_partials, batch_format="pyarrow")
+        .map_batches(with_docpart(True), batch_format="pyarrow")
+    )
+    totals = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(totals_stage, batch_format="pyarrow")
+        .map_batches(with_docpart(False), batch_format="pyarrow")
+    )
+    return (
+        totals.union(partials)
+        .repartition(shuffle_parts(rows * 30))
+        .groupby("docpart")
+        .map_groups(combine, batch_format="pyarrow")
+        .sort("doc_id")
+    )

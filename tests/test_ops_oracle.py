@@ -44,6 +44,9 @@ CASES = [
     "text_train_val_split",
     "text_decontaminate",
     "text_ngram_topk",
+    "text_repetition_stats",
+    "text_stratified_sample",
+    "text_shared_ngram_counts",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_neardup_clusters",
