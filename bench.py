@@ -318,6 +318,9 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("train_val_split", lambda: text.train_val_split(SF_DIR).count()),
             ("decontaminate", lambda: text.decontaminate(SF_DIR).count()),
             ("ngram_topk", lambda: text.ngram_topk(SF_DIR).count()),
+            ("repetition_stats", lambda: text.repetition_stats(SF_DIR).count()),
+            ("stratified_sample", lambda: text.stratified_sample(SF_DIR).count()),
+            ("shared_ngram_counts", lambda: text.shared_ngram_counts(SF_DIR).count()),
             ("neardup_clusters", lambda: dedup.neardup_clusters(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
             ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),

@@ -577,10 +577,12 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
 
 def _split_words(batch: pa.Table):
     """Whitespace-split words for a batch, fully in Arrow: returns
-    (n_docs, n_words:int64[doc], doc_idx:int64[word], codes:int64[word])
-    where ``codes`` are per-batch dictionary codes (equal words = equal
-    codes). Matches DuckDB's string_split_regex(trim(text), '\\s+') exactly
-    — including the [''] result for an all-whitespace document."""
+    (n_docs, n_words:int64[doc], doc_idx:int64[word], codes:int64[word],
+    words) where ``codes`` are per-batch dictionary codes (equal words =
+    equal codes) and ``words`` is the batch's distinct-word dictionary
+    (StringArray indexed by code). Matches DuckDB's
+    string_split_regex(regex-trimmed text, '\\s+') exactly — including
+    the [''] result for an empty or all-whitespace document."""
     import pyarrow.compute as pc
 
     lists = pc.utf8_split_whitespace(
@@ -592,8 +594,9 @@ def _split_words(batch: pa.Table):
     n_words = np.diff(offsets).astype(np.int64)
     doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
     flat = lists.flatten()
-    codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
-    return len(n_words), n_words, doc_idx, codes
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    return len(n_words), n_words, doc_idx, codes, enc.dictionary
 
 
 def repetition_stats(sf_dir: str):
@@ -610,7 +613,7 @@ def repetition_stats(sf_dir: str):
     no per-document Counter loops."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        n_docs, n_words, doc_idx, codes = _split_words(batch)
+        n_docs, n_words, doc_idx, codes, _ = _split_words(batch)
         n_uniq = np.zeros(n_docs, np.int64)
         if codes.size:
             order = np.lexsort((codes, doc_idx))
@@ -706,37 +709,59 @@ def shared_ngram_counts(sf_dir: str, n: int = 4):
     import ray.data
 
     def grams_stage(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        """(part, gh, doc_id, occ): per-(doc, gram) occurrence counts.
+        Vectorized: blake2b only over the batch's DISTINCT words, then a
+        numpy polynomial rolling combine over the word-hash stream (gram
+        identity = 63-bit hash; windows crossing a doc boundary masked
+        out), then one lexsort for the per-(doc, gram) run-length counts.
+        Each doc's words live in one batch, so each (gh, doc_id) pair is
+        emitted exactly once globally — stage 2 relies on that."""
+        _, _, doc_idx, codes, words = _split_words(batch)
         dids = batch.column("doc_id").to_numpy()
-        cache: dict[str, int] = {}
-        out_part, out_gh, out_doc, out_occ = [], [], [], []
-        totals = np.zeros(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            ws = _WS.split(t.strip()) if t.strip() else [""]
-            if len(ws) < n:
-                continue
-            totals[i] = len(ws) - n + 1
-            counts: dict[int, int] = {}
-            for j in range(len(ws) - n + 1):
-                g = " ".join(ws[j : j + n])
-                h = cache.get(g)
-                if h is None:
-                    h = int.from_bytes(
-                        hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "big",
-                    ) & ((1 << 63) - 1)
-                    cache[g] = h
-                counts[h] = counts.get(h, 0) + 1
-            out_gh.extend(counts.keys())
-            out_occ.extend(counts.values())
-            out_doc.extend([int(dids[i])] * len(counts))
-        gh = np.array(out_gh, np.int64)
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "gh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "occ": pa.array([], pa.int64()),
+            }
+        )
+        if codes.size < n:
+            return empty
+        dict_hashes = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                for w in words.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        wh = dict_hashes[codes]
+        m = wh.size - n + 1
+        # window is a real gram only when it stays within one document
+        valid = doc_idx[:m] == doc_idx[n - 1 :]
+        gh = np.zeros(m, np.uint64)
+        prime = np.uint64(1099511628211)
+        for k in range(n):
+            gh = gh * prime + wh[k : m + k]
+        gd = doc_idx[:m][valid]
+        gh = (gh[valid] & np.uint64((1 << 63) - 1)).astype(np.int64)
+        if gd.size == 0:
+            return empty
+        order = np.lexsort((gh, gd))
+        d, h = gd[order], gh[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+        starts = np.flatnonzero(new)
+        occ = np.diff(np.r_[starts, d.size])
+        out_gh = h[starts]
         return pa.table(
             {
-                "part": pa.array(gh % SHARED_GRAM_PARTITIONS),
-                "gh": pa.array(gh),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "occ": pa.array(out_occ, pa.int64()),
+                "part": pa.array(out_gh % SHARED_GRAM_PARTITIONS),
+                "gh": pa.array(out_gh),
+                "doc_id": pa.array(dids[d[starts]], pa.int64()),
+                "occ": pa.array(occ.astype(np.int64)),
             }
         )
 
@@ -777,7 +802,7 @@ def shared_ngram_counts(sf_dir: str, n: int = 4):
         )
 
     def totals_stage(batch: pa.Table) -> pa.Table:
-        _, n_words, _, _ = _split_words(batch)
+        _, n_words, _, _, _ = _split_words(batch)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
