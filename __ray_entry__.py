@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition_stats": text.repetition_stats,
         "text_stratified_sample": text.stratified_sample,
         "text_shared_ngram_counts": text.shared_ngram_counts,
+        "text_pii_scrub": text.pii_scrub,
+        "text_group_sample": text.group_sample,
+        "rel_events_json_kpis": relational.events_json_kpis,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,
         "dedup_exact_keep_first": dedup.exact_dedup_keep_first,
@@ -467,6 +470,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.doc_id, greatest(len(ws) - 3, CAST(0 AS BIGINT)) "
             "AS n_grams, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared "
             "FROM w LEFT JOIN sh USING (doc_id) ORDER BY doc_id"
+        ),
+        # PII scrub: DuckDB regexp_* and pyarrow.compute regex kernels are
+        # both RE2, so counts and replacements match exactly; patterns and
+        # application order mirror probe_ray.ops.text.PII_PATTERNS
+        "text_pii_scrub": (
+            "WITH s0 AS (SELECT doc_id, text AS t FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t FROM s0), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "len(regexp_extract_all(t, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4, "
+            "regexp_replace(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', "
+            "'<IP>', 'g') AS t FROM s1) "
+            "SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, "
+            "CAST(n_ipv4 AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(t, "
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone, "
+            "regexp_replace(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') "
+            "AS clean_text FROM s2 ORDER BY doc_id"
+        ),
+        # deterministic k-per-source sample: same Fibonacci-hash LCG rank
+        # expression as text_stratified_sample
+        "text_group_sample": (
+            "SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM ("
+            "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5 ORDER BY source, sample_rank"
+        ),
+        "rel_events_json_kpis": (
+            "SELECT event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
+            "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS max_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "dedup_exact_groups": (
             "SELECT sha256(text) AS sha, min(doc_id) AS keeper_id, "

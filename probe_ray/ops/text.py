@@ -861,3 +861,99 @@ def shared_ngram_counts(sf_dir: str, n: int = 4):
         .map_groups(combine, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+# PII patterns, RE2 syntax: pyarrow.compute's regex kernels and DuckDB's
+# regexp_* functions are BOTH backed by RE2, so count/replace semantics
+# (leftmost, non-overlapping) match engine-to-engine exactly. Applied in
+# this order on both sides (email first: an address would otherwise leak
+# its host part to later patterns).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(sf_dir: str):
+    """Dolma/CCNet-style PII scrubbing pass: per document, count and
+    redact emails / IPv4 addresses / phone numbers. Output (doc_id,
+    n_email, n_ipv4, n_phone, clean_text). Fully vectorized — one
+    pc.count_substring_regex + pc.replace_substring_regex per pattern,
+    zero Python-per-row work; a pure map stage (no shuffle, resumable).
+
+    The synthetic sf corpora contain no PII (all counts 0, clean_text ==
+    text); tests/test_text_curation_ops.py pins the non-vacuous behavior
+    on an injected-PII corpus against the same DuckDB oracle SQL."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        cols: dict[str, pa.Array] = {"doc_id": batch.column("doc_id")}
+        clean = text
+        for name, pat, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.count_substring_regex(clean, pat).cast(
+                pa.int64()
+            )
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        cols["clean_text"] = clean
+        return pa.table(cols)
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def group_sample(sf_dir: str, k: int = 5):
+    """Deterministic k-examples-per-group sampling (the "show me k docs
+    per source" curation primitive): rank docs within each source by the
+    Fibonacci-hash LCG on doc_id (an odd multiplier mod 2^32 is a
+    bijection, so ranks are collision-free for doc_id < 2^32; doc_id
+    breaks ties beyond that) and keep the k smallest. Output (doc_id,
+    source, sample_rank).
+
+    Distributive: each batch keeps at most k rows per source it sees
+    (lexsort + run-length prune), so the shuffle moves O(k * sources *
+    blocks) rows, never the corpus; one tiny groupby finishes."""
+
+    def prune(batch: pa.Table, final: bool) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        scode = src.dictionary_encode().indices.to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = (did.astype(np.uint64) * np.uint64(_FIB_MULT)) % np.uint64(
+                2**32
+            )
+        h = h.astype(np.int64)
+        order = np.lexsort((did, h, scode))
+        g = scode[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        rank = np.arange(g.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, g.size])
+        )
+        keep = order[rank < k]
+        out = batch.take(pa.array(keep))
+        if not final:
+            return out
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "source": out.column("source"),
+                "sample_rank": pa.array(
+                    (rank[rank < k] + 1).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "source"])
+        .map_batches(
+            lambda b: prune(b, final=False), batch_format="pyarrow"
+        )
+        .repartition(8)
+        .groupby("source")
+        .map_groups(lambda g: prune(g, final=True), batch_format="pyarrow")
+        .sort(["source", "sample_rank"])
+    )

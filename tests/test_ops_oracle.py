@@ -47,6 +47,9 @@ CASES = [
     "text_repetition_stats",
     "text_stratified_sample",
     "text_shared_ngram_counts",
+    "text_pii_scrub",
+    "text_group_sample",
+    "rel_events_json_kpis",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_neardup_clusters",

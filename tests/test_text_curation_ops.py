@@ -128,3 +128,93 @@ def test_shared_ngram_counts_values(ray_session, corpus_dir):
     assert rows[4]["n_shared"] == 6
     # doc 5 contains SHARED twice -> each shared gram counted per occurrence
     assert rows[5]["n_shared"] >= 12
+
+
+PII_DOCS = [
+    (0, "contact me at alice.smith+work@example.co.uk or 10.0.0.1", "en", "web"),
+    (1, "call 555-123-4567 x2 or mail bob@host.io; server 192.168.001.250 up", "en", "web"),
+    (2, "no pii here at all", "en", "web"),
+    (3, "a@b.cc a@b.cc 1.2.3.4 999-999-9999", "en", "web"),
+    (4, "", "en", "web"),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pii_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in PII_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in PII_DOCS]),
+            "lang": pa.array([r[2] for r in PII_DOCS]),
+            "source": pa.array([r[3] for r in PII_DOCS]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_pii_scrub_oracle_parity(ray_session, pii_dir):
+    from probe_ray.ops.text import pii_scrub
+
+    compare(pii_scrub(pii_dir), oracle(pii_dir, "text_pii_scrub"))
+
+
+def test_pii_scrub_values(ray_session, pii_dir):
+    from probe_ray.ops.text import pii_scrub
+
+    rows = {r["doc_id"]: r for r in pii_scrub(pii_dir).take_all()}
+    assert rows[0]["n_email"] == 1 and rows[0]["n_ipv4"] == 1
+    assert rows[1]["n_phone"] == 1 and rows[1]["n_email"] == 1
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[2] == {
+        "doc_id": 2, "n_email": 0, "n_ipv4": 0, "n_phone": 0,
+        "clean_text": "no pii here at all",
+    }
+    assert rows[3]["n_email"] == 2 and rows[3]["n_phone"] == 1
+    assert "<EMAIL>" in rows[0]["clean_text"]
+    assert "alice" not in rows[0]["clean_text"]
+    assert "<IP>" in rows[0]["clean_text"]
+    assert "<PHONE>" in rows[1]["clean_text"]
+
+
+def test_group_sample_oracle_parity(ray_session, corpus_dir):
+    from probe_ray.ops.text import group_sample
+
+    compare(group_sample(corpus_dir), oracle(corpus_dir, "text_group_sample"))
+
+
+def test_group_sample_k_bound(ray_session):
+    from probe_ray.ops.text import group_sample
+
+    sf = "/root/testdata/sf0.001"
+    df = group_sample(sf, k=3).to_pandas()
+    assert (df.groupby("source").size() <= 3).all()
+    assert set(df["sample_rank"]) <= {1, 2, 3}
+    again = group_sample(sf, k=3).to_pandas()
+    assert df.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_events_json_kpis_fallback(ray_session, tmp_path):
+    """props that DON'T match the fast regex (extra keys, spacing) must go
+    through the json.loads fallback and still aggregate correctly."""
+    from probe_ray.ops.relational import events_json_kpis
+
+    props = ['{"k": 5}', '{ "k" : 7 }', '{"other": 1, "k": -2}', '{"k": 0}']
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array([0] * 4, pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "b"]),
+            "value": pa.array([0.0] * 4),
+            "props": pa.array(props),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    rows = {
+        r["event_type"]: r
+        for r in events_json_kpis(str(tmp_path)).take_all()
+    }
+    assert rows["a"] == {"event_type": "a", "n_events": 2, "sum_k": 12, "max_k": 7}
+    assert rows["b"] == {"event_type": "b", "n_events": 2, "sum_k": -2, "max_k": 0}
