@@ -37,17 +37,22 @@ def _read_documents(sf_dir: str, columns: list[str] | None = None):
 
 
 def token_count(sf_dir: str):
-    """Whitespace token count per document (doc_id, n_tokens)."""
+    """Whitespace token count per document (doc_id, n_tokens). Vectorized:
+    Arrow utf8_split_whitespace + list lengths (unicode-whitespace
+    semantics identical to the Python re \\s splitter it replaced;
+    empty/whitespace-only docs count 0)."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = [len(_WS.split(t.strip())) if t.strip() else 0 for t in texts]
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(n, pa.int64()),
-            }
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        n = pc.if_else(
+            pc.equal(trimmed, ""),
+            pa.scalar(0, pa.int64()),
+            pc.list_value_length(pc.utf8_split_whitespace(trimmed)).cast(
+                pa.int64()
+            ),
         )
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
@@ -55,16 +60,18 @@ def token_count(sf_dir: str):
 
 
 def token_count_bpeish(sf_dir: str):
-    """Sub-word-ish token count (regex BPE approximation): (doc_id, n_pieces)."""
+    """Sub-word-ish token count (regex BPE approximation): (doc_id,
+    n_pieces). One vectorized RE2 count per batch — the pattern's three
+    alternatives are disjoint character classes, so leftmost-match counts
+    equal the Python findall it replaced."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = [len(_BPEISH.findall(t)) for t in texts]
+        n = pc.count_substring_regex(
+            batch.column("text"), _BPEISH.pattern
+        ).cast(pa.int64())
         return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_pieces": pa.array(n, pa.int64()),
-            }
+            {"doc_id": batch.column("doc_id"), "n_pieces": n}
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -110,34 +117,54 @@ def normalize_stopwords(sf_dir: str):
     )
 
 
+def _stats_arrays(batch: pa.Table):
+    """Vectorized per-doc counts shared by text_stats and quality_score:
+    (n_chars, alpha, digit, n_tokens, uniq_tokens) as int64 numpy arrays.
+    Char-class counts via RE2 kernels; distinct-token counts via one
+    dictionary encode + lexsort run-length pass (no per-row set())."""
+    import pyarrow.compute as pc
+
+    text = batch.column("text").combine_chunks()
+    n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+    alpha = (
+        pc.count_substring_regex(text, "[A-Za-z]").to_numpy().astype(np.int64)
+    )
+    digit = (
+        pc.count_substring_regex(text, "[0-9]").to_numpy().astype(np.int64)
+    )
+    n_docs, n_words, doc_idx, codes, _ = _split_words(batch)
+    uniq = np.zeros(n_docs, np.int64)
+    if codes.size:
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        uniq = np.bincount(d[new], minlength=n_docs).astype(np.int64)
+    # empty / whitespace-only docs split to [''] — report 0 tokens
+    empty = pc.equal(
+        pc.utf8_trim_whitespace(text), ""
+    ).to_numpy(zero_copy_only=False)
+    n_tokens = np.where(empty, 0, n_words)
+    uniq = np.where(empty, 0, uniq)
+    return n_chars, alpha, digit, n_tokens, uniq
+
+
 def text_stats(sf_dir: str):
     """(doc_id, n_chars_actual, alpha_chars, digit_chars, n_tokens,
-    uniq_tokens) — quality-scoring raw counts, all integers."""
+    uniq_tokens) — quality-scoring raw counts, all integers, fully
+    vectorized (see _stats_arrays)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        rows = {
-            "doc_id": batch.column("doc_id"),
-            "n_chars_actual": pa.array([len(t) for t in texts], pa.int64()),
-            "alpha_chars": pa.array(
-                [len(_ALPHA.findall(t)) for t in texts], pa.int64()
-            ),
-            "digit_chars": pa.array(
-                [len(_DIGIT.findall(t)) for t in texts], pa.int64()
-            ),
-            "n_tokens": pa.array(
-                [len(_WS.split(t.strip())) if t.strip() else 0 for t in texts],
-                pa.int64(),
-            ),
-            "uniq_tokens": pa.array(
-                [
-                    len(set(_WS.split(t.strip()))) if t.strip() else 0
-                    for t in texts
-                ],
-                pa.int64(),
-            ),
-        }
-        return pa.table(rows)
+        n_chars, alpha, digit, n_tokens, uniq = _stats_arrays(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars_actual": pa.array(n_chars),
+                "alpha_chars": pa.array(alpha),
+                "digit_chars": pa.array(digit),
+                "n_tokens": pa.array(n_tokens),
+                "uniq_tokens": pa.array(uniq),
+            }
+        )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
@@ -149,24 +176,21 @@ def quality_score(sf_dir: str):
     rewards unique-token ratio and alpha ratio, penalizes very short docs."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            toks = _WS.split(t.strip()) if t.strip() else []
-            n = len(toks)
-            uniq = len(set(toks))
-            alpha = len(_ALPHA.findall(t))
-            ratio_u = uniq / n if n else 0.0
-            ratio_a = alpha / len(t) if t else 0.0
-            length_ok = 1.0 if n >= 20 else n / 20.0
-            # floor(x+0.5), not round(): Python round() is banker's
-            # rounding and would diverge from the SQL oracle on exact .5
-            score = 1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok)
-            out.append(int(np.floor(score + 0.5)))
+        n_chars, alpha, _, n, uniq = _stats_arrays(batch)
+        # identical IEEE-double expression order to the SQL oracle;
+        # floor(x+0.5), not round(): banker's rounding would diverge on .5
+        ratio_u = np.divide(uniq, n, out=np.zeros(len(n)), where=n > 0)
+        ratio_a = np.divide(
+            alpha, n_chars, out=np.zeros(len(n)), where=n_chars > 0
+        )
+        length_ok = np.where(n >= 20, 1.0, n / 20.0)
+        score = 1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "quality_milli": pa.array(out, pa.int64()),
+                "quality_milli": pa.array(
+                    np.floor(score + 0.5).astype(np.int64)
+                ),
             }
         )
 
@@ -176,23 +200,54 @@ def quality_score(sf_dir: str):
 
 
 def lang_id(sf_dir: str):
-    """Stop-word-profile language guess (doc_id, lang_guess)."""
+    """Stop-word-profile language guess (doc_id, lang_guess). Vectorized:
+    profile membership is resolved once per batch-distinct word (the
+    dictionary), then per-doc distinct hits come from one (doc, code)
+    dedup + bincount per profile — no per-doc Python set work. Only the
+    first 200 words of each doc vote, like the scalar loop it replaced."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            toks = set(w.lower() for w in _WS.split(t.strip())[:200])
-            best, best_n = "unknown", 0
-            for lang, prof in _LANG_PROFILES.items():
-                hits = len(toks & prof)
-                if hits > best_n:
-                    best, best_n = lang, hits
-            out.append(best)
+        n_docs, _, doc_idx, codes, words = _split_words(batch)
+        langs = list(_LANG_PROFILES)
+        hits = np.zeros((len(langs), n_docs), np.int64)
+        if codes.size:
+            # position of each word within its doc; only the first 200 vote
+            starts = np.flatnonzero(
+                np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+            )
+            pos = np.arange(codes.size, dtype=np.int64) - np.repeat(
+                starts, np.diff(np.r_[starts, codes.size])
+            )
+            # fold case BEFORE deduplication ("The" and "the" are one
+            # distinct token, as in the scalar set() it replaced)
+            lower = np.array(
+                [w.lower() for w in words.to_pylist()], dtype=object
+            )
+            uniq_lower, lowcode_of = np.unique(lower, return_inverse=True)
+            sel = pos < 200
+            d, c = doc_idx[sel], lowcode_of[codes[sel]]
+            order = np.lexsort((c, d))
+            d, c = d[order], c[order]
+            first = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+            d, c = d[first], c[first]
+            for li, lang in enumerate(langs):
+                prof = _LANG_PROFILES[lang]
+                member = np.fromiter(
+                    (w in prof for w in uniq_lower),
+                    dtype=bool,
+                    count=len(uniq_lower),
+                )
+                hits[li] = np.bincount(
+                    d, weights=member[c], minlength=n_docs
+                ).astype(np.int64)
+        best_i = np.argmax(hits, axis=0)  # first max wins, like the loop
+        best_n = hits[best_i, np.arange(n_docs)]
+        names = np.array(langs + ["unknown"])
+        out = names[np.where(best_n > 0, best_i, len(langs))]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_guess": pa.array(out, pa.string()),
+                "lang_guess": pa.array(out.tolist(), pa.string()),
             }
         )
 
@@ -222,21 +277,32 @@ def lang_id_ngram(sf_dir: str):
     ]
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            t_low = t.lower()[:2000]
-            grams = {t_low[i : i + 3] for i in range(max(0, len(t_low) - 2))}
-            best, best_score = "unknown", 0
-            for lang, prof in profiles:
-                score = sum(w for g, w in prof.items() if g in grams)
-                if score > best_score:
-                    best, best_score = lang, score
-            out.append(best)
+        import pyarrow.compute as pc
+
+        low = pc.utf8_slice_codeunits(
+            pc.utf8_lower(batch.column("text").combine_chunks()), 0, 2000
+        )
+        n = len(low)
+        # presence of each profile trigram = one vectorized substring
+        # count per gram (40 kernels/batch replaces the per-doc Python
+        # trigram-set build)
+        scores = np.zeros((len(profiles), n), np.int64)
+        for li, (_, prof) in enumerate(profiles):
+            for g, w in prof.items():
+                present = (
+                    pc.count_substring(low, g)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                scores[li] += w * (present > 0)
+        best_i = np.argmax(scores, axis=0)  # first max wins, like the loop
+        best_s = scores[best_i, np.arange(n)]
+        names = np.array([lang for lang, _ in profiles] + ["unknown"])
+        out = names[np.where(best_s > 0, best_i, len(profiles))]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_guess": pa.array(out, pa.string()),
+                "lang_guess": pa.array(out.tolist(), pa.string()),
             }
         )
 
@@ -251,13 +317,15 @@ def fingerprint(sf_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         fps = []
+        mask = (1 << 64) - 1
         for t in texts:
-            h = np.uint64(1469598103934665603)
-            prime = np.uint64(1099511628211)
-            with np.errstate(over="ignore"):
-                for b in t.encode()[:4096]:
-                    h = (h ^ np.uint64(b)) * prime
-            fps.append(int(h & np.uint64(0x7FFFFFFFFFFFFFFF)))
+            # FNV-1 over the first 4 KB; Python-int arithmetic (masked to
+            # 64 bits) is ~8x faster than np.uint64 scalar ops and wraps
+            # identically, so fingerprints are unchanged
+            h = 1469598103934665603
+            for b in t.encode()[:4096]:
+                h = ((h ^ b) * 1099511628211) & mask
+            fps.append(h & 0x7FFFFFFFFFFFFFFF)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -423,29 +491,30 @@ def curation_pipeline(
     from ray.data.aggregate import Min
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_sha = [], []
-        for did, lg, t in zip(ids, langs, texts):
-            if lg != lang:
-                continue
-            toks = _WS.split(t.strip()) if t.strip() else []
-            n = len(toks)
-            uniq = len(set(toks))
-            alpha = len(_ALPHA.findall(t))
-            ratio_u = uniq / n if n else 0.0
-            ratio_a = alpha / len(t) if t else 0.0
-            length_ok = 1.0 if n >= 20 else n / 20.0
-            q = int(np.floor(1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok) + 0.5))
-            if q < min_quality_milli:
-                continue
-            out_id.append(did)
-            out_sha.append(hashlib.sha256(t.encode()).hexdigest())
+        import pyarrow.compute as pc
+
+        n_chars, alpha, _, n, uniq = _stats_arrays(batch)
+        ratio_u = np.divide(uniq, n, out=np.zeros(len(n)), where=n > 0)
+        ratio_a = np.divide(
+            alpha, n_chars, out=np.zeros(len(n)), where=n_chars > 0
+        )
+        length_ok = np.where(n >= 20, 1.0, n / 20.0)
+        q = np.floor(
+            1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok) + 0.5
+        )
+        keep = (q >= min_quality_milli) & pc.equal(
+            batch.column("lang"), lang
+        ).to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(keep))
+        # sha256 only over the survivors (no Arrow kernel exists for it)
+        shas = [
+            hashlib.sha256(t.encode()).hexdigest()
+            for t in kept.column("text").to_pylist()
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "sha": pa.array(out_sha, pa.string()),
+                "doc_id": kept.column("doc_id"),
+                "sha": pa.array(shas, pa.string()),
             }
         )
 
