@@ -60,6 +60,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 sf, window_hours=24, bucket_hours=24
             )
         ),
+        "rel_q3_shipping_priority": relational.q3_shipping_priority,
+        "rel_customers_without_orders": relational.customers_without_orders,
+        "rel_order_count_distribution": relational.order_count_distribution,
+        "rel_distinct_users_per_type": relational.distinct_users_per_type,
+        "rel_events_daily_type_pivot": relational.events_daily_type_pivot,
+        "rel_rollup_revenue": relational.rollup_revenue,
         "rel_value_quantiles": relational.column_quantiles_disc,
         "rel_value_quantiles_by_type": relational.column_quantiles_by_group,
         "text_heavy_hitters": text.heavy_hitters,
@@ -281,6 +287,60 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l.l_orderkey = o.o_orderkey "
             f"AND {_MILLI.format(x='l.l_discount')} >= 80) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "rel_q3_shipping_priority": (
+            "SELECT l.l_orderkey AS o_orderkey, CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli, "
+            "any_value(epoch_us(o.o_orderdate)) AS orderdate_us, "
+            "any_value(o.o_orderpriority) AS o_orderpriority "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l.l_orderkey "
+            "ORDER BY revenue_milli DESC, o_orderkey LIMIT 10"
+        ),
+        "rel_customers_without_orders": (
+            "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2001-01-01') "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "rel_order_count_distribution": (
+            "SELECT c_count, count(*) AS n_customers FROM ("
+            "SELECT c.c_custkey, count(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey) GROUP BY c_count ORDER BY c_count"
+        ),
+        "rel_distinct_users_per_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users, "
+            "count(DISTINCT (user_id, epoch_us(ts) // 86400000000)) "
+            "AS n_user_days "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "rel_events_daily_type_pivot": (
+            "SELECT epoch_us(ts) // 86400000000 AS day_id, "
+            "count(*) FILTER (event_type = 'click') AS n_click, "
+            "count(*) FILTER (event_type = 'error') AS n_error, "
+            "count(*) FILTER (event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (event_type = 'view') AS n_view, "
+            "count(*) FILTER (event_type NOT IN "
+            "('click','error','purchase','signup','view')) AS n_other, "
+            "count(*) AS n_total "
+            "FROM events GROUP BY day_id ORDER BY day_id"
+        ),
+        "rel_rollup_revenue": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "count(*) AS n_rows, CAST(sum("
+            f"{_MILLI.format(x='l_extendedprice * (1.0 - l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         "rel_top_brands_by_revenue": (
             "SELECT p.p_brand, CAST(sum("

@@ -1744,3 +1744,585 @@ def events_json_kpis(sf_dir: str):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("event_type")
+
+
+def _us(date_str: str) -> int:
+    """Epoch microseconds of a YYYY-MM-DD date (integer, tz-naive)."""
+    return int(np.datetime64(date_str, "us").astype(np.int64))
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    k: int = 10,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+):
+    """TPC-H-Q3-flavored three-way join: revenue of not-yet-shipped
+    lineitems per qualifying order, top-k. customer (filtered to one
+    market segment) |><| orders (ordered before ``cutoff``) |><| lineitem
+    (shipped after ``cutoff``), grouped by orderkey.
+
+    Two chained bounded-partition repartition joins, never a broadcast
+    of any side (reference analog: probe's multi-stage candidate
+    filtering; shape per SURVEY.md SS3.5):
+
+      stage 1 (key = custkey % P): qualifying-customer keys meet
+        date-filtered orders -> surviving orders re-keyed by orderkey.
+      stage 2 (key = okey % P): surviving orders (dim side) meet
+        map-side per-batch revenue partials from lineitem (fact side);
+        inside a group the match is sorted-key searchsorted + one
+        np.add.at accumulation, and each partition emits only its local
+        top-k, so the final merge sees <= P*k rows (ops/topk.py).
+
+    Orders with zero matching lineitems are dropped (inner-join
+    semantics, hit-count not revenue). Output: (o_orderkey,
+    revenue_milli, orderdate_us, o_orderpriority) top-k by
+    (revenue_milli desc, o_orderkey asc)."""
+    import pyarrow.compute as pc
+
+    cutoff_us = _us(cutoff)
+    parts = SEMIJOIN_PARTITIONS
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.equal(batch.column("c_mktsegment"), segment)
+        keys = np.unique(
+            batch.column("c_custkey").filter(keep).to_numpy().astype(np.int64)
+        )
+        n = len(keys)
+        return pa.table(
+            {
+                "part": pa.array(keys % parts),
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+                "date_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "prio": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").to_numpy().astype(np.int64)
+        m = date_us < cutoff_us
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)[m]
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(np.ones(len(ck), dtype=np.int64)),
+                "okey": pa.array(ok, pa.int64()),
+                "rev": pa.array(np.zeros(len(ck), dtype=np.int64)),
+                "date_us": pa.array(date_us[m], pa.int64()),
+                "prio": batch.column("o_orderpriority").filter(pa.array(m)),
+            }
+        )
+
+    def meet_cust(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        key = group.column("key").to_numpy()
+        qual = key[side == 0]  # already unique per batch; partitions disjoint
+        hit = np.flatnonzero((side == 1) & np.isin(key, qual))
+        sel = group.take(pa.array(hit))
+        ok = sel.column("okey").to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": sel.column("okey"),
+                "side": pa.array(np.zeros(len(hit), dtype=np.int64)),
+                "rev": sel.column("rev"),
+                "date_us": sel.column("date_us"),
+                "prio": sel.column("prio"),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ship_us = batch.column("l_shipdate").to_numpy().astype(np.int64)
+        m = ship_us > cutoff_us
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)[m]
+        rev = _milli(
+            batch.column("l_extendedprice").to_numpy()[m]
+            * (1.0 - batch.column("l_discount").to_numpy()[m])
+        )
+        t = pa.table({"okey": pa.array(ok), "r": pa.array(rev)})
+        g = t.group_by(["okey"]).aggregate([("r", "sum")])
+        ok2 = g.column("okey").to_numpy()
+        n = len(ok2)
+        return pa.table(
+            {
+                "part": pa.array(ok2 % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "rev": g.column("r_sum").cast(pa.int64()),
+                "date_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "prio": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def meet_rev(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        dmask = side == 0
+        didx = np.flatnonzero(dmask)
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "revenue_milli": pa.array([], pa.int64()),
+                "orderdate_us": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+        if len(didx) == 0:
+            return empty
+        dkeys = okey[didx]
+        order = np.argsort(dkeys, kind="stable")
+        dkeys_s = dkeys[order]
+        fidx = np.flatnonzero(~dmask)
+        if len(fidx) == 0:
+            return empty
+        fkeys = okey[fidx]
+        pos = np.minimum(np.searchsorted(dkeys_s, fkeys), len(dkeys_s) - 1)
+        found = dkeys_s[pos] == fkeys
+        rev_sum = np.zeros(len(dkeys_s), dtype=np.int64)
+        hits = np.zeros(len(dkeys_s), dtype=np.int64)
+        frev = group.column("rev").to_numpy()[fidx]
+        np.add.at(rev_sum, pos[found], frev[found])
+        np.add.at(hits, pos[found], 1)
+        live = hits > 0
+        sel = group.take(pa.array(didx[order][live]))
+        out = pa.table(
+            {
+                "o_orderkey": pa.array(dkeys_s[live], pa.int64()),
+                "revenue_milli": pa.array(rev_sum[live], pa.int64()),
+                "orderdate_us": sel.column("date_us"),
+                "o_orderpriority": sel.column("prio"),
+            }
+        )
+        if out.num_rows > k:
+            order2 = pc.sort_indices(
+                out,
+                sort_keys=[
+                    ("revenue_milli", "descending"),
+                    ("o_orderkey", "ascending"),
+                ],
+            )
+            out = out.take(order2[:k])
+        return out
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    est1 = (table_rows(sf_dir, "customer") + table_rows(sf_dir, "orders")) * 72
+    surviving = (
+        cust.union(orders)
+        .repartition(shuffle_parts(est1))
+        .groupby("part")
+        .map_groups(meet_cust, batch_format="pyarrow")
+    )
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    est2 = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 72
+    per_part = (
+        surviving.union(lines)
+        .repartition(shuffle_parts(est2))
+        .groupby("part")
+        .map_groups(meet_rev, batch_format="pyarrow")
+    )
+    return _dataset_topk(
+        per_part,
+        [("revenue_milli", "descending"), ("o_orderkey", "ascending")],
+        k,
+    )
+
+
+def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
+    """ANTI-join (TPC-H-Q22-flavored): customers with NO order on/after
+    ``since``, counted per market segment. Same bounded-partition
+    union+groupby repartition-join shape as order_priority_semijoin —
+    inside a group the anti-membership test is one vectorized
+    ~np.isin — followed by a tiny (5-group) global sum.
+    Output: (c_mktsegment, n_customers) sorted by segment."""
+    from ray.data.aggregate import Sum
+
+    since_us = _us(since)
+    parts = SEMIJOIN_PARTITIONS
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").to_numpy().astype(np.int64)
+        keys = np.unique(
+            batch.column("o_custkey").to_numpy().astype(np.int64)[
+                date_us >= since_us
+            ]
+        )
+        return pa.table(
+            {
+                "part": pa.array(keys % parts),
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "seg": pa.array([""] * len(keys), pa.string()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(keys % parts),
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int64)),
+                "seg": batch.column("c_mktsegment"),
+            }
+        )
+
+    def meet(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        key = group.column("key").to_numpy()
+        have = key[side == 0]
+        anti = np.flatnonzero((side == 1) & ~np.isin(key, have))
+        seg = group.column("seg").take(pa.array(anti))
+        t = pa.table(
+            {"seg": seg, "one": pa.array(np.ones(len(anti), dtype=np.int64))}
+        )
+        g = t.group_by(["seg"]).aggregate([("one", "sum")])
+        return pa.table(
+            {"seg": g.column("seg"), "n": g.column("one_sum").cast(pa.int64())}
+        )
+
+    left = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        order_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    est = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "customer")) * 48
+    agg = (
+        left.union(right)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("seg"),
+                "n_customers": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("c_mktsegment")
+
+
+def order_count_distribution(sf_dir: str):
+    """TPC-H-Q13-flavored outer-join histogram: distribution of
+    orders-per-customer INCLUDING zero-order customers. Map-side
+    per-batch order counts (fact) meet the customer key domain (dim) in
+    one bounded-partition repartition join; each partition emits its own
+    (c_count, n_customers) histogram partial — zero counts come from dim
+    keys with no fact hit — and a tiny global groupby sums them.
+    Output: (c_count, n_customers) sorted by c_count."""
+    from ray.data.aggregate import Sum
+
+    parts = SEMIJOIN_PARTITIONS
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": batch.column("o_custkey").cast(pa.int64()),
+                "one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["key"]).aggregate([("one", "sum")])
+        keys = g.column("key").to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(keys % parts),
+                "key": g.column("key"),
+                "side": pa.array(np.ones(len(keys), dtype=np.int64)),
+                "cnt": g.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(keys % parts),
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "cnt": pa.array(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
+
+    def meet(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        key = group.column("key").to_numpy()
+        cnt = group.column("cnt").to_numpy()
+        dkeys = np.sort(key[side == 0])
+        out_empty = pa.table(
+            {
+                "c_count": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(dkeys) == 0:
+            return out_empty
+        fmask = side == 1
+        totals = np.zeros(len(dkeys), dtype=np.int64)
+        if fmask.any():
+            fkeys = key[fmask]
+            pos = np.minimum(np.searchsorted(dkeys, fkeys), len(dkeys) - 1)
+            found = dkeys[pos] == fkeys
+            np.add.at(totals, pos[found], cnt[fmask][found])
+        vals, counts = np.unique(totals, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    facts = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        order_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dims = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    est = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "customer")) * 32
+    agg = (
+        facts.union(dims)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": batch.column("c_count"),
+                "n_customers": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("c_count")
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact distributed COUNT DISTINCT, two measures per event type:
+    n_users = count(distinct user_id), n_user_days = count(distinct
+    (user_id, day)). Partitioning by user_id % P makes per-partition
+    distincts globally disjoint (every pair/triple of one user lands in
+    exactly one partition), so exactness needs ONE shuffle — no global
+    dedupe exchange. Per-batch pre-distinct (group_by with no aggregates)
+    shrinks the shuffle input first. Output sorted by event_type."""
+    from ray.data.aggregate import Sum
+
+    parts = SEMIJOIN_PARTITIONS
+
+    def pre(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("ts").to_numpy().astype(np.int64) // 86_400_000_000
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "day_id": pa.array(day, pa.int64()),
+            }
+        )
+        d = t.group_by(["event_type", "user_id", "day_id"]).aggregate([])
+        u = d.column("user_id").to_numpy()
+        return d.append_column("part", pa.array(u % parts))
+
+    def meet(group: pa.Table) -> pa.Table:
+        triples = group.group_by(["event_type", "user_id", "day_id"]).aggregate([])
+        pairs = triples.group_by(["event_type", "user_id"]).aggregate(
+            [("day_id", "count")]
+        )
+        per_type = pairs.group_by(["event_type"]).aggregate(
+            [("user_id", "count"), ("day_id_count", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": per_type.column("event_type"),
+                "users": per_type.column("user_id_count").cast(pa.int64()),
+                "user_days": per_type.column("day_id_count_sum").cast(pa.int64()),
+            }
+        )
+
+    est = table_rows(sf_dir, "events") * 40
+    agg = (
+        _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("users"), Sum("user_days"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_users": batch.column("sum(users)").cast(pa.int64()),
+                "n_user_days": batch.column("sum(user_days)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("event_type")
+
+
+#: Known event types for the pivot's fixed column layout (data-dependent
+#: extras are counted in n_other so no event is silently dropped).
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_type_pivot(sf_dir: str):
+    """PIVOT: per-day event counts with one column per event type plus
+    n_other and n_total. Classic partial-aggregate shape: per-batch
+    group_by(day) over int indicator columns (pure Arrow kernels), then
+    a global groupby(day_id) sum of at most n_days rows — the pivot
+    never shuffles raw events. Output sorted by day_id."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").to_numpy().astype(np.int64) // 86_400_000_000
+        et = batch.column("event_type")
+        cols = {"day_id": pa.array(day, pa.int64())}
+        other = np.ones(batch.num_rows, dtype=np.int64)
+        for t in PIVOT_EVENT_TYPES:
+            m = pc.equal(et, t).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"c_{t}"] = pa.array(m)
+            other -= m
+        cols["c_other"] = pa.array(other)
+        cols["c_total"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        return (
+            pa.table(cols)
+            .group_by(["day_id"])
+            .aggregate([(c, "sum") for c in cols if c != "day_id"])
+        )
+
+    names = [f"c_{t}" for t in PIVOT_EVENT_TYPES] + ["c_other", "c_total"]
+    agg = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(4096 * 80, lo=4))
+        .groupby("day_id")
+        .aggregate(*[Sum(f"{c}_sum") for c in names])
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {"day_id": batch.column("day_id")}
+        for t in PIVOT_EVENT_TYPES:
+            cols[f"n_{t}"] = batch.column(f"sum(c_{t}_sum)").cast(pa.int64())
+        cols["n_other"] = batch.column("sum(c_other_sum)").cast(pa.int64())
+        cols["n_total"] = batch.column("sum(c_total_sum)").cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("day_id")
+
+
+def rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) in one pass: every
+    batch emits partials for ALL THREE grouping levels (leaf, per-flag,
+    grand total — sentinel 'ALL'), derived from the leaf partial inside
+    the batch fn, so the rollup costs one tiny global groupby instead of
+    three scans. Output: (l_returnflag, l_linestatus, n_rows,
+    revenue_milli) sorted."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = _milli(
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy())
+        )
+        t = pa.table(
+            {
+                "f": batch.column("l_returnflag"),
+                "s": batch.column("l_linestatus"),
+                "one": pa.array(np.ones(len(rev), dtype=np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        leaf = t.group_by(["f", "s"]).aggregate([("one", "sum"), ("rev", "sum")])
+        lvl1 = leaf.group_by(["f"]).aggregate(
+            [("one_sum", "sum"), ("rev_sum", "sum")]
+        )
+        n1 = lvl1.num_rows
+        total_n = int(pc_sum(leaf.column("one_sum")))
+        total_r = int(pc_sum(leaf.column("rev_sum")))
+        return pa.table(
+            {
+                "l_returnflag": pa.concat_arrays(
+                    [
+                        leaf.column("f").combine_chunks(),
+                        lvl1.column("f").combine_chunks(),
+                        pa.array(["ALL"], pa.string()),
+                    ]
+                ),
+                "l_linestatus": pa.concat_arrays(
+                    [
+                        leaf.column("s").combine_chunks(),
+                        pa.array(["ALL"] * n1, pa.string()),
+                        pa.array(["ALL"], pa.string()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        leaf.column("one_sum").cast(pa.int64()).combine_chunks(),
+                        lvl1.column("one_sum_sum").cast(pa.int64()).combine_chunks(),
+                        pa.array([total_n], pa.int64()),
+                    ]
+                ),
+                "rev": pa.concat_arrays(
+                    [
+                        leaf.column("rev_sum").cast(pa.int64()).combine_chunks(),
+                        lvl1.column("rev_sum_sum").cast(pa.int64()).combine_chunks(),
+                        pa.array([total_r], pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(10 * 64, lo=4))
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n"), Sum("rev"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "n_rows": batch.column("sum(n)").cast(pa.int64()),
+                "revenue_milli": batch.column("sum(rev)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def pc_sum(arr) -> int:
+    import pyarrow.compute as pc
+
+    v = pc.sum(arr).as_py()
+    return 0 if v is None else int(v)

@@ -35,6 +35,12 @@ CASES = [
     "rel_top_brands_by_revenue",
     "rel_asof_last_click",
     "rel_band_join_counts",
+    "rel_q3_shipping_priority",
+    "rel_customers_without_orders",
+    "rel_order_count_distribution",
+    "rel_distinct_users_per_type",
+    "rel_events_daily_type_pivot",
+    "rel_rollup_revenue",
     "text_quality_score",
     "text_curation_pipeline",
     "text_lang_id",
