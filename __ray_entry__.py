@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_shared_ngram_counts": text.shared_ngram_counts,
         "text_pii_scrub": text.pii_scrub,
         "text_group_sample": text.group_sample,
+        "text_distinctive_terms": text.distinctive_terms,
+        "text_hll_distinct": text.hll_distinct_tokens,
         "rel_events_json_kpis": relational.events_json_kpis,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,
@@ -530,6 +532,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.doc_id, greatest(len(ws) - 3, CAST(0 AS BIGINT)) "
             "AS n_grams, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared "
             "FROM w LEFT JOIN sh USING (doc_id) ORDER BY doc_id"
+        ),
+        # per-doc top-5 distinctive terms: integer TF-IDF analog ranked by
+        # (tf desc, df asc, term asc) — no float division, exact hash
+        "text_distinctive_terms": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE term <> '' GROUP BY doc_id, term), "
+            "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY term), "
+            "ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk "
+            "FROM tf JOIN df USING (term)) "
+            "SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df "
+            "FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk"
         ),
         # PII scrub: DuckDB regexp_* and pyarrow.compute regex kernels are
         # both RE2, so counts and replacements match exactly; patterns and

@@ -322,6 +322,8 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("stratified_sample", lambda: text.stratified_sample(SF_DIR).count()),
             ("shared_ngram_counts", lambda: text.shared_ngram_counts(SF_DIR).count()),
             ("neardup_clusters", lambda: dedup.neardup_clusters(SF_DIR).count()),
+            ("distinctive_terms", lambda: text.distinctive_terms(SF_DIR).count()),
+            ("hll_distinct", lambda: text.hll_distinct_tokens(SF_DIR).num_rows),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
             ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),
             ("rel_semijoin", lambda: relational.order_priority_semijoin(SF_DIR).count()),

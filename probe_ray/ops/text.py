@@ -1026,3 +1026,211 @@ def group_sample(sf_dir: str, k: int = 5):
         .map_groups(lambda g: prune(g, final=True), batch_format="pyarrow")
         .sort(["source", "sample_rank"])
     )
+
+
+TERM_PARTITIONS = 64
+_HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _term_hash64(terms) -> np.ndarray:
+    """Stable 64-bit blake2b hash per term (one call per DISTINCT term in
+    the batch; callers pass a dictionary array, never the exploded token
+    stream)."""
+    import hashlib
+
+    out = np.empty(len(terms), dtype=np.uint64)
+    for i, t in enumerate(terms):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+def distinctive_terms(sf_dir: str, k: int = 5):
+    """Per-document top-k distinctive terms: for each doc, the k
+    whitespace terms ranked by (tf desc, df asc, term asc) — high
+    frequency in the doc, rare in the corpus (the integer-deterministic
+    TF-IDF analog; no float division so the DuckDB oracle hash is
+    exact). Output (doc_id, rk, term, tf, df), rk 1-based.
+
+    Two bounded-partition shuffles, both vectorized:
+      1. map-side per-(doc,term) tf via dictionary run-length math (the
+         exploded token stream never leaves the map task), then shuffle
+         keyed by blake2b(term) %% TERM_PARTITIONS — every row of a term
+         lands in one group, so df is a local bincount there;
+      2. rekey by doc_id, per-group top-k via one lexsort +
+         rank-within-run prune (never a group per doc).
+    At 100 TB both exchanges move O(distinct (doc,term)) rows, not the
+    token stream; hot terms cost one group's bincount, not a join."""
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        _, _, doc_idx, codes, words = _split_words(batch)
+        did = batch.column("doc_id").to_numpy()
+        if codes.size == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, d.size]).astype(np.int64)
+        dsel, csel = d[starts], c[starts]
+        wl = words.to_pylist()
+        h = _term_hash64(wl)
+        # empty-doc sentinel token '' (split parity with the oracle's
+        # string_split_regex) carries no signal — drop it
+        nonempty = np.array([bool(w) for w in wl], dtype=bool)
+        keep = nonempty[csel]
+        dsel, csel, tf = dsel[keep], csel[keep], tf[keep]
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h[csel] % np.uint64(TERM_PARTITIONS)).astype(np.int64)
+                ),
+                "doc_id": pa.array(did[dsel]),
+                "term": pa.array(np.asarray(wl, dtype=object)[csel], pa.string()),
+                "tf": pa.array(tf),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        term = group.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        enc = term.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        df = np.bincount(codes)[codes]  # rows are distinct (doc, term)
+        did = group.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "part2": pa.array((did % TERM_PARTITIONS).astype(np.int64)),
+                "doc_id": group.column("doc_id"),
+                "term": term,
+                "tf": group.column("tf"),
+                "df": pa.array(df.astype(np.int64)),
+            }
+        )
+
+    def doc_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("tf", "descending"),
+                ("df", "ascending"),
+                ("term", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        did = g.column("doc_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        rank = np.arange(did.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, did.size])
+        )
+        sel = g.take(pa.array(np.flatnonzero(rank < k)))
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id"),
+                "rk": pa.array(rank[rank < k] + 1),
+                "term": sel.column("term"),
+                "tf": sel.column("tf"),
+                "df": sel.column("df"),
+            }
+        )
+
+    n_docs = table_rows(sf_dir, "documents")
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_docs * 1024))
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_docs * 256))
+        .groupby("part2")
+        .map_groups(doc_topk, batch_format="pyarrow")
+        .sort(["doc_id", "rk"])
+    )
+
+
+def _hll_update(reg: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    """Max-merge 64-bit hashes into 2^p HLL registers, vectorized:
+    index = top p bits, rho = leading-zero count of the remaining
+    (64-p)-bit suffix + 1 (suffix 0 -> 65-p, the all-zeros convention)."""
+    if hashes.size == 0:
+        return
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes & np.uint64((1 << (64 - p)) - 1)
+    # bit_length via log2-free ladder: position of highest set bit
+    bl = np.zeros(rest.shape, dtype=np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += shift
+        r[mask] >>= np.uint64(shift)
+    bl[rest > 0] += 1  # bit_length of the nonzero suffixes
+    rho = ((64 - p) - bl + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rho)
+
+
+def _hll_estimate(reg: np.ndarray) -> tuple[int, int]:
+    """(nonzero_registers, rounded estimate) from HLL registers with the
+    standard small-range linear-counting correction."""
+    import math
+
+    m = reg.size
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    else:
+        est = raw
+    return m - zeros, int(round(est))
+
+
+def hll_distinct_tokens(sf_dir: str, p: int = _HLL_P):
+    """Approximate corpus-wide distinct whitespace-token count via a
+    HyperLogLog sketch: one 2^p-register row per batch (registers over
+    the batch's DISTINCT words only — max-merge makes per-batch dedup
+    free accuracy), elementwise-max reduced on the driver (rows are
+    #blocks x 4 KB, bounded), then the standard bias-corrected estimate.
+    Registers are a max over per-word hashes, so the sketch — and the
+    estimate — is invariant to batching/partitioning by construction.
+    Output one row (precision, m, nonzero_registers, est_distinct); no
+    SQL oracle (estimate), accuracy pinned vs the exact count in tests."""
+    m = 1 << p
+
+    def regs(batch: pa.Table) -> pa.Table:
+        _, _, _, _, words = _split_words(batch)
+        wl = [w for w in words.to_pylist() if w]
+        reg = np.zeros(m, np.uint8)
+        _hll_update(reg, _term_hash64(wl), p)
+        return pa.table(
+            {"regs": pa.array([reg], pa.list_(pa.uint8(), m))}
+        )
+
+    rows = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(regs, batch_format="pyarrow")
+        .take_all()
+    )
+    reg = np.zeros(m, np.uint8)
+    for r in rows:
+        reg = np.maximum(reg, np.asarray(r["regs"], dtype=np.uint8))
+    nonzero, est = _hll_estimate(reg)
+    return pa.table(
+        {
+            "precision": pa.array([p], pa.int64()),
+            "m": pa.array([m], pa.int64()),
+            "nonzero_registers": pa.array([nonzero], pa.int64()),
+            "est_distinct": pa.array([est], pa.int64()),
+        }
+    )

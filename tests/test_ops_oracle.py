@@ -55,6 +55,7 @@ CASES = [
     "text_shared_ngram_counts",
     "text_pii_scrub",
     "text_group_sample",
+    "text_distinctive_terms",
     "rel_events_json_kpis",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
