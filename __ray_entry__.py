@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii_scrub": text.pii_scrub,
         "text_group_sample": text.group_sample,
         "text_distinctive_terms": text.distinctive_terms,
+        "text_unigram_surprisal": text.unigram_surprisal,
         "text_hll_distinct": text.hll_distinct_tokens,
         "rel_events_json_kpis": relational.events_json_kpis,
         # --- dedup --------------------------------------------------------
@@ -549,6 +550,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN df USING (term)) "
             "SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df "
             "FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk"
+        ),
+        # unigram-LM surprisal, exact integers: surprisal(token) =
+        # bit_length(T // c) = length(bin(T // c)); docs with zero tokens
+        # have no LM score and are omitted
+        "text_unigram_surprisal": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE term <> '' GROUP BY doc_id, term), "
+            "c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c "
+            "FROM tf GROUP BY term), "
+            "t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf) "
+            "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+            "CAST(sum(tf.tf * length(bin(t.total // c.c))) AS BIGINT) "
+            "AS surprisal_bits "
+            "FROM tf JOIN c USING (term) CROSS JOIN t "
+            "GROUP BY tf.doc_id ORDER BY doc_id"
         ),
         # PII scrub: DuckDB regexp_* and pyarrow.compute regex kernels are
         # both RE2, so counts and replacements match exactly; patterns and

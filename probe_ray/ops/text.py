@@ -1046,6 +1046,47 @@ def _term_hash64(terms) -> np.ndarray:
     return out
 
 
+def _doc_term_tf_rows(batch: pa.Table) -> pa.Table:
+    """Map-side per-(doc, term) term frequencies with a stable
+    term-hash partition key: (part, doc_id, term, tf). The exploded
+    token stream never leaves the map task — one lexsort + run-length
+    count per batch; blake2b runs once per DISTINCT word. The
+    empty-doc sentinel token '' (split parity with the oracle's
+    string_split_regex) carries no signal and is dropped."""
+    _, _, doc_idx, codes, words = _split_words(batch)
+    did = batch.column("doc_id").to_numpy()
+    if codes.size == 0:
+        return pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((codes, doc_idx))
+    d, c = doc_idx[order], codes[order]
+    new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.r_[starts, d.size]).astype(np.int64)
+    dsel, csel = d[starts], c[starts]
+    wl = words.to_pylist()
+    h = _term_hash64(wl)
+    nonempty = np.array([bool(w) for w in wl], dtype=bool)
+    keep = nonempty[csel]
+    dsel, csel, tf = dsel[keep], csel[keep], tf[keep]
+    return pa.table(
+        {
+            "part": pa.array(
+                (h[csel] % np.uint64(TERM_PARTITIONS)).astype(np.int64)
+            ),
+            "doc_id": pa.array(did[dsel]),
+            "term": pa.array(np.asarray(wl, dtype=object)[csel], pa.string()),
+            "tf": pa.array(tf),
+        }
+    )
+
+
 def distinctive_terms(sf_dir: str, k: int = 5):
     """Per-document top-k distinctive terms: for each doc, the k
     whitespace terms ranked by (tf desc, df asc, term asc) — high
@@ -1062,42 +1103,6 @@ def distinctive_terms(sf_dir: str, k: int = 5):
          rank-within-run prune (never a group per doc).
     At 100 TB both exchanges move O(distinct (doc,term)) rows, not the
     token stream; hot terms cost one group's bincount, not a join."""
-
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        _, _, doc_idx, codes, words = _split_words(batch)
-        did = batch.column("doc_id").to_numpy()
-        if codes.size == 0:
-            return pa.table(
-                {
-                    "part": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "term": pa.array([], pa.string()),
-                    "tf": pa.array([], pa.int64()),
-                }
-            )
-        order = np.lexsort((codes, doc_idx))
-        d, c = doc_idx[order], codes[order]
-        new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
-        starts = np.flatnonzero(new)
-        tf = np.diff(np.r_[starts, d.size]).astype(np.int64)
-        dsel, csel = d[starts], c[starts]
-        wl = words.to_pylist()
-        h = _term_hash64(wl)
-        # empty-doc sentinel token '' (split parity with the oracle's
-        # string_split_regex) carries no signal — drop it
-        nonempty = np.array([bool(w) for w in wl], dtype=bool)
-        keep = nonempty[csel]
-        dsel, csel, tf = dsel[keep], csel[keep], tf[keep]
-        return pa.table(
-            {
-                "part": pa.array(
-                    (h[csel] % np.uint64(TERM_PARTITIONS)).astype(np.int64)
-                ),
-                "doc_id": pa.array(did[dsel]),
-                "term": pa.array(np.asarray(wl, dtype=object)[csel], pa.string()),
-                "tf": pa.array(tf),
-            }
-        )
 
     def attach_df(group: pa.Table) -> pa.Table:
         term = group.column("term")
@@ -1149,7 +1154,7 @@ def distinctive_terms(sf_dir: str, k: int = 5):
     n_docs = table_rows(sf_dir, "documents")
     return (
         _read_documents(sf_dir, ["doc_id", "text"])
-        .map_batches(tf_rows, batch_format="pyarrow")
+        .map_batches(_doc_term_tf_rows, batch_format="pyarrow")
         .repartition(shuffle_parts(n_docs * 1024))
         .groupby("part")
         .map_groups(attach_df, batch_format="pyarrow")
@@ -1160,6 +1165,109 @@ def distinctive_terms(sf_dir: str, k: int = 5):
     )
 
 
+def unigram_surprisal(sf_dir: str):
+    """Per-document integer unigram-LM surprisal (the CCNet/KenLM
+    perplexity-bucketing analog with an in-corpus unigram model and
+    exact integer arithmetic): surprisal(token) = bit_length(T // c)
+    where c is the token's corpus count and T the corpus total — an
+    exact integer stand-in for -log2(c/T), identical in DuckDB
+    (length(bin(T // c))), so the oracle hash is exact. Output
+    (doc_id, n_tokens, surprisal_bits); rare-token-heavy docs score
+    high, boilerplate scores low. Docs with zero tokens are omitted
+    (they have no LM score), mirroring the oracle.
+
+    Same two bounded-partition exchanges as distinctive_terms: the
+    term-hash partition makes the corpus count a local bincount-sum
+    (no join, hot tokens stay one group's problem), then a doc-keyed
+    regroup sums each doc's tf-weighted surprisals. Shuffles move
+    O(distinct (doc,term)) rows, never the token stream; the global
+    total T is one scalar from a narrow pre-pass."""
+
+    n_docs = table_rows(sf_dir, "documents")
+
+    # global total T: one narrow streaming pre-pass (a scalar), cheaper
+    # at scale than materializing the (doc,term) table for reuse
+    def ntok(batch: pa.Table) -> pa.Table:
+        _, _, _, codes, words = _split_words(batch)
+        nonempty = np.array(
+            [bool(w) for w in words.to_pylist()], dtype=bool
+        )
+        n = int(nonempty[codes].sum()) if codes.size else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = int(
+        _read_documents(sf_dir, ["text"])
+        .map_batches(ntok, batch_format="pyarrow")
+        .sum("n")
+        or 0
+    )
+    if total == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "surprisal_bits": pa.array([], pa.int64()),
+            }
+        )
+
+    def attach_bits(group: pa.Table) -> pa.Table:
+        term = group.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        codes = term.dictionary_encode().indices.to_numpy().astype(np.int64)
+        tf = group.column("tf").to_numpy()
+        c = np.bincount(codes, weights=tf).astype(np.int64)[codes]
+        bits = _bit_length64((total // c).astype(np.uint64))
+        did = group.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "part2": pa.array((did % TERM_PARTITIONS).astype(np.int64)),
+                "doc_id": group.column("doc_id"),
+                "tf": group.column("tf"),
+                "bits": pa.array(tf * bits),
+            }
+        )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy()
+        enc_did, inv = np.unique(did, return_inverse=True)
+        ntok = np.bincount(inv, weights=group.column("tf").to_numpy())
+        sbits = np.bincount(inv, weights=group.column("bits").to_numpy())
+        return pa.table(
+            {
+                "doc_id": pa.array(enc_did),
+                "n_tokens": pa.array(ntok.astype(np.int64)),
+                "surprisal_bits": pa.array(sbits.astype(np.int64)),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(_doc_term_tf_rows, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_docs * 1024))
+        .groupby("part")
+        .map_groups(attach_bits, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_docs * 128))
+        .groupby("part2")
+        .map_groups(per_doc, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def _bit_length64(vals: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length for a uint64 array (0 -> 0), via a
+    log2-free shift ladder — exact, no float rounding at power-of-two
+    boundaries."""
+    bl = np.zeros(vals.shape, dtype=np.int64)
+    r = vals.astype(np.uint64, copy=True)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += shift
+        r[mask] >>= np.uint64(shift)
+    bl[vals > 0] += 1
+    return bl
+
+
 def _hll_update(reg: np.ndarray, hashes: np.ndarray, p: int) -> None:
     """Max-merge 64-bit hashes into 2^p HLL registers, vectorized:
     index = top p bits, rho = leading-zero count of the remaining
@@ -1168,15 +1276,7 @@ def _hll_update(reg: np.ndarray, hashes: np.ndarray, p: int) -> None:
         return
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     rest = hashes & np.uint64((1 << (64 - p)) - 1)
-    # bit_length via log2-free ladder: position of highest set bit
-    bl = np.zeros(rest.shape, dtype=np.int64)
-    r = rest.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        mask = r >= (np.uint64(1) << np.uint64(shift))
-        bl[mask] += shift
-        r[mask] >>= np.uint64(shift)
-    bl[rest > 0] += 1  # bit_length of the nonzero suffixes
-    rho = ((64 - p) - bl + 1).astype(np.uint8)
+    rho = ((64 - p) - _bit_length64(rest) + 1).astype(np.uint8)
     np.maximum.at(reg, idx, rho)
 
 

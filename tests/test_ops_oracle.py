@@ -56,6 +56,7 @@ CASES = [
     "text_pii_scrub",
     "text_group_sample",
     "text_distinctive_terms",
+    "text_unigram_surprisal",
     "rel_events_json_kpis",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
