@@ -35,7 +35,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from probe_ray.ops import ann, dedup, embed, fts, multimodal, relational, text
+    from probe_ray.ops import (
+        ann,
+        dedup,
+        embed,
+        export,
+        fts,
+        multimodal,
+        relational,
+        text,
+    )
 
     q: dict[str, Callable[[str], Any]] = {
         # --- relational Dataset surface (partial agg, broadcast join,
@@ -98,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_distinctive_terms": text.distinctive_terms,
         "text_unigram_surprisal": text.unigram_surprisal,
         "text_hll_distinct": text.hll_distinct_tokens,
+        "export_pack_sequences": export.pack_sequences,
+        "export_shuffle_order": export.shuffle_export,
         "rel_events_json_kpis": relational.events_json_kpis,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,
@@ -568,6 +579,41 @@ def oracle_sql() -> dict[str, str]:
             "AS surprisal_bits "
             "FROM tf JOIN c USING (term) CROSS JOIN t "
             "GROUP BY tf.doc_id ORDER BY doc_id"
+        ),
+        # GPT-style sequence packing: concat all docs' whitespace tokens in
+        # doc_id order, cut every 64; one row per (doc, sequence) overlap.
+        # Window cumsum = the oracle for the distributed range-offset scan
+        "export_pack_sequences": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term "
+            "FROM documents), "
+            "n AS (SELECT doc_id, CAST(count(*) FILTER (term <> '') "
+            "AS BIGINT) AS n FROM tok GROUP BY doc_id), "
+            "c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS s FROM n), "
+            "x AS (SELECT doc_id, n, s, unnest(generate_series("
+            "s // 64, (s + n - 1) // 64)) AS seq_id FROM c WHERE n > 0) "
+            "SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, "
+            "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) "
+            "AS seq_off, "
+            "CAST(least((seq_id + 1) * 64, s + n) - greatest(s, seq_id * 64) "
+            "AS BIGINT) AS n_toks "
+            "FROM x ORDER BY doc_id, seq_id"
+        ),
+        # seeded deterministic shuffle: hv = 32-bit-safe affine mix (every
+        # product fits HUGEINT/uint64 exactly), shard = hv % 16, pos = rank
+        # of (hv, doc_id) within the shard — matches ops/export._mix_hash
+        "export_shuffle_order": (
+            "WITH h AS (SELECT doc_id, CAST(("
+            "(CAST(2654435761 AS HUGEINT) * (doc_id & 4294967295)) "
+            "% 4294967291 + "
+            "(CAST(40503 AS HUGEINT) * (doc_id >> 32)) % 4294967291 + 177"
+            ") % 4294967291 AS BIGINT) AS hv FROM documents) "
+            "SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hv % 16 "
+            "ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos "
+            "FROM h ORDER BY shard, pos"
         ),
         # PII scrub: DuckDB regexp_* and pyarrow.compute regex kernels are
         # both RE2, so counts and replacements match exactly; patterns and

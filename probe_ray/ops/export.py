@@ -1,0 +1,321 @@
+"""Training-data export ops: deterministic sequence packing and a seeded
+deterministic shuffle-export.
+
+Both are built on one distributed primitive — an exact exclusive
+prefix-sum over an ordered key (a "range-offset scan"): per-range partial
+sums are a tiny driver-combined aggregate (one row per range, never per
+doc), their exclusive cumsum is broadcast once via ``ray.put``, and every
+range then finishes its local scan independently inside one
+``groupby(range).map_groups`` stage.  This is the classic two-phase
+parallel scan expressed in Ray Data: no global sort, no sequential
+dependency, one bounded all-to-all.  At 10^12 docs the driver-side state
+is ``n_docs / range_size`` (packing) or ``shards x 65536`` (shuffle)
+integers — megabytes, not the data.
+
+Reference parity note: the reference engine has no training-export
+surface; these ops extend the engine for LLM-pipeline use per the
+project brief (sequence packing = GPT-style concat-and-cut batch prep;
+shuffle-export = seeded, resumable global example shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from probe_ray.ops.sizing import shuffle_parts, table_rows
+from probe_ray.ops.text import _read_documents, _split_words
+
+#: Tokens per packed training sequence (GPT-style concat-and-cut).
+PACK_BUDGET = 64
+#: Docs per prefix-sum range; drives driver-side offset-table size.
+PACK_RANGE = 128
+
+#: 32-bit-safe affine mix over the largest 32-bit prime: every product
+#: fits uint64 exactly (numpy) and HUGEINT exactly (DuckDB), so the Ray
+#: and SQL sides agree bit-for-bit on every doc_id up to 2^63.
+MIX_P = 4294967291
+MIX_A = 2654435761
+MIX_B = 40503
+EXPORT_SEED = 177
+EXPORT_SHARDS = 16
+#: Order-compatible hash buckets inside a shard (hv >> 16): pos within a
+#: shard = bucket's exclusive prefix count + local rank, so no shard-wide
+#: sort is ever needed.
+EXPORT_BUCKET_SHIFT = 16
+_NBUCKETS = 1 << EXPORT_BUCKET_SHIFT
+
+
+def _mix_hash(doc_id: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic 32-bit hash of int64 doc_ids, exactly reproducible
+    in ANSI SQL: ((A*lo) % P + (B*hi) % P + seed) % P with lo/hi the
+    32-bit halves. Each product < 2^64 so uint64 wrapping never fires."""
+    x = doc_id.astype(np.uint64)
+    lo = x & np.uint64(0xFFFFFFFF)
+    hi = x >> np.uint64(32)
+    p = np.uint64(MIX_P)
+    h = (
+        (np.uint64(MIX_A) * lo) % p
+        + (np.uint64(MIX_B) * hi) % p
+        + np.uint64(seed)
+    ) % p
+    return h.astype(np.int64)
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = PACK_BUDGET, range_size: int = PACK_RANGE
+):
+    """GPT-style sequence packing: concatenate every document's
+    whitespace tokens in doc_id order and cut the stream every ``budget``
+    tokens. Emits one row per (doc, sequence) overlap:
+    (doc_id, seq_id, seq_off, n_toks) — where the doc's slice lands and
+    how many of its tokens it contributes. Zero-token docs are omitted.
+
+    Scale shape: the per-doc token counts (O(n_docs) rows, ~0.02% of the
+    token stream) are materialized ONCE so the expensive tokenize pass is
+    not run twice; the global positions come from the range-offset scan
+    (tiny driver cumsum + broadcast), and the only all-to-all moves count
+    rows, never tokens or text."""
+    import ray
+
+    n_docs = table_rows(sf_dir, "documents")
+
+    def counts_fn(batch: pa.Table) -> pa.Table:
+        nd, _, doc_idx, codes, words = _split_words(batch)
+        if codes.size:
+            nonempty = np.array(
+                [bool(w) for w in words.to_pylist()], dtype=bool
+            )
+            n = np.bincount(
+                doc_idx,
+                weights=nonempty[codes].astype(np.float64),
+                minlength=nd,
+            ).astype(np.int64)
+        else:
+            n = np.zeros(nd, np.int64)
+        did = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "rng": pa.array((did // range_size).astype(np.int64)),
+                "n": pa.array(n),
+            }
+        )
+
+    counts = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(counts_fn, batch_format="pyarrow")
+        .materialize()
+    )
+    offsets = _range_offsets(counts, "rng", "n")
+    off_ref = ray.put(offsets)
+
+    def pack(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        did = group.column("doc_id").to_numpy()
+        n = group.column("n").to_numpy()
+        order = np.argsort(did, kind="stable")
+        did, n = did[order], n[order]
+        rng = int(did[0]) // range_size if did.size else 0
+        s = off.get(rng, 0) + np.concatenate(
+            ([0], np.cumsum(n[:-1]))
+        ).astype(np.int64)
+        keep = n > 0
+        did, n, s = did[keep], n[keep], s[keep]
+        first = s // budget
+        last = (s + n - 1) // budget
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(did.size, dtype=np.int64), reps)
+        run_starts = np.concatenate(([0], np.cumsum(reps[:-1])))
+        within = np.arange(idx.size, dtype=np.int64) - run_starts[idx]
+        seq_id = first[idx] + within
+        sb = seq_id * budget
+        st = np.maximum(sb, s[idx])
+        en = np.minimum(sb + budget, (s + n)[idx])
+        return pa.table(
+            {
+                "doc_id": pa.array(did[idx]),
+                "seq_id": pa.array(seq_id.astype(np.int64)),
+                "seq_off": pa.array((st - sb).astype(np.int64)),
+                "n_toks": pa.array((en - st).astype(np.int64)),
+            }
+        )
+
+    return (
+        counts.repartition(shuffle_parts(n_docs * 24))
+        .groupby("rng")
+        .map_groups(pack, batch_format="pyarrow")
+        .sort(["doc_id", "seq_id"])
+    )
+
+
+def _range_offsets(ds, key: str, val: str) -> dict[int, int]:
+    """Exclusive prefix-sum of per-``key`` totals of ``val``, combined on
+    the driver. The dataset rows never leave the cluster — only one
+    (key, partial) row per (batch, key) does, and distinct keys are
+    bounded by construction (n/range_size or shards*buckets)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy()
+        v = batch.column(val).to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        t = np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+        return pa.table({"k": pa.array(u), "t": pa.array(t)})
+
+    totals: dict[int, int] = {}
+    for row in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        totals[row["k"]] = totals.get(row["k"], 0) + row["t"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(totals):
+        offsets[k] = acc
+        acc += totals[k]
+    return offsets
+
+
+def _shard_grp_offsets(ds) -> dict[int, int]:
+    """Like _range_offsets, but the running sum resets at each shard
+    boundary (grp = shard * _NBUCKETS + bucket, so sorted grp order walks
+    buckets within a shard before moving to the next shard)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.column("grp").to_numpy()
+        u, inv = np.unique(g, return_inverse=True)
+        t = np.bincount(inv).astype(np.int64)
+        return pa.table({"k": pa.array(u), "t": pa.array(t)})
+
+    totals: dict[int, int] = {}
+    for row in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        totals[row["k"]] = totals.get(row["k"], 0) + row["t"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    cur_shard = None
+    for g in sorted(totals):
+        shard = g >> EXPORT_BUCKET_SHIFT
+        if shard != cur_shard:
+            cur_shard, acc = shard, 0
+        offsets[g] = acc
+        acc += totals[g]
+    return offsets
+
+
+def _hv_table(batch: pa.Table, n_shards: int, seed: int) -> pa.Table:
+    did = batch.column("doc_id").to_numpy()
+    hv = _mix_hash(did, seed)
+    shard = hv % n_shards
+    grp = (shard << EXPORT_BUCKET_SHIFT) + (hv >> EXPORT_BUCKET_SHIFT)
+    cols = {
+        "doc_id": pa.array(did),
+        "hv": pa.array(hv),
+        "shard": pa.array(shard.astype(np.int64)),
+        "grp": pa.array(grp.astype(np.int64)),
+    }
+    for name in batch.column_names:
+        if name != "doc_id":
+            cols[name] = batch.column(name)
+    return pa.table(cols)
+
+
+def _rank_group(group: pa.Table, offsets: dict[int, int]) -> pa.Table:
+    hv = group.column("hv").to_numpy()
+    did = group.column("doc_id").to_numpy()
+    order = np.lexsort((did, hv))
+    grp = int(group.column("grp")[0].as_py()) if len(group) else 0
+    pos = offsets.get(grp, 0) + np.arange(len(order), dtype=np.int64)
+    out = group.take(pa.array(order))
+    cols = {
+        "doc_id": out.column("doc_id"),
+        "shard": out.column("shard"),
+        "pos": pa.array(pos),
+    }
+    for name in out.column_names:
+        if name not in ("doc_id", "hv", "shard", "grp"):
+            cols[name] = out.column(name)
+    return pa.table(cols)
+
+
+def shuffle_export(
+    sf_dir: str, n_shards: int = EXPORT_SHARDS, seed: int = EXPORT_SEED
+):
+    """Seeded deterministic global shuffle: every doc gets a pseudorandom
+    32-bit key hv = mix(seed, doc_id), shard = hv % n_shards, and pos =
+    rank of (hv, doc_id) within its shard. Output (doc_id, shard, pos) —
+    the exact example order a training run would stream, reproducible
+    from (seed, n_shards) alone.
+
+    Scale shape: ranks come from the bucket-offset scan (hv's high bits
+    are order-compatible buckets inside a shard), so no shard-wide sort
+    exists anywhere — the metadata pre-pass reads only doc_id, and the
+    one bounded all-to-all groups (shard, bucket) cells."""
+    import ray
+
+    n_docs = table_rows(sf_dir, "documents")
+
+    def make():
+        return _read_documents(sf_dir, ["doc_id"]).map_batches(
+            lambda b: _hv_table(b, n_shards, seed), batch_format="pyarrow"
+        )
+
+    offsets = _shard_grp_offsets(make())
+    off_ref = ray.put(offsets)
+
+    def rank(group: pa.Table) -> pa.Table:
+        return _rank_group(group, ray.get(off_ref))
+
+    return (
+        make()
+        .repartition(shuffle_parts(n_docs * 32))
+        .groupby("grp")
+        .map_groups(rank, batch_format="pyarrow")
+        .sort(["shard", "pos"])
+    )
+
+
+def write_shuffle_shards(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 4,
+    seed: int = EXPORT_SEED,
+):
+    """Deterministic shuffle-export to resumable, Hive-partitioned
+    Parquet: one directory per shard, rows carrying (doc_id, pos, text).
+    The metadata pre-pass (doc_id only) fixes every rank; the single data
+    all-to-all then moves each row exactly once into its (shard, bucket)
+    cell — re-running with the same (seed, n_shards) reproduces the same
+    layout, and a failed run can skip shard directories already written.
+    Returns {shard: n_rows}."""
+    import ray
+
+    n_docs = table_rows(sf_dir, "documents")
+    meta = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda b: _hv_table(b, n_shards, seed), batch_format="pyarrow"
+    )
+    offsets = _shard_grp_offsets(meta)
+    off_ref = ray.put(offsets)
+
+    def rank(group: pa.Table) -> pa.Table:
+        return _rank_group(group, ray.get(off_ref))
+
+    (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: _hv_table(b, n_shards, seed), batch_format="pyarrow"
+        )
+        .repartition(shuffle_parts(n_docs * 256))
+        .groupby("grp")
+        .map_groups(rank, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    result: dict[int, int] = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "shard=*"))):
+        shard = int(os.path.basename(d).split("=", 1)[1])
+        rows = 0
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            rows += pq.ParquetFile(f).metadata.num_rows
+        result[shard] = rows
+    return result

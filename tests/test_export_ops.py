@@ -1,0 +1,125 @@
+"""Sequence packing + deterministic shuffle-export (ops/export.py).
+
+Oracle parity for the two queries() entries lives in test_ops_oracle.py;
+here: invariants the oracle can't see (conservation, determinism, the
+shard-partitioned writer layout, range-boundary behavior)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables([pa.table(b) for b in batches])
+
+
+def test_pack_sequences_conservation(ray_session):
+    """Every doc's tokens land exactly once; every sequence except the
+    last is exactly full; slices within a doc are contiguous."""
+    from probe_ray.ops import export
+    from probe_ray.ops.text import token_count
+
+    t = _table(export.pack_sequences(SF_DIR))
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in _table(token_count(SF_DIR)).to_pylist()
+    }
+    got = {}
+    for r in t.to_pylist():
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["n_toks"]
+        assert 0 < r["n_toks"] <= export.PACK_BUDGET
+        assert 0 <= r["seq_off"] < export.PACK_BUDGET
+    assert got == {d: n for d, n in counts.items() if n > 0}
+
+    seq_fill = {}
+    for r in t.to_pylist():
+        seq_fill[r["seq_id"]] = seq_fill.get(r["seq_id"], 0) + r["n_toks"]
+    last = max(seq_fill)
+    assert all(
+        n == export.PACK_BUDGET for s, n in seq_fill.items() if s != last
+    )
+    assert set(seq_fill) == set(range(last + 1))
+
+
+def test_pack_sequences_range_size_invariance(ray_session):
+    """The packing is a pure function of (corpus, budget) — the
+    distributed range decomposition must not leak into the result."""
+    from probe_ray.ops import export
+
+    a = _table(export.pack_sequences(SF_DIR, range_size=128)).to_pylist()
+    b = _table(export.pack_sequences(SF_DIR, range_size=37)).to_pylist()
+    assert a == b
+
+
+def test_shuffle_export_is_permutation(ray_session):
+    from probe_ray.ops import export
+
+    t = _table(export.shuffle_export(SF_DIR)).to_pylist()
+    assert sorted(r["doc_id"] for r in t) == list(range(len(t)))
+    by_shard: dict[int, list[int]] = {}
+    for r in t:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # seeded: a different seed produces a different order, same coverage
+    t2 = _table(export.shuffle_export(SF_DIR, seed=991)).to_pylist()
+    assert sorted(r["doc_id"] for r in t2) == sorted(r["doc_id"] for r in t)
+    assert t2 != t
+
+
+def test_write_shuffle_shards_layout(ray_session, tmp_path):
+    """Writer produces one Hive directory per shard whose (doc_id, pos)
+    rows equal shuffle_export's mapping, carrying the text payload."""
+    from probe_ray.ops import export
+
+    out = str(tmp_path / "shards")
+    result = export.write_shuffle_shards(SF_DIR, out, n_shards=4)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 4
+    assert sum(result.values()) == 500
+
+    expect = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in _table(export.shuffle_export(SF_DIR, n_shards=4)).to_pylist()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    n = 0
+    for d in dirs:
+        shard = int(os.path.basename(d).split("=")[1])
+        rows = pq.read_table(d).to_pylist()
+        for r in rows:
+            assert expect[(shard, r["pos"])] == r["doc_id"]
+            assert texts[r["doc_id"]] == r["text"]
+            n += 1
+    assert n == 500
+
+
+def test_mix_hash_matches_python_ints():
+    """The numpy uint64 path must equal arbitrary-precision integer math
+    even for doc_ids near 2^63 (no silent wrap in the products)."""
+    from probe_ray.ops.export import MIX_A, MIX_B, MIX_P, _mix_hash
+
+    ids = np.array(
+        [0, 1, 499, 2**31, 2**32 - 1, 2**32, 2**62, 2**63 - 1],
+        dtype=np.int64,
+    )
+    got = _mix_hash(ids, 177)
+    for x, h in zip(ids.tolist(), got.tolist()):
+        lo, hi = x & 0xFFFFFFFF, x >> 32
+        assert h == ((MIX_A * lo) % MIX_P + (MIX_B * hi) % MIX_P + 177) % MIX_P

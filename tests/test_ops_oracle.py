@@ -57,6 +57,8 @@ CASES = [
     "text_group_sample",
     "text_distinctive_terms",
     "text_unigram_surprisal",
+    "export_pack_sequences",
+    "export_shuffle_order",
     "rel_events_json_kpis",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
