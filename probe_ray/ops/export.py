@@ -79,6 +79,7 @@ def pack_sequences(
     import ray
 
     n_docs = table_rows(sf_dir, "documents")
+    ngroups = shuffle_parts(n_docs * 24, lo=64, hi=1 << 20)
 
     def counts_fn(batch: pa.Table) -> pa.Table:
         nd, _, doc_idx, codes, words = _split_words(batch)
@@ -94,10 +95,12 @@ def pack_sequences(
         else:
             n = np.zeros(nd, np.int64)
         did = batch.column("doc_id").to_numpy()
+        rng = (did // range_size).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(did),
-                "rng": pa.array((did // range_size).astype(np.int64)),
+                "rng": pa.array(rng),
+                "gkey": pa.array(rng % ngroups),
                 "n": pa.array(n),
             }
         )
@@ -109,17 +112,38 @@ def pack_sequences(
     )
     offsets = _range_offsets(counts, "rng", "n")
     off_ref = ray.put(offsets)
+    # group key is DECOUPLED from the range: ranges hash into ~64 MB
+    # groups, each group call finishes every range it holds vectorized.
+    # One map_groups call per group — bounded by bytes, not by range
+    # count (10^12 docs / range_size calls would be pure scheduling).
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "seq_id": pa.array([], pa.int64()),
+            "seq_off": pa.array([], pa.int64()),
+            "n_toks": pa.array([], pa.int64()),
+        }
+    )
 
     def pack(group: pa.Table) -> pa.Table:
         off = ray.get(off_ref)
         did = group.column("doc_id").to_numpy()
+        if did.size == 0:
+            return empty
         n = group.column("n").to_numpy()
         order = np.argsort(did, kind="stable")
         did, n = did[order], n[order]
-        rng = int(did[0]) // range_size if did.size else 0
-        s = off.get(rng, 0) + np.concatenate(
-            ([0], np.cumsum(n[:-1]))
-        ).astype(np.int64)
+        # doc_id order is range order; segment into per-range runs and
+        # give each run its broadcast base offset + local exclusive cumsum
+        rngv = did // range_size
+        new = np.r_[True, rngv[1:] != rngv[:-1]]
+        run_id = np.cumsum(new) - 1
+        cs = np.concatenate(([0], np.cumsum(n[:-1]))).astype(np.int64)
+        starts = np.flatnonzero(new)
+        base = np.array(
+            [off.get(int(r), 0) for r in rngv[starts]], dtype=np.int64
+        )
+        s = base[run_id] + (cs - cs[starts][run_id])
         keep = n > 0
         did, n, s = did[keep], n[keep], s[keep]
         first = s // budget
@@ -143,7 +167,7 @@ def pack_sequences(
 
     return (
         counts.repartition(shuffle_parts(n_docs * 24))
-        .groupby("rng")
+        .groupby("gkey")
         .map_groups(pack, batch_format="pyarrow")
         .sort(["doc_id", "seq_id"])
     )
@@ -199,7 +223,9 @@ def _shard_grp_offsets(ds) -> dict[int, int]:
     return offsets
 
 
-def _hv_table(batch: pa.Table, n_shards: int, seed: int) -> pa.Table:
+def _hv_table(
+    batch: pa.Table, n_shards: int, seed: int, ngroups: int
+) -> pa.Table:
     did = batch.column("doc_id").to_numpy()
     hv = _mix_hash(did, seed)
     shard = hv % n_shards
@@ -209,6 +235,7 @@ def _hv_table(batch: pa.Table, n_shards: int, seed: int) -> pa.Table:
         "hv": pa.array(hv),
         "shard": pa.array(shard.astype(np.int64)),
         "grp": pa.array(grp.astype(np.int64)),
+        "gkey": pa.array((grp % ngroups).astype(np.int64)),
     }
     for name in batch.column_names:
         if name != "doc_id":
@@ -217,11 +244,27 @@ def _hv_table(batch: pa.Table, n_shards: int, seed: int) -> pa.Table:
 
 
 def _rank_group(group: pa.Table, offsets: dict[int, int]) -> pa.Table:
+    """Rank every (shard, bucket) run the group holds: groups are a
+    bytes-bounded hash of buckets (gkey = grp % ngroups), so one call
+    finishes many buckets vectorized — one lexsort, per-run base offsets,
+    within-run aranges."""
     hv = group.column("hv").to_numpy()
     did = group.column("doc_id").to_numpy()
-    order = np.lexsort((did, hv))
-    grp = int(group.column("grp")[0].as_py()) if len(group) else 0
-    pos = offsets.get(grp, 0) + np.arange(len(order), dtype=np.int64)
+    grp = group.column("grp").to_numpy()
+    order = np.lexsort((did, hv, grp))
+    g = grp[order]
+    if g.size:
+        new = np.r_[True, g[1:] != g[:-1]]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        base = np.array(
+            [offsets.get(int(x), 0) for x in g[starts]], dtype=np.int64
+        )
+        pos = base[run_id] + (
+            np.arange(g.size, dtype=np.int64) - starts[run_id]
+        )
+    else:
+        pos = np.array([], dtype=np.int64)
     out = group.take(pa.array(order))
     cols = {
         "doc_id": out.column("doc_id"),
@@ -229,7 +272,7 @@ def _rank_group(group: pa.Table, offsets: dict[int, int]) -> pa.Table:
         "pos": pa.array(pos),
     }
     for name in out.column_names:
-        if name not in ("doc_id", "hv", "shard", "grp"):
+        if name not in ("doc_id", "hv", "shard", "grp", "gkey"):
             cols[name] = out.column(name)
     return pa.table(cols)
 
@@ -250,10 +293,12 @@ def shuffle_export(
     import ray
 
     n_docs = table_rows(sf_dir, "documents")
+    ngroups = shuffle_parts(n_docs * 32, lo=64, hi=1 << 20)
 
     def make():
         return _read_documents(sf_dir, ["doc_id"]).map_batches(
-            lambda b: _hv_table(b, n_shards, seed), batch_format="pyarrow"
+            lambda b: _hv_table(b, n_shards, seed, ngroups),
+            batch_format="pyarrow",
         )
 
     offsets = _shard_grp_offsets(make())
@@ -265,7 +310,7 @@ def shuffle_export(
     return (
         make()
         .repartition(shuffle_parts(n_docs * 32))
-        .groupby("grp")
+        .groupby("gkey")
         .map_groups(rank, batch_format="pyarrow")
         .sort(["shard", "pos"])
     )
@@ -287,8 +332,10 @@ def write_shuffle_shards(
     import ray
 
     n_docs = table_rows(sf_dir, "documents")
+    ngroups = shuffle_parts(n_docs * 256, lo=64, hi=1 << 20)
     meta = _read_documents(sf_dir, ["doc_id"]).map_batches(
-        lambda b: _hv_table(b, n_shards, seed), batch_format="pyarrow"
+        lambda b: _hv_table(b, n_shards, seed, ngroups),
+        batch_format="pyarrow",
     )
     offsets = _shard_grp_offsets(meta)
     off_ref = ray.put(offsets)
@@ -299,10 +346,11 @@ def write_shuffle_shards(
     (
         _read_documents(sf_dir, ["doc_id", "text"])
         .map_batches(
-            lambda b: _hv_table(b, n_shards, seed), batch_format="pyarrow"
+            lambda b: _hv_table(b, n_shards, seed, ngroups),
+            batch_format="pyarrow",
         )
         .repartition(shuffle_parts(n_docs * 256))
-        .groupby("grp")
+        .groupby("gkey")
         .map_groups(rank, batch_format="pyarrow")
         .write_parquet(out_dir, partition_cols=["shard"])
     )
