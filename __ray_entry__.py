@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_hll_distinct": text.hll_distinct_tokens,
         "export_pack_sequences": export.pack_sequences,
         "export_shuffle_order": export.shuffle_export,
+        "export_budget_select": export.budget_select,
         "rel_events_json_kpis": relational.events_json_kpis,
         # --- dedup --------------------------------------------------------
         "dedup_exact_groups": dedup.exact_dedup_groups,
@@ -614,6 +615,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY hv % 16 "
             "ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos "
             "FROM h ORDER BY shard, pos"
+        ),
+        # per-source budgeted selection: greedy prefix of the
+        # (n_chars DESC, doc_id ASC) order while the exclusive running
+        # char total stays under the 4000-char budget — the window-cumsum
+        # oracle for the distributed histogram-threshold selection
+        "export_budget_select": (
+            "WITH r AS (SELECT source, doc_id, n_chars, "
+            "coalesce(sum(n_chars) OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS prior FROM documents) "
+            "SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM r WHERE prior < 4000 ORDER BY source, doc_id"
         ),
         # PII scrub: DuckDB regexp_* and pyarrow.compute regex kernels are
         # both RE2, so counts and replacements match exactly; patterns and

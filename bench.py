@@ -300,7 +300,15 @@ def run_sf_ops(num_cpus: int) -> dict:
         log_to_driver=False,
     )
     try:
-        from probe_ray.ops import ann, dedup, embed, multimodal, relational, text
+        from probe_ray.ops import (
+            ann,
+            dedup,
+            embed,
+            export,
+            multimodal,
+            relational,
+            text,
+        )
 
         # same session warmup the build section uses: spawn the worker
         # pool on a trivial pipeline so the first timed op measures the
@@ -324,6 +332,10 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("neardup_clusters", lambda: dedup.neardup_clusters(SF_DIR).count()),
             ("distinctive_terms", lambda: text.distinctive_terms(SF_DIR).count()),
             ("hll_distinct", lambda: text.hll_distinct_tokens(SF_DIR).num_rows),
+            ("unigram_surprisal", lambda: text.unigram_surprisal(SF_DIR).count()),
+            ("pack_sequences", lambda: export.pack_sequences(SF_DIR).count()),
+            ("shuffle_order", lambda: export.shuffle_export(SF_DIR).count()),
+            ("budget_select", lambda: export.budget_select(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
             ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),
             ("rel_semijoin", lambda: relational.order_priority_semijoin(SF_DIR).count()),

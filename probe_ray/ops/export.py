@@ -173,6 +173,209 @@ def pack_sequences(
     )
 
 
+#: Per-source char budget for budget_select (and its oracle SQL).
+SELECT_BUDGET = 4000
+#: Coarse histogram bucket width for the threshold search.
+SELECT_BUCKET_W = 64
+
+
+def budget_select(
+    sf_dir: str,
+    budget: int = SELECT_BUDGET,
+    coarse_width: int = SELECT_BUCKET_W,
+):
+    """Per-source budgeted selection (data-mixture curation): within each
+    source, rank docs by (n_chars DESC, doc_id ASC) and keep a doc iff
+    the running char total of the docs ranked before it is < ``budget``
+    — the greedy prefix a window-cumsum SQL expresses directly.
+
+    Distributed WITHOUT any per-source sort: a coarse per-(source,
+    bucket) histogram (driver state = sources x buckets integers) finds
+    each source's boundary bucket; an exact value histogram restricted
+    to boundary buckets finds the threshold value v* and the tie count
+    k; the k tie-breaking doc_ids come from a per-batch k-smallest prune
+    + driver merge (bounded, like ops/topk). The final pass is one
+    broadcast-filter map_batches. Every driver-side collection is a
+    bounded aggregate, never the doc rows."""
+    import pyarrow.dataset as pads
+    import ray
+
+    cols = ["doc_id", "source", "n_chars"]
+
+    # phase 1: coarse per-(source, bucket) count+char partials
+    def coarse(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy()
+        b = nc // coarse_width
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"), b.astype(str))
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(u.tolist(), pa.string()),
+                "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+                "chars": pa.array(
+                    np.bincount(inv, weights=nc.astype(np.float64)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    hist: dict[str, dict[int, tuple[int, int]]] = {}
+    for row in (
+        _read_documents(sf_dir, ["source", "n_chars"])
+        .map_batches(coarse, batch_format="pyarrow")
+        .take_all()
+    ):
+        s, b = row["key"].split("\x1f")
+        c0, h0 = hist.setdefault(s, {}).get(int(b), (0, 0))
+        hist[s][int(b)] = (c0 + row["cnt"], h0 + row["chars"])
+
+    # driver: boundary bucket per source (walk buckets descending)
+    boundary: dict[str, int] = {}
+    base_above: dict[str, int] = {}
+    keep_all: set[str] = set()
+    for s, bk in hist.items():
+        cum = 0
+        hit = None
+        for b in sorted(bk, reverse=True):
+            cnt, chars = bk[b]
+            if cum + chars >= budget:
+                hit = b
+                break
+            cum += chars
+        if hit is None:
+            keep_all.add(s)
+        else:
+            boundary[s] = hit
+            base_above[s] = cum
+
+    spec: dict[str, tuple[int, int]] = {}  # source -> (v*, k ties kept)
+    if boundary:
+        flt = None
+        for s, b in boundary.items():
+            e = (
+                (pads.field("source") == s)
+                & (pads.field("n_chars") >= b * coarse_width)
+                & (pads.field("n_chars") < (b + 1) * coarse_width)
+            )
+            flt = e if flt is None else (flt | e)
+
+        def fine(batch: pa.Table) -> pa.Table:
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            nc = batch.column("n_chars").to_numpy()
+            key = np.char.add(
+                np.char.add(src.astype(str), "\x1f"), nc.astype(str)
+            )
+            u, inv = np.unique(key, return_inverse=True)
+            return pa.table(
+                {
+                    "key": pa.array(u.tolist(), pa.string()),
+                    "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+                }
+            )
+
+        vals: dict[str, dict[int, int]] = {}
+        for row in (
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["source", "n_chars"],
+                filter=flt,
+            )
+            .map_batches(fine, batch_format="pyarrow")
+            .take_all()
+        ):
+            s, v = row["key"].split("\x1f")
+            d = vals.setdefault(s, {})
+            d[int(v)] = d.get(int(v), 0) + row["cnt"]
+
+        for s, by_v in vals.items():
+            cum = base_above[s]
+            for v in sorted(by_v, reverse=True):
+                cnt = by_v[v]
+                if cum + v * cnt >= budget:
+                    # loop invariant cum < budget means a zero-char value
+                    # can never be the crossing point, so v > 0 here and
+                    # 1 <= k <= cnt
+                    spec[s] = (v, -((budget - cum) // -v))
+                    break
+                cum += v * cnt
+            assert s in spec, "boundary bucket must contain the crossing"
+
+    # phase 3: the k smallest doc_ids among value-v* ties, per source
+    tie_sources = {s: vk for s, vk in spec.items() if 0 < vk[1]}
+    tie_ids: dict[str, np.ndarray] = {}
+    if tie_sources:
+        flt = None
+        for s, (v, _k) in tie_sources.items():
+            e = (pads.field("source") == s) & (pads.field("n_chars") == v)
+            flt = e if flt is None else (flt | e)
+
+        def prune(batch: pa.Table) -> pa.Table:
+            src = batch.column("source").to_numpy(zero_copy_only=False)
+            did = batch.column("doc_id").to_numpy()
+            keep = np.zeros(did.size, bool)
+            for s, (_v, k) in tie_sources.items():
+                m = np.flatnonzero(src == s)
+                if m.size > k:
+                    m = m[np.argpartition(did[m], k - 1)[:k]]
+                keep[m] = True
+            sel = np.flatnonzero(keep)
+            return pa.table(
+                {
+                    "source": pa.array(src[sel].tolist(), pa.string()),
+                    "doc_id": pa.array(did[sel]),
+                }
+            )
+
+        pooled: dict[str, list[int]] = {}
+        for row in (
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "source"],
+                filter=flt,
+            )
+            .map_batches(prune, batch_format="pyarrow")
+            .take_all()
+        ):
+            pooled.setdefault(row["source"], []).append(row["doc_id"])
+        for s, ids in pooled.items():
+            k = tie_sources[s][1]
+            tie_ids[s] = np.sort(np.array(ids, dtype=np.int64))[:k]
+
+    bc = ray.put((keep_all, spec, tie_ids))
+
+    def select(batch: pa.Table) -> pa.Table:
+        ka, sp, ti = ray.get(bc)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy()
+        did = batch.column("doc_id").to_numpy()
+        keep = np.zeros(did.size, bool)
+        for s in np.unique(src):
+            m = src == s
+            if s in ka:
+                keep |= m
+            elif s in sp:
+                v, _k = sp[s]
+                keep |= m & (nc > v)
+                if s in ti:
+                    keep |= m & (nc == v) & np.isin(did, ti[s])
+        sel = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "source": pa.array(src[sel].tolist(), pa.string()),
+                "doc_id": pa.array(did[sel]),
+                "n_chars": pa.array(nc[sel]),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, cols)
+        .map_batches(select, batch_format="pyarrow")
+        .sort(["source", "doc_id"])
+    )
+
+
 def _range_offsets(ds, key: str, val: str) -> dict[int, int]:
     """Exclusive prefix-sum of per-``key`` totals of ``val``, combined on
     the driver. The dataset rows never leave the cluster — only one

@@ -110,6 +110,62 @@ def test_write_shuffle_shards_layout(ray_session, tmp_path):
     assert n == 500
 
 
+def test_budget_select_all_ties(ray_session, tmp_path):
+    """Every doc in a source has the same n_chars, so the whole budget
+    decision happens on the tie path: k = ceil(budget / v) smallest
+    doc_ids win. Brute-force greedy is the oracle."""
+    from probe_ray.ops import export
+
+    rows = []
+    for s, v, n in (("a", 100, 60), ("b", 250, 40), ("c", 7000, 3)):
+        for i in range(n):
+            rows.append((len(rows), s, v))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array(["x" * r[2] for r in rows], pa.string()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    def brute(budget):
+        out = set()
+        for s in ("a", "b", "c"):
+            docs = sorted(
+                (r for r in rows if r[1] == s),
+                key=lambda r: (-r[2], r[0]),
+            )
+            cum = 0
+            for did, _s, v in docs:
+                if cum < budget:
+                    out.add(did)
+                cum += v
+        return out
+
+    for budget in (4000, 100, 10**9):
+        got = {
+            r["doc_id"]
+            for r in _table(
+                export.budget_select(str(tmp_path), budget=budget)
+            ).to_pylist()
+        }
+        assert got == brute(budget), budget
+
+
+def test_budget_select_bucket_width_invariance(ray_session):
+    """The selection is a pure function of (corpus, budget); the coarse
+    histogram width must not leak into the result."""
+    from probe_ray.ops import export
+
+    a = _table(export.budget_select(SF_DIR, coarse_width=64)).to_pylist()
+    b = _table(export.budget_select(SF_DIR, coarse_width=7)).to_pylist()
+    assert a == b and len(a) > 0
+
+
 def test_mix_hash_matches_python_ints():
     """The numpy uint64 path must equal arbitrary-precision integer math
     even for doc_ids near 2^63 (no silent wrap in the products)."""

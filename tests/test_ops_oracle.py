@@ -59,6 +59,7 @@ CASES = [
     "text_unigram_surprisal",
     "export_pack_sequences",
     "export_shuffle_order",
+    "export_budget_select",
     "rel_events_json_kpis",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
