@@ -426,55 +426,125 @@ def decontaminate(sf_dir: str, bench_max_id: int = 32, n: int = 8):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _batch_ngram_counts(batch: pa.Table, n: int) -> tuple:
+    """Vectorized per-batch n-gram counting: (ngram strings, counts),
+    one row per distinct n-gram in the batch.
+
+    Split on single spaces (parity with the scalar ``t.split(" ")``
+    semantics), dictionary-encode the flattened word stream, form
+    within-doc sliding windows over the int codes, and pair-encode the
+    window columns into one dense int64 key per n-gram — np.unique on
+    ints replaces the Python Counter over ~50 joined strings per doc.
+    N-gram strings are rebuilt only for the batch-distinct survivors."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    words = lists.flatten()
+    offs = lists.offsets.to_numpy().astype(np.int64)
+    enc = words.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    m = codes.size - n + 1
+    if m <= 0:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    # window start i is valid iff i+n-1 stays inside i's document:
+    # invalidate the n-1 starts preceding each doc boundary
+    valid = np.ones(m, dtype=bool)
+    for b in offs[1:-1]:
+        valid[max(b - n + 1, 0) : min(b, m)] = False
+    starts = np.flatnonzero(valid)
+    # iterative pair-encoding keeps keys dense (no V**n overflow)
+    key = codes[starts]
+    cols = [codes[starts]]
+    for j in range(1, n):
+        nxt = codes[starts + j]
+        cols.append(nxt)
+        uniq, key = np.unique(key * (codes.max() + 1) + nxt, return_inverse=True)
+    uk, first, cnt = np.unique(key, return_index=True, return_counts=True)
+    d = enc.dictionary
+    parts = [d.take(pa.array(c[first])) for c in cols]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = pc.binary_join_element_wise(gram, p, " ")
+    return gram, cnt.astype(np.int64)
+
+
 def ngram_topk(sf_dir: str, n: int = 2, k: int = 20):
     """Top-k most frequent whitespace word n-grams corpus-wide:
     (ngram, cnt), cnt desc then ngram asc.
 
-    Map-side partial aggregation (one Counter per batch -> one row per
-    distinct n-gram per batch) runs BEFORE the single wide
-    groupby(ngram).sum, so the shuffle moves per-batch distinct counts,
-    not the exploded corpus; the final sort+limit runs on the
-    aggregated distinct-ngram table only."""
-    from collections import Counter
+    Map-side partial aggregation (vectorized distinct-count per batch,
+    see _batch_ngram_counts) runs before the single exchange. The
+    exchange key is crc32(ngram) mod parts — an int64, so the shuffle
+    never sorts n-gram strings, and hash-routing puts every occurrence
+    of an n-gram in one group. Each group fully aggregates (dictionary
+    codes + bincount; crc collisions only share a group, never merge
+    counts) and emits ONLY its local (cnt desc, ngram asc) top-k, which
+    is globally sufficient — the driver merge sees parts*k rows total.
+    2M-doc rehearsal: 160 s -> see BASELINE.md (Counter loop + string
+    groupby replaced)."""
+    import zlib
+
+    n_parts = shuffle_parts(table_rows(sf_dir, "documents") * 512)
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            w = t.split(" ")
-            for j in range(len(w) - n + 1):
-                c[" ".join(w[j : j + n])] += 1
-        items = sorted(c.items())
+        gram, cnt = _batch_ngram_counts(batch, n)
+        h = np.fromiter(
+            (zlib.crc32(g) for g in gram.cast(pa.binary()).to_pylist()),
+            dtype=np.int64,
+            count=len(gram),
+        )
         return pa.table(
             {
-                "ngram": pa.array([x[0] for x in items], pa.string()),
-                "cnt": pa.array([x[1] for x in items], pa.int64()),
+                "ngram": gram,
+                "cnt": pa.array(cnt),
+                "part": pa.array(h % n_parts),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.column("ngram")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        tot = np.bincount(
+            codes, weights=group.column("cnt").to_numpy()
+        ).astype(np.int64)
+        grams = enc.dictionary
+        if len(tot) > k:
+            # exact local top-k under (cnt desc, ngram asc): candidates =
+            # every code whose cnt >= k-th largest, tie-broken lexically
+            kth = np.partition(tot, len(tot) - k)[len(tot) - k]
+            cand = np.flatnonzero(tot >= kth)
+            import pyarrow.compute as pc
+
+            order = pc.sort_indices(
+                pa.table(
+                    {"c": pa.array(-tot[cand]), "g": grams.take(pa.array(cand))}
+                ),
+                sort_keys=[("c", "ascending"), ("g", "ascending")],
+            ).to_numpy()[:k]
+            cand = cand[order]
+        else:
+            cand = np.arange(len(tot))
+        return pa.table(
+            {
+                "ngram": grams.take(pa.array(cand)),
+                "cnt": pa.array(tot[cand]),
             }
         )
 
     agg = (
         _read_documents(sf_dir, ["text"])
         .map_batches(partial, batch_format="pyarrow")
-        # per-batch distinct n-grams are still wide; coalesce the mapped
-        # micro-blocks before the all-to-all (ops/sizing.py)
-        .repartition(shuffle_parts(table_rows(sf_dir, "documents") * 2048))
-        .groupby("ngram")
-        .sum("cnt")
+        .repartition(n_parts)
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "ngram": batch.column("ngram"),
-                "cnt": batch.column("sum(cnt)"),
-            }
-        )
-
-    # the distinct-ngram table is vocabulary-sized — top-k via per-block
-    # prune + tiny driver merge, not a Sort all-to-all over the vocabulary
     return dataset_topk(
-        agg.map_batches(rename, batch_format="pyarrow"),
-        [("cnt", "descending"), ("ngram", "ascending")],
-        k,
+        agg, [("cnt", "descending"), ("ngram", "ascending")], k
     )
 
 
