@@ -1157,6 +1157,158 @@ def _doc_term_tf_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+# vocabulary sizes up to this many distinct terms broadcast as a driver
+# dict (~100 B/entry => <=200 MB, the DICT_DRIVER_MAX_ROWS ballpark);
+# beyond it the (doc,term) exchange paths below take over. The 10M-doc
+# rehearsal corpus (19.9M terms) exceeds it; the Zipf doc corpora (50k
+# terms) are far under.
+TERM_BROADCAST_MAX_TERMS = 2_000_000
+
+
+def _term_stat_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial term statistics (part, term, cnt, df): cnt =
+    token occurrences in the batch, df = distinct docs in the batch
+    containing the term. Documents never span batches, so both sum to
+    the exact global figures. Rows are VOCAB-sized per batch, never
+    (doc,term)-sized — the token stream stays in the map task. The
+    empty-doc sentinel token '' is dropped (parity with
+    _doc_term_tf_rows)."""
+    _, _, doc_idx, codes, words = _split_words(batch)
+    if codes.size == 0:
+        return pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    nw = len(words)
+    cnt = np.bincount(codes, minlength=nw).astype(np.int64)
+    order = np.lexsort((codes, doc_idx))
+    d, c = doc_idx[order], codes[order]
+    new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+    df = np.bincount(c[new], minlength=nw).astype(np.int64)
+    wl = words.to_pylist()
+    keep = np.flatnonzero(np.array([bool(w) for w in wl], dtype=bool))
+    h = _term_hash64([wl[i] for i in keep])
+    return pa.table(
+        {
+            "part": pa.array(
+                (h % np.uint64(TERM_PARTITIONS)).astype(np.int64)
+            ),
+            "term": words.take(pa.array(keep)),
+            "cnt": pa.array(cnt[keep]),
+            "df": pa.array(df[keep]),
+        }
+    )
+
+
+def _term_stats(sf_dir: str):
+    """Global (term, cnt, df) over the documents table — a vocabulary-
+    sized Dataset. One exchange of per-batch vocab partials routed by
+    blake2b(term) %% TERM_PARTITIONS; each group folds its terms with
+    one dictionary-encode + two bincounts."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        term = group.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        enc = term.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        cnt = np.bincount(
+            codes, weights=group.column("cnt").to_numpy()
+        ).astype(np.int64)
+        df = np.bincount(
+            codes, weights=group.column("df").to_numpy()
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": enc.dictionary,
+                "cnt": pa.array(cnt),
+                "df": pa.array(df),
+            }
+        )
+
+    n_docs = table_rows(sf_dir, "documents")
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(_term_stat_partial, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_docs * 64))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def _empty_distinctive() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _doc_topk_select(t: pa.Table, k: int) -> pa.Table:
+    """(doc_id, rk, term, tf, df) top-k rows per doc_id of a
+    (doc_id, term, tf, df) table under (tf desc, df asc, term asc) —
+    one vectorized sort + rank-within-run prune, never a group per
+    doc. Used by both distinctive_terms paths."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return _empty_distinctive()
+    order = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("tf", "descending"),
+            ("df", "ascending"),
+            ("term", "ascending"),
+        ],
+    )
+    g = t.take(order)
+    did = g.column("doc_id").to_numpy()
+    starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+    rank = np.arange(did.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.r_[starts, did.size])
+    )
+    sel = g.take(pa.array(np.flatnonzero(rank < k)))
+    return pa.table(
+        {
+            "doc_id": sel.column("doc_id"),
+            "rk": pa.array(rank[rank < k] + 1),
+            "term": sel.column("term"),
+            "tf": sel.column("tf"),
+            "df": sel.column("df"),
+        }
+    )
+
+
+def _broadcast_term_stats(sf_dir: str):
+    """(stats_ref, total_tokens) when the corpus vocabulary fits the
+    broadcast budget, else None. stats_ref is a ray.put of
+    {term: (cnt, df)} — read it with ray.get inside map tasks (Ray
+    caches the get per worker process)."""
+    import ray
+
+    stats = _term_stats(sf_dir).materialize()
+    if stats.count() > TERM_BROADCAST_MAX_TERMS:
+        return None
+    batches = list(stats.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return ray.put({}), 0
+    t = pa.concat_tables(pa.table(b) for b in batches)
+    terms = t.column("term").to_pylist()
+    cnt = t.column("cnt").to_numpy()
+    df = t.column("df").to_numpy()
+    d = {w: (int(c), int(f)) for w, c, f in zip(terms, cnt, df)}
+    return ray.put(d), int(cnt.sum())
+
+
 def distinctive_terms(sf_dir: str, k: int = 5):
     """Per-document top-k distinctive terms: for each doc, the k
     whitespace terms ranked by (tf desc, df asc, term asc) — high
@@ -1172,7 +1324,54 @@ def distinctive_terms(sf_dir: str, k: int = 5):
       2. rekey by doc_id, per-group top-k via one lexsort +
          rank-within-run prune (never a group per doc).
     At 100 TB both exchanges move O(distinct (doc,term)) rows, not the
-    token stream; hot terms cost one group's bincount, not a join."""
+    token stream; hot terms cost one group's bincount, not a join.
+
+    Size-aware crossover: when the corpus vocabulary fits
+    TERM_BROADCAST_MAX_TERMS, the global df map is broadcast once and
+    the whole op becomes ONE local map pass (plus the vocab-sized stats
+    exchange) — no (doc,term) exchange at all. Both paths are pinned
+    output-identical in tests/test_ops_oracle.py. 2M-doc rehearsal:
+    32 s -> 19 s."""
+    import ray
+
+    bc = _broadcast_term_stats(sf_dir)
+    if bc is not None:
+        stats_ref, _ = bc
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            stats = ray.get(stats_ref)
+            _, _, doc_idx, codes, words = _split_words(batch)
+            did_all = batch.column("doc_id").to_numpy()
+            if codes.size == 0:
+                return _empty_distinctive()
+            order = np.lexsort((codes, doc_idx))
+            d, c = doc_idx[order], codes[order]
+            new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.r_[starts, d.size]).astype(np.int64)
+            dsel, csel = d[starts], c[starts]
+            wl = words.to_pylist()
+            dfv = np.array(
+                [stats.get(w, (0, 0))[1] for w in wl], dtype=np.int64
+            )
+            nonempty = np.array([bool(w) for w in wl], dtype=bool)
+            keep = nonempty[csel]
+            dsel, csel, tf = dsel[keep], csel[keep], tf[keep]
+            t = pa.table(
+                {
+                    "doc_id": pa.array(did_all[dsel]),
+                    "term": words.take(pa.array(csel)),
+                    "tf": pa.array(tf),
+                    "df": pa.array(dfv[csel]),
+                }
+            )
+            return _doc_topk_select(t, k)
+
+        return (
+            _read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .sort(["doc_id", "rk"])
+        )
 
     def attach_df(group: pa.Table) -> pa.Table:
         term = group.column("term")
@@ -1193,33 +1392,9 @@ def distinctive_terms(sf_dir: str, k: int = 5):
         )
 
     def doc_topk(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group,
-            sort_keys=[
-                ("doc_id", "ascending"),
-                ("tf", "descending"),
-                ("df", "ascending"),
-                ("term", "ascending"),
-            ],
-        )
-        g = group.take(order)
-        did = g.column("doc_id").to_numpy()
-        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
-        rank = np.arange(did.size, dtype=np.int64) - np.repeat(
-            starts, np.diff(np.r_[starts, did.size])
-        )
-        sel = g.take(pa.array(np.flatnonzero(rank < k)))
-        return pa.table(
-            {
-                "doc_id": sel.column("doc_id"),
-                "rk": pa.array(rank[rank < k] + 1),
-                "term": sel.column("term"),
-                "tf": sel.column("tf"),
-                "df": sel.column("df"),
-            }
-        )
+        return _doc_topk_select(group.select(
+            ["doc_id", "term", "tf", "df"]
+        ), k)
 
     n_docs = table_rows(sf_dir, "documents")
     return (
@@ -1254,7 +1429,59 @@ def unigram_surprisal(sf_dir: str):
     table is materialized ONCE so both the global total T and the
     exchanges come from a single tokenize pass (a second full tokenize
     of the corpus cost more at 2M docs than the whole remaining
-    pipeline — measured 84 s -> 56 s)."""
+    pipeline — measured 84 s -> 56 s).
+
+    Size-aware crossover: when the vocabulary fits
+    TERM_BROADCAST_MAX_TERMS the corpus counts are broadcast once and
+    scoring is ONE local map pass — the (doc,term) exchanges vanish
+    (2M-doc rehearsal: 68 s -> 21 s). Both paths pinned identical."""
+    import ray
+
+    bc = _broadcast_term_stats(sf_dir)
+    if bc is not None:
+        stats_ref, total = bc
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "surprisal_bits": pa.array([], pa.int64()),
+                }
+            )
+
+        def score(batch: pa.Table) -> pa.Table:
+            stats = ray.get(stats_ref)
+            nd, _, doc_idx, codes, words = _split_words(batch)
+            did = batch.column("doc_id").to_numpy()
+            wl = words.to_pylist()
+            c = np.array(
+                [stats.get(w, (0, 0))[0] for w in wl], dtype=np.int64
+            )
+            bits_w = _bit_length64(
+                (total // np.maximum(c, 1)).astype(np.uint64)
+            )
+            bits_w[c == 0] = 0  # the '' sentinel carries no signal
+            tok_w = (c > 0).astype(np.int64)
+            ntok = np.bincount(
+                doc_idx, weights=tok_w[codes], minlength=nd
+            ).astype(np.int64)
+            sbits = np.bincount(
+                doc_idx, weights=bits_w[codes], minlength=nd
+            ).astype(np.int64)
+            keep = ntok > 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(did[keep]),
+                    "n_tokens": pa.array(ntok[keep]),
+                    "surprisal_bits": pa.array(sbits[keep]),
+                }
+            )
+
+        return (
+            _read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .sort("doc_id")
+        )
 
     n_docs = table_rows(sf_dir, "documents")
     tf_ds = (

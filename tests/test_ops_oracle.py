@@ -173,6 +173,20 @@ def test_top_customers_exchange_crossover_identity(ray_session, monkeypatch):
     )
 
 
+def test_text_term_broadcast_crossover_identity(ray_session, monkeypatch):
+    """distinctive_terms / unigram_surprisal size-aware crossover: the
+    broadcast-vocab local path (vocab <= TERM_BROADCAST_MAX_TERMS) and
+    the (doc,term) exchange path must be output-identical."""
+    from probe_ray.ops import text
+
+    dist_bc = _canon(_to_table(text.distinctive_terms(SF_DIR)))
+    surp_bc = _canon(_to_table(text.unigram_surprisal(SF_DIR)))
+    assert len(dist_bc) > 0 and len(surp_bc) > 0
+    monkeypatch.setattr(text, "TERM_BROADCAST_MAX_TERMS", -1)
+    assert _canon(_to_table(text.distinctive_terms(SF_DIR))) == dist_bc
+    assert _canon(_to_table(text.unigram_surprisal(SF_DIR))) == surp_bc
+
+
 def test_ngram_jaccard_hot_token_df_cap(ray_session, tmp_path):
     """A token shared by every doc used to emit df^2/2 pairs in a Python
     double loop; df_cap skips such runs. Both the uncapped and the capped
