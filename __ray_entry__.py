@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         ),
         "rel_q3_shipping_priority": relational.q3_shipping_priority,
+        "rel_q5_local_supplier_volume": relational.local_supplier_volume,
+        "rel_q10_returned_items": relational.returned_item_revenue,
+        "rel_q14_promo_revenue": relational.promo_revenue,
+        "rel_q18_large_orders": relational.large_order_customers,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -316,6 +320,55 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY l.l_orderkey "
             "ORDER BY revenue_milli DESC, o_orderkey LIMIT 10"
+        ),
+        "rel_q5_local_supplier_volume": (
+            "SELECT n.n_name, CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA' "
+            "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n.n_name ORDER BY revenue_milli DESC, n_name"
+        ),
+        "rel_q10_returned_items": (
+            "SELECT o.o_custkey AS custkey, any_value(c.c_name) AS c_name, "
+            "CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1997-07-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-10-01' "
+            "GROUP BY o.o_custkey "
+            "ORDER BY revenue_milli DESC, custkey LIMIT 20"
+        ),
+        "rel_q14_promo_revenue": (
+            "SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN "
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            " ELSE 0 END) AS BIGINT) AS promo_revenue_milli, "
+            "CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS total_revenue_milli "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-10-01'"
+        ),
+        "rel_q18_large_orders": (
+            "SELECT o.o_orderkey, any_value(o.o_custkey) AS custkey, "
+            f"any_value({_MILLI.format(x='o.o_totalprice')}) AS totalprice_milli, "
+            "any_value(epoch_us(o.o_orderdate)) AS orderdate_us, "
+            f"CAST(sum({_MILLI.format(x='l.l_quantity')}) AS BIGINT) "
+            "AS total_qty_milli "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderkey "
+            f"HAVING sum({_MILLI.format(x='l.l_quantity')}) > 280000 "
+            "ORDER BY totalprice_milli DESC, o_orderkey LIMIT 20"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

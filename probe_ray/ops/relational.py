@@ -2326,3 +2326,696 @@ def pc_sum(arr) -> int:
 
     v = pc.sum(arr).as_py()
     return 0 if v is None else int(v)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavored multiway joins (Q5 / Q10 / Q14 / Q18 shapes). Same
+# execution vocabulary as q3_shipping_priority: map-side partial
+# aggregation, ONE bounded-partition union+groupby exchange per join key,
+# vectorized searchsorted matching inside each partition, per-partition
+# top-k before the bounded merge — never a driver-side row loop, never an
+# unguarded whole-dimension broadcast (DICT_DRIVER_MAX_ROWS crossover).
+
+
+def _region_nation_maps(sf_dir: str, region: str):
+    """(region_nation_keys_sorted, {nationkey: n_name}) for one region.
+    nation/region are constant-size (25/5 rows) in TPC-H — a driver read
+    here is O(1) at any corpus scale."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rk = {
+        r: n
+        for r, n in zip(
+            reg.column("r_name").to_pylist(),
+            reg.column("r_regionkey").to_pylist(),
+        )
+    }[region]
+    keys, names = [], {}
+    for nk, nm, nr in zip(
+        nation.column("n_nationkey").to_pylist(),
+        nation.column("n_name").to_pylist(),
+        nation.column("n_regionkey").to_pylist(),
+    ):
+        names[int(nk)] = nm
+        if nr == rk:
+            keys.append(int(nk))
+    return np.array(sorted(keys), dtype=np.int64), names
+
+
+def _sorted_lookup(sorted_keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """Vectorized dict probe: (values, found_mask) of probe against the
+    sorted (keys -> vals) arrays."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=vals.dtype), np.zeros(
+            len(probe), dtype=bool
+        )
+    pos = np.minimum(np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1)
+    found = sorted_keys[pos] == probe
+    return vals[pos], found
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+):
+    """TPC-H-Q5-flavored five-way join: revenue per nation where the
+    ordering customer and the supplying supplier share a nation inside
+    one region, orders date-windowed. (n_name, revenue_milli) sorted by
+    (revenue_milli desc, n_name asc).
+
+    Shape (reference analog: probe's staged candidate narrowing,
+    SURVEY.md SS3.5): nation/region ride the driver (constant 25/5
+    rows); supplier nationkeys ride a size-aware crossover — a
+    searchsorted-array broadcast at <= DICT_DRIVER_MAX_ROWS rows, else
+    the bounded-partition repartition join; the two FACT joins
+    (customer|><|orders on custkey, orders|><|lineitem on orderkey) are
+    each ONE union + groupby exchange. Lineitem pre-aggregates
+    (okey, s_nation) -> rev per batch, so the okey exchange moves at
+    most 25 rows per (order x batch), not the raw line stream."""
+    region_keys, nation_names = _region_nation_maps(sf_dir, region)
+    lo_us, hi_us = _us(date_lo), _us(date_hi)
+    parts = SEMIJOIN_PARTITIONS
+    n_supp = table_rows(sf_dir, "supplier")
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        m = np.isin(nk, region_keys)
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)[m]
+        n = len(ck)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": pa.array(np.zeros(n, dtype=np.int64)),
+                "nat": pa.array(nk[m]),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").to_numpy().astype(np.int64)
+        m = (date_us >= lo_us) & (date_us < hi_us)
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)[m]
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        n = len(ck)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(ok, pa.int64()),
+                "nat": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def meet_cust(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        key = group.column("key").to_numpy()
+        dmask = side == 0
+        dkeys = key[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        dnat = group.column("nat").to_numpy()[dmask][order]
+        fidx = np.flatnonzero(~dmask)
+        nat, found = _sorted_lookup(dkeys[order], dnat, key[fidx])
+        sel = np.flatnonzero(found)
+        ok = group.column("okey").to_numpy()[fidx][sel]
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(np.zeros(len(sel), dtype=np.int64)),
+                "nat": pa.array(nat[sel]),
+                "rev": pa.array(np.zeros(len(sel), dtype=np.int64)),
+            }
+        )
+
+    def _line_partial(ok, snat, rev):
+        t = pa.table(
+            {"okey": pa.array(ok), "nat": pa.array(snat), "r": pa.array(rev)}
+        )
+        g = t.group_by(["okey", "nat"]).aggregate([("r", "sum")])
+        ok2 = g.column("okey").to_numpy()
+        n = len(ok2)
+        return pa.table(
+            {
+                "part": pa.array(ok2 % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "nat": g.column("nat"),
+                "rev": g.column("r_sum").cast(pa.int64()),
+            }
+        )
+
+    if n_supp <= DICT_DRIVER_MAX_ROWS:
+        import pyarrow.parquet as pq
+
+        supp_t = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = supp_t.column("s_suppkey").to_numpy().astype(np.int64)
+        sv = supp_t.column("s_nationkey").to_numpy().astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, sv = sk[so], sv[so]
+
+        def line_side(batch: pa.Table) -> pa.Table:
+            snat, found = _sorted_lookup(
+                sk, sv, batch.column("l_suppkey").to_numpy().astype(np.int64)
+            )
+            m = found & np.isin(snat, region_keys)
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()[m]
+                * (1.0 - batch.column("l_discount").to_numpy()[m])
+            )
+            return _line_partial(
+                batch.column("l_orderkey").to_numpy().astype(np.int64)[m],
+                snat[m],
+                rev,
+            )
+
+        lines = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+
+        def partial_sk(batch: pa.Table) -> pa.Table:
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())
+            )
+            t = pa.table(
+                {
+                    "sk": batch.column("l_suppkey"),
+                    "okey": batch.column("l_orderkey"),
+                    "rev": pa.array(rev),
+                }
+            )
+            return t.group_by(["sk", "okey"]).aggregate([("rev", "sum")])
+
+        fact = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(partial_sk, batch_format="pyarrow", zero_copy_batch=True)
+        joined = _lookup_join_distributed(
+            fact,
+            "sk",
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "s_nationkey",
+            pa.int64(),
+            ["okey", "rev_sum"],
+            "snat",
+            est_bytes=(table_rows(sf_dir, "lineitem") + n_supp) * 48,
+        )
+
+        def reshape(batch: pa.Table) -> pa.Table:
+            snat_col = batch.column("snat")
+            snat = snat_col.to_numpy(zero_copy_only=False)
+            valid = np.asarray(pa.compute.is_valid(snat_col))
+            snat = np.where(valid, snat, -1).astype(np.int64)
+            m = np.isin(snat, region_keys)
+            return _line_partial(
+                batch.column("okey").to_numpy().astype(np.int64)[m],
+                snat[m],
+                batch.column("rev_sum").to_numpy().astype(np.int64)[m],
+            )
+
+        lines = joined.map_batches(reshape, batch_format="pyarrow")
+
+    def meet_rev(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        dmask = side == 0
+        dkeys = okey[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        cnat = group.column("nat").to_numpy()[dmask][order]
+        fidx = np.flatnonzero(~dmask)
+        onat, found = _sorted_lookup(dkeys[order], cnat, okey[fidx])
+        lnat = group.column("nat").to_numpy()[fidx]
+        m = found & (onat == lnat)
+        rev = group.column("rev").to_numpy()[fidx][m]
+        t = pa.table({"nat": pa.array(lnat[m]), "r": pa.array(rev)})
+        return t.group_by(["nat"]).aggregate([("r", "sum")])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    est1 = (table_rows(sf_dir, "customer") + table_rows(sf_dir, "orders")) * 56
+    surviving = (
+        cust.union(orders)
+        .repartition(shuffle_parts(est1))
+        .groupby("part")
+        .map_groups(meet_cust, batch_format="pyarrow")
+    )
+    est2 = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 56
+    per_part = (
+        surviving.union(lines)
+        .repartition(shuffle_parts(est2))
+        .groupby("part")
+        .map_groups(meet_rev, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = per_part.groupby("nat").aggregate(Sum("r_sum"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nat").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nation_names[int(x)] for x in nk], pa.string()
+                ),
+                "revenue_milli": batch.column("sum(r_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["revenue_milli", "n_name"], descending=[True, False]
+    )
+
+
+def returned_item_revenue(
+    sf_dir: str,
+    k: int = 20,
+    date_lo: str = "1997-07-01",
+    date_hi: str = "1997-10-01",
+):
+    """TPC-H-Q10-flavored returned-item report: top-k customers by
+    revenue of lineitems returned (l_returnflag = 'R') against orders
+    placed in one quarter. (custkey, c_name, revenue_milli) by
+    (revenue_milli desc, custkey asc).
+
+    Two exchanges, both bounded-partition: (1) okey %% P — returned-line
+    revenue partials meet date-windowed orders, emitting per-partition
+    (custkey, rev) partials; (2) custkey %% P — per-key sums + local
+    top-k (each key lives in one partition, so local top-k is exact),
+    then the <= P*k-row bounded merge. Names are attached to only the k
+    winners via a predicate-pushdown read of the customer dimension
+    (the top_customers_by_revenue idiom — no dimension broadcast at any
+    scale)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    lo_us, hi_us = _us(date_lo), _us(date_hi)
+    parts = SEMIJOIN_PARTITIONS
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").to_numpy().astype(np.int64)
+        m = (date_us >= lo_us) & (date_us < hi_us)
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)[m]
+        n = len(ok)
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "ck": pa.array(ck, pa.int64()),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.equal(batch.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False
+        )
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)[m]
+        rev = _milli(
+            batch.column("l_extendedprice").to_numpy()[m]
+            * (1.0 - batch.column("l_discount").to_numpy()[m])
+        )
+        t = pa.table({"okey": pa.array(ok), "r": pa.array(rev)})
+        g = t.group_by(["okey"]).aggregate([("r", "sum")])
+        ok2 = g.column("okey").to_numpy()
+        n = len(ok2)
+        return pa.table(
+            {
+                "part": pa.array(ok2 % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "ck": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev": g.column("r_sum").cast(pa.int64()),
+            }
+        )
+
+    def meet_orders(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        dmask = side == 0
+        dkeys = okey[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        dck = group.column("ck").to_numpy()[dmask][order]
+        fidx = np.flatnonzero(~dmask)
+        ck, found = _sorted_lookup(dkeys[order], dck, okey[fidx])
+        rev = group.column("rev").to_numpy()[fidx][found]
+        ck = ck[found]
+        t = pa.table({"ck": pa.array(ck), "r": pa.array(rev)})
+        g = t.group_by(["ck"]).aggregate([("r", "sum")])
+        ck2 = g.column("ck").to_numpy()
+        return pa.table(
+            {
+                "part2": pa.array(ck2 % parts),
+                "custkey": g.column("ck"),
+                "rev": g.column("r_sum").cast(pa.int64()),
+            }
+        )
+
+    def sum_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        g = (
+            group.select(["custkey", "rev"])
+            .group_by(["custkey"])
+            .aggregate([("rev", "sum")])
+        )
+        out = pa.table(
+            {
+                "custkey": g.column("custkey"),
+                "revenue_milli": g.column("rev_sum").cast(pa.int64()),
+            }
+        )
+        if out.num_rows > k:
+            order = _pc.sort_indices(
+                out,
+                sort_keys=[
+                    ("revenue_milli", "descending"),
+                    ("custkey", "ascending"),
+                ],
+            )
+            out = out.take(order[:k])
+        return out
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    est = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 48
+    per_cust = (
+        orders.union(lines)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet_orders, batch_format="pyarrow")
+    )
+    per_part = (
+        per_cust.repartition(shuffle_parts(table_rows(sf_dir, "customer") * 24))
+        .groupby("part2")
+        .map_groups(
+            lambda g: sum_topk(g.drop_columns(["part2"])),
+            batch_format="pyarrow",
+        )
+    )
+    top = _dataset_topk(
+        per_part,
+        [("revenue_milli", "descending"), ("custkey", "ascending")],
+        k,
+    )
+    t = pa.concat_tables(
+        ray.get(list(top.to_arrow_refs())), promote_options="default"
+    )
+    keys = t.column("custkey").to_pylist()
+    names_t = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=pads.field("c_custkey").isin(keys),
+    )
+    names = dict(
+        zip(
+            names_t.column("c_custkey").to_pylist(),
+            names_t.column("c_name").to_pylist(),
+        )
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "custkey": t.column("custkey"),
+                "c_name": pa.array([names.get(c) for c in keys], pa.string()),
+                "revenue_milli": t.column("revenue_milli"),
+            }
+        )
+    )
+
+
+def promo_revenue(
+    sf_dir: str,
+    date_lo: str = "1997-09-01",
+    date_hi: str = "1997-10-01",
+):
+    """TPC-H-Q14-flavored promotion effect: revenue from PROMO-type
+    parts vs all revenue for lineitems shipped in one month. One row
+    (promo_revenue_milli, total_revenue_milli) — integer millis so the
+    oracle comparison is exact; the ratio is the caller's division.
+
+    The part dimension rides the size-aware crossover: a sorted-array
+    searchsorted broadcast at <= DICT_DRIVER_MAX_ROWS rows (one bool per
+    partkey — ~1 byte/row), else the bounded-partition repartition join
+    over per-batch (partkey -> rev) partials. Either way the final
+    reduce moves two integers per block."""
+    lo_us, hi_us = _us(date_lo), _us(date_hi)
+    n_dim = table_rows(sf_dir, "part")
+    fact_cols = ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        import pyarrow.parquet as pq
+
+        part_t = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
+        promo = np.asarray(
+            pa.compute.equal(part_t.column("p_type"), "PROMO")
+        ).astype(np.int64)
+        so = np.argsort(pk, kind="stable")
+        pk, promo = pk[so], promo[so]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ship_us = batch.column("l_shipdate").to_numpy().astype(np.int64)
+            m = (ship_us >= lo_us) & (ship_us < hi_us)
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()[m]
+                * (1.0 - batch.column("l_discount").to_numpy()[m])
+            )
+            isp, found = _sorted_lookup(
+                pk, promo, batch.column("l_partkey").to_numpy().astype(np.int64)[m]
+            )
+            isp = isp & found
+            return pa.table(
+                {
+                    "promo": pa.array([int(rev[isp == 1].sum())], pa.int64()),
+                    "total": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+        partials = _read(sf_dir, "lineitem", fact_cols).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+
+        def partial_pk(batch: pa.Table) -> pa.Table:
+            ship_us = batch.column("l_shipdate").to_numpy().astype(np.int64)
+            m = (ship_us >= lo_us) & (ship_us < hi_us)
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()[m]
+                * (1.0 - batch.column("l_discount").to_numpy()[m])
+            )
+            t = pa.table(
+                {
+                    "pk": batch.column("l_partkey").filter(pa.array(m)),
+                    "rev": pa.array(rev),
+                }
+            )
+            return t.group_by(["pk"]).aggregate([("rev", "sum")])
+
+        fact = _read(sf_dir, "lineitem", fact_cols).map_batches(
+            partial_pk, batch_format="pyarrow", zero_copy_batch=True
+        )
+        joined = _lookup_join_distributed(
+            fact,
+            "pk",
+            _read(sf_dir, "part", ["p_partkey", "p_type"]),
+            "p_partkey",
+            "p_type",
+            pa.string(),
+            ["rev_sum"],
+            "p_type",
+            est_bytes=(table_rows(sf_dir, "lineitem") + n_dim) * 48,
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            rev = batch.column("rev_sum").to_numpy().astype(np.int64)
+            isp = (
+                _pc.fill_null(_pc.equal(batch.column("p_type"), "PROMO"), False)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            return pa.table(
+                {
+                    "promo": pa.array([int(rev[isp].sum())], pa.int64()),
+                    "total": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+        partials = joined.map_batches(fold, batch_format="pyarrow")
+
+    totals = partials.sum(["promo", "total"])  # two-int global fold
+    return pa.table(
+        {
+            "promo_revenue_milli": pa.array(
+                [int(totals["sum(promo)"])], pa.int64()
+            ),
+            "total_revenue_milli": pa.array(
+                [int(totals["sum(total)"])], pa.int64()
+            ),
+        }
+    )
+
+
+def large_order_customers(
+    sf_dir: str, qty_threshold: float = 280.0, k: int = 20
+):
+    """TPC-H-Q18-flavored large-volume orders: orders whose total
+    lineitem quantity exceeds ``qty_threshold``, top-k by order value.
+    (o_orderkey, custkey, totalprice_milli, orderdate_us,
+    total_qty_milli) by (totalprice_milli desc, o_orderkey asc).
+
+    ONE okey %% P exchange: per-batch (okey -> qty) partials meet the
+    orders rows; inside a partition the HAVING filter runs on the
+    per-okey sums (each okey lives in exactly one partition, so the sum
+    and the filter are exact), and only the partition's top-k survive
+    to the <= P*k-row bounded merge."""
+    import pyarrow.compute as pc
+
+    thr_milli = int(np.floor(qty_threshold * 1000.0 + 0.5))
+    parts = SEMIJOIN_PARTITIONS
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "ck": batch.column("o_custkey").cast(pa.int64()),
+                "price": pa.array(_milli(batch.column("o_totalprice").to_numpy())),
+                "date_us": pa.array(
+                    batch.column("o_orderdate").to_numpy().astype(np.int64)
+                ),
+                "qty": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        qty = _milli(batch.column("l_quantity").to_numpy())
+        t = pa.table({"okey": pa.array(ok), "q": pa.array(qty)})
+        g = t.group_by(["okey"]).aggregate([("q", "sum")])
+        ok2 = g.column("okey").to_numpy()
+        n = len(ok2)
+        return pa.table(
+            {
+                "part": pa.array(ok2 % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "ck": pa.array(np.zeros(n, dtype=np.int64)),
+                "price": pa.array(np.zeros(n, dtype=np.int64)),
+                "date_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "qty": g.column("q_sum").cast(pa.int64()),
+            }
+        )
+
+    def meet(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        dmask = side == 0
+        didx = np.flatnonzero(dmask)
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "custkey": pa.array([], pa.int64()),
+                "totalprice_milli": pa.array([], pa.int64()),
+                "orderdate_us": pa.array([], pa.int64()),
+                "total_qty_milli": pa.array([], pa.int64()),
+            }
+        )
+        if len(didx) == 0:
+            return empty
+        dkeys = okey[didx]
+        order = np.argsort(dkeys, kind="stable")
+        dkeys_s = dkeys[order]
+        fidx = np.flatnonzero(~dmask)
+        if len(fidx) == 0:
+            return empty
+        fkeys = okey[fidx]
+        pos = np.minimum(np.searchsorted(dkeys_s, fkeys), len(dkeys_s) - 1)
+        found = dkeys_s[pos] == fkeys
+        qty_sum = np.zeros(len(dkeys_s), dtype=np.int64)
+        fq = group.column("qty").to_numpy()[fidx]
+        np.add.at(qty_sum, pos[found], fq[found])
+        live = qty_sum > thr_milli
+        sel = group.take(pa.array(didx[order][live]))
+        out = pa.table(
+            {
+                "o_orderkey": pa.array(dkeys_s[live], pa.int64()),
+                "custkey": sel.column("ck"),
+                "totalprice_milli": sel.column("price"),
+                "orderdate_us": sel.column("date_us"),
+                "total_qty_milli": pa.array(qty_sum[live], pa.int64()),
+            }
+        )
+        if out.num_rows > k:
+            order2 = pc.sort_indices(
+                out,
+                sort_keys=[
+                    ("totalprice_milli", "descending"),
+                    ("o_orderkey", "ascending"),
+                ],
+            )
+            out = out.take(order2[:k])
+        return out
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        line_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    est = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 64
+    per_part = (
+        orders.union(lines)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+    )
+    return _dataset_topk(
+        per_part,
+        [("totalprice_milli", "descending"), ("o_orderkey", "ascending")],
+        k,
+    )

@@ -36,6 +36,10 @@ CASES = [
     "rel_asof_last_click",
     "rel_band_join_counts",
     "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_q10_returned_items",
+    "rel_q14_promo_revenue",
+    "rel_q18_large_orders",
     "rel_customers_without_orders",
     "rel_order_count_distribution",
     "rel_distinct_users_per_type",
@@ -171,6 +175,20 @@ def test_top_customers_exchange_crossover_identity(ray_session, monkeypatch):
     assert (
         _canon(_to_table(relational.top_customers_by_revenue(SF_DIR))) == small
     )
+
+
+def test_tpch_dim_join_crossover_identity(ray_session, monkeypatch):
+    """Q5's supplier join and Q14's part join: forcing the distributed
+    bounded-partition branch (DICT_DRIVER_MAX_ROWS = -1) must produce
+    exactly the broadcast searchsorted-array result."""
+    from probe_ray.ops import relational
+
+    q5 = _canon(_to_table(relational.local_supplier_volume(SF_DIR)))
+    q14 = _canon(_to_table(relational.promo_revenue(SF_DIR)))
+    assert len(q5) > 0 and len(q14) == 1
+    monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
+    assert _canon(_to_table(relational.local_supplier_volume(SF_DIR))) == q5
+    assert _canon(_to_table(relational.promo_revenue(SF_DIR))) == q14
 
 
 def test_text_term_broadcast_crossover_identity(ray_session, monkeypatch):
