@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_kmeans": ann.ann_kmeans,
         "ann_ivf_persisted": ann.ann_ivf_persisted,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        "embedding_semantic_dedup": ann.semantic_dedup,
         "text_embed_neardup_pairs": embed.text_embed_neardup_pairs,
         # --- multimodal plumbing -----------------------------------------
         "multimodal_payload_sizes": multimodal.payload_sizes,

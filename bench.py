@@ -344,7 +344,11 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_quantiles", lambda: relational.column_quantiles_disc(SF_DIR).num_rows),
             ("text_curation", lambda: text.curation_pipeline(SF_DIR).count()),
             ("embed_neardup_chain", lambda: embed.text_embed_neardup_pairs(SF_DIR).count()),
+            ("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR).count()),
             ("multimodal_frames", lambda: multimodal.frame_features(SF_DIR).count()),
+            ("rel_q5_volume", lambda: relational.local_supplier_volume(SF_DIR).count()),
+            ("rel_q10_returns", lambda: relational.returned_item_revenue(SF_DIR).count()),
+            ("rel_q18_large_orders", lambda: relational.large_order_customers(SF_DIR).count()),
         ]:
             # median-of-3, matching the query entries' methodology: the
             # first rep of each op pays pipeline compile + worker ramp,

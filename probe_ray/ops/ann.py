@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from probe_ray.ops.sizing import shuffle_parts, table_rows
+
 
 def _list_matrix(col, dtype=np.float64) -> np.ndarray:
     """Zero-copy decode of a fixed-width list<float> column to (n, dim):
@@ -408,6 +410,34 @@ def ann_kmeans(sf_dir: str, k: int = N_KMEANS, iters: int = KMEANS_ITERS):
     import ray
     import ray.data
 
+    cent = _kmeans_centroids(sf_dir, k, iters)
+    cent_ref = ray.put(cent)
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _list_matrix(batch.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(
+                    np.argmax(mn @ c.T, axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(assign_fn, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """Train the (k x dim) cosine k-means centroids (ann_kmeans'
+    distributed Lloyd loop, factored out so semantic_dedup shares it)."""
+    import ray
+
     cent = _ivf_centroids(sf_dir)[:k]  # deterministic seeded init
     dim = cent.shape[1]
 
@@ -449,24 +479,92 @@ def ann_kmeans(sf_dir: str, k: int = N_KMEANS, iters: int = KMEANS_ITERS):
                     new_cent[c_i] = v / nv
         cent = new_cent
 
+    return cent
+
+
+SEMDEDUP_CHUNK = 2048
+
+
+def semantic_dedup(
+    sf_dir: str,
+    threshold: float = 0.42,
+    n_clusters: int = N_KMEANS,
+    iters: int = 4,
+):
+    """SemDeDup-style clustered embedding dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings (cosine geometry),
+    then find near-duplicates ONLY within each cluster — the all-pairs
+    matmul becomes per-cluster O(|c|^2) instead of corpus-global O(N^2).
+    A row is a duplicate iff some SMALLER vec_id in its cluster has
+    cosine >= threshold (keep-smallest, order-independent, no greedy
+    sequencing); rep_id is that smallest qualifying id (own id for
+    keepers). Returns (vec_id, cluster, is_dup, rep_id) sorted by
+    vec_id. Deterministic end-to-end: seeded centroid init, fixed
+    iteration count, exact f64 similarity.
+
+    Scale shape: ONE shuffle of the embedding rows keyed by cluster; at
+    100 TB you grow n_clusters proportionally (SemDeDup uses ~11k for
+    LAION) so each cluster's rows fit a map_groups task, and the
+    within-cluster matmul is chunked (SEMDEDUP_CHUNK rows vs the cluster
+    matrix) to bound the similarity buffer. Cross-cluster duplicates are
+    missed by design — the documented SemDeDup approximation."""
+    import ray
+
+    cent = _kmeans_centroids(sf_dir, n_clusters, iters)
     cent_ref = ray.put(cent)
 
-    def assign_fn(batch: pa.Table) -> pa.Table:
+    def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         m = _list_matrix(batch.column("embedding"))
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
                 "cluster": pa.array(
                     np.argmax(mn @ c.T, axis=1).astype(np.int64), pa.int64()
                 ),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
             }
         )
 
+    def dedup_group(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        m = _list_matrix(group.column("embedding"))[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(ids_s)
+        rep = ids_s.copy()
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, SEMDEDUP_CHUNK):
+            hi = min(lo + SEMDEDUP_CHUNK, n)
+            sims = mn[lo:hi] @ mn.T  # (chunk, n)
+            hit = sims >= threshold
+            # only columns strictly before the row (smaller vec_id)
+            col = np.arange(n)[None, :]
+            row = np.arange(lo, hi)[:, None]
+            hit &= col < row
+            has = hit.any(axis=1)
+            first = hit.argmax(axis=1)  # smallest qualifying id's index
+            dup[lo:hi] = has
+            rep[lo:hi] = np.where(has, ids_s[first], ids_s[lo:hi])
+        cl = group.column("cluster").to_numpy().astype(np.int64)[order]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_s, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "is_dup": pa.array(dup),
+                "rep_id": pa.array(rep, pa.int64()),
+            }
+        )
+
+    n_rows = table_rows(sf_dir, "embeddings")
     return (
         _read_embeddings(sf_dir)
-        .map_batches(assign_fn, batch_format="pyarrow")
+        .map_batches(assign, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_rows * 8 * 40))
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pyarrow")
         .sort("vec_id")
     )
 
@@ -496,17 +594,12 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.42, max_id: int = 
             )
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = mn @ mn_all.T
-        a_out, b_out = [], []
-        for i in range(len(vec_ids)):
-            hits = np.flatnonzero(sims[i] >= threshold)
-            for j in hits:
-                if vec_ids[i] < ids_all[j]:
-                    a_out.append(int(vec_ids[i]))
-                    b_out.append(int(ids_all[j]))
+        ai, bj = np.nonzero(sims >= threshold)  # vectorized pair emission
+        keep = vec_ids[ai] < ids_all[bj]
         return pa.table(
             {
-                "a_id": pa.array(a_out, pa.int64()),
-                "b_id": pa.array(b_out, pa.int64()),
+                "a_id": pa.array(vec_ids[ai[keep]], pa.int64()),
+                "b_id": pa.array(ids_all[bj[keep]], pa.int64()),
             }
         )
 

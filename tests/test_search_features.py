@@ -265,6 +265,51 @@ def _collect(ds):
     )
 
 
+def test_semantic_dedup_matches_scalar_reference(ray_session):
+    """SemDeDup clustered dedup: the distributed (cluster-keyed shuffle +
+    chunked within-cluster matmul) result must exactly equal a scalar
+    numpy reference computing the same keep-smallest rule on the driver
+    from the same seeded centroids; and be deterministic across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    t = _collect(ann.semantic_dedup(sf))
+    assert t.equals(_collect(ann.semantic_dedup(sf)))
+
+    cent = ann._kmeans_centroids(sf, ann.N_KMEANS, 4)
+    e = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = e.column("vec_id").to_numpy().astype(np.int64)
+    m = ann._list_matrix(e.column("embedding"))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cl = np.argmax(mn @ cent.T, axis=1)
+    o = np.argsort(ids)
+    ids, mn, cl = ids[o], mn[o], cl[o]
+    dup = np.zeros(len(ids), bool)
+    rep = ids.copy()
+    for c in np.unique(cl):
+        ix = np.flatnonzero(cl == c)
+        s = mn[ix] @ mn[ix].T
+        for a in range(len(ix)):
+            js = np.flatnonzero((s[a] >= 0.42) & (np.arange(len(ix)) < a))
+            if len(js):
+                dup[ix[a]] = True
+                rep[ix[a]] = ids[ix[js[0]]]
+    ref = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(cl.astype(np.int64)),
+            "is_dup": pa.array(dup),
+            "rep_id": pa.array(rep),
+        }
+    )
+    assert t.equals(ref)
+    assert bool(dup.any())  # non-vacuous: the corpus has near-dups
+
+
 def test_ivf_persisted_matches_inmemory(ray_session, tmp_path):
     """Persisted IVF (hive-partitioned inverted lists + partition-pruned
     query reads) must return EXACTLY the in-memory ann_ivf_topk results,
