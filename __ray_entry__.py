@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_distinctive_terms": text.distinctive_terms,
         "text_unigram_surprisal": text.unigram_surprisal,
         "text_hll_distinct": text.hll_distinct_tokens,
+        "text_dedup_spans": text.dedup_spans,
         "export_pack_sequences": export.pack_sequences,
         "export_shuffle_order": export.shuffle_export,
         "export_budget_select": export.budget_select,

@@ -345,6 +345,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("text_curation", lambda: text.curation_pipeline(SF_DIR).count()),
             ("embed_neardup_chain", lambda: embed.text_embed_neardup_pairs(SF_DIR).count()),
             ("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR).count()),
+            ("dedup_spans", lambda: text.dedup_spans(SF_DIR).count()),
             ("multimodal_frames", lambda: multimodal.frame_features(SF_DIR).count()),
             ("rel_q5_volume", lambda: relational.local_supplier_volume(SF_DIR).count()),
             ("rel_q10_returns", lambda: relational.returned_item_revenue(SF_DIR).count()),

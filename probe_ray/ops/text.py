@@ -1621,3 +1621,298 @@ def hll_distinct_tokens(sf_dir: str, p: int = _HLL_P):
             "est_distinct": pa.array([est], pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Exact duplicate-SPAN removal (word-level ExactSubstr dedup a la Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): a word position is duplicated iff some n-word window
+# covering it has a gram that appears in >= 2 distinct documents; maximal
+# covered runs are removed from the text. shared_ngram_counts reports the
+# signal; this op performs the rewrite.
+
+# duplicated-gram sets up to this many entries broadcast as one sorted
+# int64 array (8 B/entry => <= 40 MB); beyond it the (doc_id, gh) pairs
+# are exchanged back to their documents instead.
+SPAN_BROADCAST_MAX_GRAMS = 5_000_000
+
+DEDUP_SPAN_N = 8
+
+
+def _gram_doc_rows(batch: pa.Table, n: int) -> pa.Table:
+    """Distinct (part, gh, doc_id) per batch for n-word windows — the
+    same 63-bit blake2b-word polynomial gram identity as
+    shared_ngram_counts (documents never span batches, so each pair is
+    globally unique)."""
+    import hashlib
+
+    _, _, doc_idx, codes, words = _split_words(batch)
+    dids = batch.column("doc_id").to_numpy()
+    empty = pa.table(
+        {
+            "part": pa.array([], pa.int64()),
+            "gh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+    if codes.size < n:
+        return empty
+    dict_hashes = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+            for w in words.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(words),
+    )
+    wh = dict_hashes[codes]
+    m = wh.size - n + 1
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    gh = np.zeros(m, np.uint64)
+    prime = np.uint64(1099511628211)
+    for k in range(n):
+        gh = gh * prime + wh[k : m + k]
+    gd = doc_idx[:m][valid]
+    gh = (gh[valid] & np.uint64((1 << 63) - 1)).astype(np.int64)
+    if gd.size == 0:
+        return empty
+    order = np.lexsort((gh, gd))
+    d, h = gd[order], gh[order]
+    new = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    return pa.table(
+        {
+            "part": pa.array(h[new] % SHARED_GRAM_PARTITIONS),
+            "gh": pa.array(h[new]),
+            "doc_id": pa.array(dids[d[new]], pa.int64()),
+        }
+    )
+
+
+def _mix2_64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """64-bit mix of two int64 streams (murmur-style finalizer) — pair
+    identity for (doc_id, gram) membership tests. Collision probability
+    within one partition ~ pairs^2 / 2^64, the same budget as the gram
+    identity itself."""
+    x = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(
+        np.uint64
+    ) * np.uint64(0xC2B2AE3D27D4EB4F)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _strip_dup_windows(batch: pa.Table, n: int, is_dup_window) -> pa.Table:
+    """Rewrite one batch of documents: recompute the n-word windows,
+    ask ``is_dup_window(window_gh:uint63 int64, window_doc_id:int64)``
+    for the duplicated mask, stamp the covered word intervals
+    (diff+cumsum, vectorized), and rebuild clean_text by joining each
+    doc's kept words (pc.binary_join — no Python per-row work). Output
+    (doc_id, n_words, n_dup_words, n_spans, clean_text)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    n_docs, n_words, doc_idx, codes, words = _split_words(batch)
+    dids = batch.column("doc_id").to_numpy()
+    flat_words = words.take(pa.array(codes))
+    nw = codes.size
+    covered = np.zeros(nw, dtype=bool)
+    if nw >= n:
+        dict_hashes = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                for w in words.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        wh = dict_hashes[codes]
+        m = nw - n + 1
+        valid = doc_idx[:m] == doc_idx[n - 1 :]
+        gh = np.zeros(m, np.uint64)
+        prime = np.uint64(1099511628211)
+        for k in range(n):
+            gh = gh * prime + wh[k : m + k]
+        gh = (gh & np.uint64((1 << 63) - 1)).astype(np.int64)
+        starts = np.flatnonzero(valid)
+        if starts.size:
+            dup = is_dup_window(gh[starts], dids[doc_idx[starts]])
+            dup_starts = starts[dup]
+            diff = np.zeros(nw + 1, dtype=np.int64)
+            np.add.at(diff, dup_starts, 1)
+            np.add.at(diff, dup_starts + n, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+    kept = ~covered
+    counts_kept = np.bincount(doc_idx[kept], minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts_kept, out=offsets[1:])
+    kept_words = flat_words.filter(pa.array(kept))
+    if isinstance(kept_words, pa.ChunkedArray):
+        kept_words = kept_words.combine_chunks()
+    la = pa.LargeListArray.from_arrays(pa.array(offsets), kept_words)
+    clean = pc.binary_join(la, " ")
+    new_doc = np.r_[True, doc_idx[1:] != doc_idx[:-1]] if nw else np.array([], bool)
+    prev_cov = np.r_[False, covered[:-1]] if nw else covered
+    span_start = covered & (~prev_cov | new_doc)
+    return pa.table(
+        {
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_words": pa.array(n_words),
+            "n_dup_words": pa.array(
+                np.bincount(doc_idx[covered], minlength=n_docs).astype(np.int64)
+            ),
+            "n_spans": pa.array(
+                np.bincount(doc_idx[span_start], minlength=n_docs).astype(
+                    np.int64
+                )
+            ),
+            "clean_text": clean,
+        }
+    )
+
+
+def dedup_spans(sf_dir: str, n: int = DEDUP_SPAN_N):
+    """Remove cross-document duplicated spans: every maximal word run
+    covered by an n-gram appearing in >= 2 distinct documents is cut
+    from the text. (doc_id, n_words, n_dup_words, n_spans, clean_text)
+    sorted by doc_id; clean_text joins the kept words with single
+    spaces (whitespace is normalized by the rewrite, as in the
+    reference ExactSubstr pipeline).
+
+    Scale shape: stage 1 emits distinct (gram, doc) pairs (never the
+    token stream) into a bounded gram-hash-keyed exchange; stage 2
+    keeps grams with >= 2 distinct docs. Then a size-aware crossover:
+    small duplicated-gram sets broadcast ONCE as a sorted int64 array
+    (searchsorted membership in a single local rewrite pass); large
+    sets ship their (doc_id, gh) pairs back to their documents through
+    ONE doc-keyed exchange and the rewrite runs per group. Both paths
+    are pinned output-identical in tests (plus a scalar corpus-wide
+    reference)."""
+    import ray
+    import ray.data
+
+    rows = table_rows(sf_dir, "documents")
+    gram_pairs = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: _gram_doc_rows(b, n), batch_format="pyarrow")
+        .repartition(shuffle_parts(rows * 140))
+        .groupby("part")
+    )
+
+    def shared_pairs(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("gh", "ascending"), ("doc_id", "ascending")],
+            )
+        )
+        gh = g.column("gh").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        new = np.r_[True, gh[1:] != gh[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, gh.size])
+        shared_run = np.repeat(lens >= 2, lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[shared_run], pa.int64()),
+                "gh": pa.array(gh[shared_run], pa.int64()),
+            }
+        )
+
+    shared = gram_pairs.map_groups(shared_pairs, batch_format="pyarrow")
+    stats = shared.materialize()
+    n_shared_pairs = stats.count()
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    if n_shared_pairs <= SPAN_BROADCAST_MAX_GRAMS:
+        batches = list(stats.iter_batches(batch_format="pyarrow"))
+        if batches:
+            t = pa.concat_tables(pa.table(b) for b in batches)
+            gh_set = np.unique(t.column("gh").to_numpy())
+        else:
+            gh_set = np.array([], dtype=np.int64)
+        set_ref = ray.put(gh_set)
+
+        def local_rewrite(batch: pa.Table) -> pa.Table:
+            s = ray.get(set_ref)
+
+            def is_dup(gh: np.ndarray, _doc: np.ndarray) -> np.ndarray:
+                if s.size == 0:
+                    return np.zeros(gh.size, dtype=bool)
+                pos = np.minimum(np.searchsorted(s, gh), s.size - 1)
+                return s[pos] == gh
+
+            return _strip_dup_windows(batch, n, is_dup)
+
+        return docs.map_batches(
+            local_rewrite, batch_format="pyarrow"
+        ).sort("doc_id")
+
+    parts = SHARED_GRAM_PARTITIONS
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "docpart": pa.array(d % parts),
+                "side": pa.array(np.zeros(len(d), dtype=np.int64)),
+                "doc_id": pa.array(d),
+                "gh": pa.array(np.zeros(len(d), dtype=np.int64)),
+                "text": batch.column("text"),
+            }
+        )
+
+    def pair_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "docpart": pa.array(d % parts),
+                "side": pa.array(np.ones(len(d), dtype=np.int64)),
+                "doc_id": pa.array(d),
+                "gh": batch.column("gh"),
+                "text": pa.array([""] * len(d), pa.string()),
+            }
+        )
+
+    def meet(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group.column("side").to_numpy()
+        dmask = side == 0
+        doc_rows = group.filter(pa.array(dmask))
+        doc_rows = doc_rows.take(
+            pc.sort_indices(doc_rows, sort_keys=[("doc_id", "ascending")])
+        )
+        pk = _mix2_64(
+            group.column("gh").to_numpy()[~dmask],
+            group.column("doc_id").to_numpy()[~dmask],
+        )
+        pk = np.unique(pk)
+
+        def is_dup(gh: np.ndarray, doc: np.ndarray) -> np.ndarray:
+            if pk.size == 0:
+                return np.zeros(gh.size, dtype=bool)
+            wk = _mix2_64(gh, doc)
+            pos = np.minimum(np.searchsorted(pk, wk), pk.size - 1)
+            return pk[pos] == wk
+
+        return _strip_dup_windows(
+            doc_rows.select(["doc_id", "text"]), n, is_dup
+        )
+
+    d_ds = docs.map_batches(doc_side, batch_format="pyarrow")
+    p_ds = stats.map_batches(pair_side, batch_format="pyarrow")
+    return (
+        d_ds.union(p_ds)
+        .repartition(shuffle_parts(rows * 6700))
+        .groupby("docpart")
+        .map_groups(meet, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -218,3 +218,89 @@ def test_events_json_kpis_fallback(ray_session, tmp_path):
     }
     assert rows["a"] == {"event_type": "a", "n_events": 2, "sum_k": 12, "max_k": 7}
     assert rows["b"] == {"event_type": "b", "n_events": 2, "sum_k": -2, "max_k": 0}
+
+
+def test_dedup_spans_matches_scalar_reference(ray_session):
+    """Duplicate-span removal: distributed result (broadcast path) must
+    exactly equal a scalar corpus-wide reference of the same rule (a
+    word is cut iff covered by an n-gram present in >= 2 docs), and the
+    forced exchange path must be identical to the broadcast path."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+
+    from probe_ray.ops import text as textmod
+
+    SF = "/root/testdata/sf0.001"
+
+    def coll(ds):
+        return pa.concat_tables(
+            pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+        )
+
+    t = coll(textmod.dedup_spans(SF))
+
+    N = textmod.DEDUP_SPAN_N
+    prime = 1099511628211
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def words_of(s):
+        s2 = s.strip()
+        return s2.split() if s2 else [""]
+
+    def wh(w):
+        return int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+        )
+
+    gram_docs: dict[int, set] = defaultdict(set)
+    W = {}
+    for did, tx in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        ws = words_of(tx)
+        W[did] = ws
+        hs = [wh(w) for w in ws]
+        for i in range(len(ws) - N + 1):
+            g = 0
+            for k in range(N):
+                g = (g * prime + hs[i + k]) % (1 << 64)
+            gram_docs[g & ((1 << 63) - 1)].add(did)
+    shared = {g for g, ds_ in gram_docs.items() if len(ds_) >= 2}
+    rows = []
+    for did in sorted(W):
+        ws = W[did]
+        hs = [wh(w) for w in ws]
+        cov = [False] * len(ws)
+        for i in range(len(ws) - N + 1):
+            g = 0
+            for k in range(N):
+                g = (g * prime + hs[i + k]) % (1 << 64)
+            if (g & ((1 << 63) - 1)) in shared:
+                for j in range(i, i + N):
+                    cov[j] = True
+        kept = [w for w, c in zip(ws, cov) if not c]
+        spans = sum(
+            1 for i, c in enumerate(cov) if c and (i == 0 or not cov[i - 1])
+        )
+        rows.append((did, len(ws), sum(cov), spans, " ".join(kept)))
+    ref = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_words": pa.array([r[1] for r in rows], pa.int64()),
+            "n_dup_words": pa.array([r[2] for r in rows], pa.int64()),
+            "n_spans": pa.array([r[3] for r in rows], pa.int64()),
+            "clean_text": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    assert t.cast(ref.schema).equals(ref)
+    assert int(np.asarray(t.column("n_dup_words")).sum()) > 0  # non-vacuous
+
+    orig = textmod.SPAN_BROADCAST_MAX_GRAMS
+    try:
+        textmod.SPAN_BROADCAST_MAX_GRAMS = -1
+        t2 = coll(textmod.dedup_spans(SF))
+    finally:
+        textmod.SPAN_BROADCAST_MAX_GRAMS = orig
+    assert t.equals(t2)
