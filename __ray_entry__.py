@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_surprisal": text.unigram_surprisal,
         "text_hll_distinct": text.hll_distinct_tokens,
         "text_dedup_spans": text.dedup_spans,
+        "text_quality_percentile_filter": text.quality_percentile_filter,
         "export_pack_sequences": export.pack_sequences,
         "export_shuffle_order": export.shuffle_export,
         "export_budget_select": export.budget_select,
@@ -432,6 +433,22 @@ def oracle_sql() -> dict[str, str]:
             "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
             "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
             ") + 0.5) AS BIGINT) AS quality_milli FROM s"
+        ),
+        "text_quality_percentile_filter": (
+            "WITH s AS (SELECT doc_id, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END AS n, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(list_distinct({_WS_TOKENS})) END AS uniq, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha, "
+            "length(text) AS nchars FROM documents), "
+            "q AS (SELECT doc_id, CAST(floor(1000 * ("
+            "0.4 * (CASE WHEN n = 0 THEN 0.0 ELSE CAST(uniq AS DOUBLE) / n END) + "
+            "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
+            "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
+            ") + 0.5) AS BIGINT) AS quality_milli FROM s), "
+            "t AS (SELECT quantile_disc(quality_milli, 0.5) AS thr FROM q) "
+            "SELECT q.doc_id, q.quality_milli FROM q, t "
+            "WHERE q.quality_milli >= t.thr ORDER BY doc_id"
         ),
         "text_curation_pipeline": (
             "WITH s AS (SELECT doc_id, lang, text, "

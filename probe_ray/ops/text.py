@@ -1916,3 +1916,55 @@ def dedup_spans(sf_dir: str, n: int = DEDUP_SPAN_N):
         .map_groups(meet, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def quality_percentile_filter(sf_dir: str, pct: float = 0.5):
+    """Percentile-based quality curation: keep documents whose
+    quality_milli >= the exact pct-quantile of the corpus quality
+    distribution (DuckDB quantile_disc convention: the sorted value at
+    index max(0, ceil(pct*n)-1)). (doc_id, quality_milli) sorted by
+    doc_id.
+
+    Scale shape: quality_milli has a closed 0..1000 integer range, so
+    the exact order statistic comes from ONE pass of per-batch
+    1001-bin bincounts (a bounded 1001-row exchange — no sort, no
+    sample-based approximation); the scored (doc_id, quality) rows are
+    materialized once (16 B/doc — tiny next to the text) so the text
+    is read and scored exactly once."""
+    from ray.data.aggregate import Sum
+
+    scores = quality_score(sf_dir).materialize()
+    n_total = scores.count()
+    if n_total == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "quality_milli": pa.array([], pa.int64()),
+            }
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality_milli").to_numpy()
+        c = np.bincount(q, minlength=1001)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(c[nz].astype(np.int64)),
+            }
+        )
+
+    rows = scores.map_batches(hist, batch_format="pyarrow").groupby(
+        "bin"
+    ).aggregate(Sum("cnt")).take_all()  # <= 1001 rows by construction
+    counts = np.zeros(1001, dtype=np.int64)
+    for r in rows:
+        counts[int(r["bin"])] = int(r["sum(cnt)"])
+    idx = max(0, int(np.ceil(pct * n_total)) - 1)
+    thr = int(np.searchsorted(np.cumsum(counts), idx + 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality_milli").to_numpy()
+        return batch.filter(pa.array(q >= thr))
+
+    return scores.map_batches(keep, batch_format="pyarrow").sort("doc_id")

@@ -46,6 +46,7 @@ CASES = [
     "rel_events_daily_type_pivot",
     "rel_rollup_revenue",
     "text_quality_score",
+    "text_quality_percentile_filter",
     "text_curation_pipeline",
     "text_lang_id",
     "text_token_count",
