@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embed,
         export,
         fts,
+        io,
         multimodal,
         relational,
         text,
@@ -136,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_semantic_dedup": ann.semantic_dedup,
         "text_embed_neardup_pairs": embed.text_embed_neardup_pairs,
+        # --- multimodal plumbing -----------------------------------------
+        "io_jsonl_roundtrip": io.jsonl_roundtrip,
+        "io_csv_roundtrip": io.csv_roundtrip,
         # --- multimodal plumbing -----------------------------------------
         "multimodal_payload_sizes": multimodal.payload_sizes,
         "multimodal_features": multimodal.multimodal_features,
@@ -433,6 +437,18 @@ def oracle_sql() -> dict[str, str]:
             "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
             "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
             ") + 0.5) AS BIGINT) AS quality_milli FROM s"
+        ),
+        "io_jsonl_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "io_csv_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "text_quality_percentile_filter": (
             "WITH s AS (SELECT doc_id, "

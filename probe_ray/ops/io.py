@@ -1,0 +1,112 @@
+"""Source/sink format coverage beyond parquet: JSONL and CSV round
+trips of the documents table through Ray Data's native readers/writers.
+
+Each op writes the documents to sharded files under /tmp (one file per
+input block — the partitioned, resumable layout the repo's parquet
+sinks use), reads them back with ``ray.data.read_json`` /
+``ray.data.read_csv``, and returns a per-lang aggregate computed FROM
+THE ROUNDTRIPPED ROWS. The DuckDB oracle computes the same aggregate
+from the original parquet table, so an oracle match proves the
+write -> read cycle is lossless for every row (ids, langs and text
+lengths all participate in the sums).
+
+Reference analogs: probe's multi-format output surface
+(src/search/formatter.rs) and stdin/file ingestion (src/extract.rs) —
+re-expressed here as Dataset sinks/sources rather than CLI streams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from probe_ray.ops.sizing import shuffle_parts, table_rows
+
+_CACHE_ROOT = "/tmp/probe_ray_cache/io"
+
+
+def _read_documents(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "text"],
+    )
+
+
+def _lang_rollup(ds) -> "pa.Table":
+    """(lang, n_docs, sum_doc_id, sum_chars) from a roundtripped
+    Dataset — per-batch partials, tiny per-lang exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "did": batch.column("doc_id").cast(pa.int64()),
+                "chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+            }
+        )
+        return t.group_by(["lang"]).aggregate(
+            [("one", "sum"), ("did", "sum"), ("chars", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("one_sum"), Sum("did_sum"), Sum("chars_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("sum(one_sum)").cast(pa.int64()),
+                "sum_doc_id": batch.column("sum(did_sum)").cast(pa.int64()),
+                "sum_chars": batch.column("sum(chars_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("lang")
+
+
+def _roundtrip(sf_dir: str, fmt: str):
+    import ray.data
+
+    out = os.path.join(
+        _CACHE_ROOT,
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+        fmt,
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = _read_documents(sf_dir)
+    if fmt == "jsonl":
+        docs.write_json(out)
+        back = ray.data.read_json(out)
+    elif fmt == "csv":
+        docs.write_csv(out)
+        back = ray.data.read_csv(out)
+    else:  # pragma: no cover
+        raise ValueError(fmt)
+    return _lang_rollup(back)
+
+
+def jsonl_roundtrip(sf_dir: str):
+    """documents -> sharded JSONL -> read_json -> per-lang rollup.
+    Oracle-matches the same rollup over the original parquet iff the
+    round trip preserved every row."""
+    return _roundtrip(sf_dir, "jsonl")
+
+
+def csv_roundtrip(sf_dir: str):
+    """documents -> sharded CSV -> read_csv -> per-lang rollup (same
+    lossless-roundtrip proof as jsonl_roundtrip)."""
+    return _roundtrip(sf_dir, "csv")

@@ -71,6 +71,8 @@ CASES = [
     "dedup_neardup_clusters",
     "embedding_neardup_pairs",
     "fts_extract_docs",
+    "io_jsonl_roundtrip",
+    "io_csv_roundtrip",
 ]
 
 
