@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": ann.ann_ivf_persisted,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_semantic_dedup": ann.semantic_dedup,
+        "ann_knn_classify": ann.ann_knn_classify,
         "text_embed_neardup_pairs": embed.text_embed_neardup_pairs,
         # --- multimodal plumbing -----------------------------------------
         "io_jsonl_roundtrip": io.jsonl_roundtrip,
@@ -793,6 +794,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m) "
             "SELECT n AS doc_id, min(m) AS cluster_id FROM reach "
             "GROUP BY n ORDER BY doc_id"
+        ),
+        "ann_knn_classify": (
+            "WITH scored AS (SELECT a.vec_id AS vid, a.label AS lab, "
+            "b.vec_id AS nid, b.label AS nlab, "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) AS sim "
+            "FROM embeddings a JOIN embeddings b "
+            "ON b.vec_id < 500 AND b.vec_id <> a.vec_id), "
+            "ranked AS (SELECT vid, lab, nlab, row_number() OVER "
+            "(PARTITION BY vid ORDER BY sim DESC, nid) AS rk FROM scored), "
+            "votes AS (SELECT vid, any_value(lab) AS lab, nlab, count(*) AS c "
+            "FROM ranked WHERE rk <= 5 GROUP BY vid, nlab), "
+            "best AS (SELECT vid, lab, nlab, row_number() OVER "
+            "(PARTITION BY vid ORDER BY c DESC, nlab) AS vr FROM votes) "
+            "SELECT vid AS vec_id, CAST(lab AS BIGINT) AS label, "
+            "CAST(nlab AS BIGINT) AS pred_label FROM best WHERE vr = 1 "
+            "ORDER BY vec_id"
         ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

@@ -28,13 +28,14 @@ def _list_matrix(col, dtype=np.float64) -> np.ndarray:
     return flat.astype(dtype, copy=False).reshape(len(arr), -1)
 
 
-def _read_embeddings(sf_dir: str):
+def _read_embeddings(sf_dir: str, columns: list[str] | None = None):
     import ray.data
 
-    # column-pruned at the read: every operator here needs only
-    # (vec_id, embedding), never the label column
+    # column-pruned at the read: most operators need only
+    # (vec_id, embedding); knn_classify adds the label column
     return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=columns or ["vec_id", "embedding"],
     )
 
 
@@ -611,4 +612,68 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.42, max_id: int = 
         )
         .map_batches(fn, batch_format="pyarrow")
         .sort(["a_id", "b_id"])
+    )
+
+
+def ann_knn_classify(sf_dir: str, k: int = 5, max_ref: int = 500):
+    """k-NN label classification: every vector is labeled by majority
+    vote of its k nearest neighbors (cosine; ties by smaller vec_id)
+    within the LABELED REFERENCE SET vec_id < max_ref, excluding
+    itself; vote ties resolve to the smallest label. (vec_id, label,
+    pred_label) sorted by vec_id.
+
+    Scale shape: the reference set is the broadcast small side (one
+    pushdown read + ray.put, the labeled-seed-set pattern); the corpus
+    streams through map_batches, each batch doing one matmul against
+    the reference matrix and a fully vectorized stable-argsort top-k +
+    bincount vote — no shuffle at any size. Neighbor order ties break
+    by ascending vec_id because the reference matrix is id-sorted and
+    the argsort is stable."""
+    import pyarrow.dataset as pads
+    import ray
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < max_ref,
+    )
+    order = pa.compute.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+    t = t.take(order)
+    ref_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ref_m = _list_matrix(t.column("embedding"))
+    ref_mn = ref_m / np.linalg.norm(ref_m, axis=1, keepdims=True)
+    ref_labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    label_vals = np.unique(ref_labels)  # ascending: argmax tie -> smallest
+    ref_lidx = np.searchsorted(label_vals, ref_labels)
+    ref = ray.put((ref_ids, ref_mn, ref_lidx, label_vals))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_r, mn_r, lidx_r, lvals = ray.get(ref)
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = _list_matrix(batch.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn_r.T  # (batch, ref)
+        sims[vec_ids[:, None] == ids_r[None, :]] = -np.inf  # exclude self
+        kk = min(k, len(ids_r))
+        # stable argsort of -sims over the id-sorted reference axis =
+        # (sim desc, vec_id asc)
+        nb = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        votes = np.zeros((len(vec_ids), len(lvals)), dtype=np.int64)
+        rows = np.repeat(np.arange(len(vec_ids)), kk)
+        np.add.at(votes, (rows, lidx_r[nb].ravel()), 1)
+        pred = lvals[np.argmax(votes, axis=1)]  # tie -> smallest label
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "label": pa.array(labels, pa.int64()),
+                "pred_label": pa.array(pred, pa.int64()),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir, columns=["vec_id", "embedding", "label"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("vec_id")
     )

@@ -71,6 +71,7 @@ CASES = [
     "dedup_neardup_clusters",
     "embedding_neardup_pairs",
     "fts_extract_docs",
+    "ann_knn_classify",
     "io_jsonl_roundtrip",
     "io_csv_roundtrip",
 ]
