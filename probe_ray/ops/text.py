@@ -1331,7 +1331,12 @@ def distinctive_terms(sf_dir: str, k: int = 5):
     the whole op becomes ONE local map pass (plus the vocab-sized stats
     exchange) — no (doc,term) exchange at all. Both paths are pinned
     output-identical in tests/test_ops_oracle.py. 2M-doc rehearsal:
-    32 s -> 19 s."""
+    32 s -> 19 s.
+
+    NOTE: the crossover decision materializes the vocab-sized term-stats
+    Dataset at CALL time (eager, like dataset_topk) — building the
+    returned Dataset runs the stats job; only the final scoring pass
+    stays lazy."""
     import ray
 
     bc = _broadcast_term_stats(sf_dir)
@@ -1434,7 +1439,9 @@ def unigram_surprisal(sf_dir: str):
     Size-aware crossover: when the vocabulary fits
     TERM_BROADCAST_MAX_TERMS the corpus counts are broadcast once and
     scoring is ONE local map pass — the (doc,term) exchanges vanish
-    (2M-doc rehearsal: 68 s -> 21 s). Both paths pinned identical."""
+    (2M-doc rehearsal: 68 s -> 21 s). Both paths pinned identical.
+    NOTE: the crossover decision materializes the vocab-sized stats at
+    CALL time (eager, like dataset_topk); scoring stays lazy."""
     import ray
 
     bc = _broadcast_term_stats(sf_dir)
@@ -1792,7 +1799,9 @@ def dedup_spans(sf_dir: str, n: int = DEDUP_SPAN_N):
     sets ship their (doc_id, gh) pairs back to their documents through
     ONE doc-keyed exchange and the rewrite runs per group. Both paths
     are pinned output-identical in tests (plus a scalar corpus-wide
-    reference)."""
+    reference). NOTE: the shared-gram stats materialize at CALL time
+    (eager crossover decision); the rewrite pass stays lazy. 2M-doc
+    rehearsal: 73 s end-to-end (27k docs/s) in a shared-host window."""
     import ray
     import ray.data
 
