@@ -252,6 +252,24 @@ def cmd_serve(args) -> int:
     return serve_stdio(args.cache_dir)
 
 
+def cmd_delete(args) -> int:
+    from probe_ray.index.tombstones import add_tombstones, clear_tombstones
+
+    pairs = []
+    for key in args.keys:
+        repo, _, path = key.partition(":")
+        if not path:
+            print(f"bad key {key!r}: expected repo:path", flush=True)
+            return 2
+        pairs.append((repo, path))
+    if args.clear:
+        n = clear_tombstones(args.index, pairs or None)
+    else:
+        n = add_tombstones(args.index, pairs)
+    print(f"tombstones: {n}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="probe_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -357,6 +375,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     sv.add_argument("--cache-dir", default=None)
     sv.set_defaults(fn=cmd_serve)
+
+    d = sub.add_parser(
+        "delete",
+        help="tombstone documents (repo/path) out of a built index "
+             "without re-indexing; --clear restores",
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument(
+        "keys", nargs="*",
+        help="repo:path document keys (e.g. src3:lib/utils.py)",
+    )
+    d.add_argument("--clear", action="store_true",
+                   help="remove the given tombstones (all when no keys)")
+    d.set_defaults(fn=cmd_delete)
 
     args = p.parse_args(argv)
     return args.fn(args)

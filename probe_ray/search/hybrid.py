@@ -273,6 +273,7 @@ def hybrid_search_many(
             filters=filters,
             exact=exact,
             max_total_tokens=max_total_tokens,
+            exclude_keys=reader.tombstones or None,
         )
 
     active_ctxs = [c for c in ctx_specs if c[2]]
@@ -421,7 +422,11 @@ def hybrid_search_many(
                 filters=filters.get(name, {}),
                 avgdl=avgdl,
                 min_dlen=min_dl,
-                exclude_keys=cd["exclude"] if cd else None,
+                exclude_keys=(
+                    ((cd["exclude"] if cd else frozenset())
+                     | reader.tombstones)
+                    or None
+                ),
             )
         )
 
@@ -448,6 +453,16 @@ def hybrid_search_many(
             fm = _candidate_filter_mask(sub, filters.get(name, {}))
             if fm is not None:
                 keep = keep & fm
+            if reader.tombstones:
+                key = pc.binary_join_element_wise(
+                    sub.column("repo"), sub.column("path"), "\x00"
+                )
+                keep = keep & pc.invert(
+                    pc.is_in(
+                        key,
+                        value_set=pa.array(sorted(reader.tombstones)),
+                    )
+                ).to_numpy(zero_copy_only=False)
             idxs = np.flatnonzero(keep)
             if len(idxs):
                 take = sub.take(pa.array(idxs))

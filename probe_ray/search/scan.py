@@ -139,6 +139,7 @@ def scan_search_many(
     exact: bool = False,
     include_filenames: bool = True,
     max_total_tokens: int | None = None,
+    exclude_keys: frozenset[str] | None = None,
 ) -> dict[str, pa.Table]:
     import ray.data
 
@@ -232,9 +233,10 @@ def scan_search_many(
             keep_mask = included & gate & (
                 anym | is_only_excluded_terms(plan.ast)
             )
-            # metadata field filters select from the corpus-global ranking
-            # (stats stay corpus-global, same as the index path)
-            fm = _filter_mask(batch, filters.get(name) or {})
+            # metadata field filters + tombstones select from the
+            # corpus-global ranking (stats stay corpus-global, same as
+            # the index path)
+            fm = _filter_mask(batch, filters.get(name) or {}, exclude_keys)
             if fm is not None:
                 keep_mask &= fm[m]
             idxs = np.flatnonzero(m)[keep_mask]

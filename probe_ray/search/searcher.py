@@ -692,6 +692,12 @@ class IndexReader:
         self._workers: list | None = None
         self._has_units: bool | None = None
         self._df_dict = _DfDict(os.path.join(index_dir, "dict"))
+        # deleted (repo, path) keys — loaded once at open; masks every
+        # result path (index/hybrid/scan/fill) via the exclusion-key
+        # mechanism. Stats stay corpus-global (tombstones.py contract).
+        from probe_ray.index.tombstones import load_tombstones
+
+        self.tombstones: frozenset[str] = load_tombstones(index_dir)
 
     def df_lookup(self, terms: list[str]) -> dict[str, int]:
         """Cached per-term document frequencies (see _DfDict)."""
@@ -862,6 +868,7 @@ class IndexReader:
                         filters=filters, exact=exact,
                         include_filenames=False,
                         max_total_tokens=max_total_tokens,
+                        exclude_keys=self.tombstones or None,
                     )
                 )
             return results
@@ -898,6 +905,7 @@ class IndexReader:
                     # matched set fails unless every term is excluded)
                     need_fill=is_only_excluded_terms(plan.ast),
                     filters=filters.get(name, {}),
+                    exclude_keys=self.tombstones or None,
                 )
             )
 
