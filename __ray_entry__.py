@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dedup_spans": text.dedup_spans,
         "text_quality_percentile_filter": text.quality_percentile_filter,
         "export_pack_sequences": export.pack_sequences,
+        "export_curated_pack": export.curated_pack,
         "export_shuffle_order": export.shuffle_export,
         "export_budget_select": export.budget_select,
         "rel_events_json_kpis": relational.events_json_kpis,
@@ -694,6 +695,44 @@ def oracle_sql() -> dict[str, str]:
         # seeded deterministic shuffle: hv = 32-bit-safe affine mix (every
         # product fits HUGEINT/uint64 exactly), shard = hv % 16, pos = rank
         # of (hv, doc_id) within the shard — matches ops/export._mix_hash
+        "export_curated_pack": (
+            "WITH s AS (SELECT doc_id, lang, text, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END AS n, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(list_distinct({_WS_TOKENS})) END AS uniq, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha, "
+            "length(text) AS nchars FROM documents), "
+            "q AS (SELECT doc_id, text, CAST(floor(1000 * ("
+            "0.4 * (CASE WHEN n = 0 THEN 0.0 ELSE CAST(uniq AS DOUBLE) / n END) + "
+            "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
+            "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
+            ") + 0.5) AS BIGINT) AS qm FROM s WHERE lang = 'en'), "
+            "tok8 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "ng AS (SELECT doc_id, unnest(list_transform(range(len(w) - 7), "
+            "i -> array_to_string(list_slice(w, i + 1, i + 8), ' '))) AS g "
+            "FROM tok8 WHERE len(w) >= 8), "
+            "bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 32), "
+            "contam AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bench USING (g) "
+            "WHERE ng.doc_id >= 32), "
+            "surv AS (SELECT min(doc_id) AS doc_id FROM q "
+            "WHERE qm >= 600 AND doc_id >= 32 "
+            "AND doc_id NOT IN (SELECT doc_id FROM contam) "
+            "GROUP BY sha256(text)), "
+            "tok AS (SELECT d.doc_id, unnest(string_split_regex("
+            "regexp_replace(d.text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term "
+            "FROM documents d JOIN surv USING (doc_id)), "
+            "n AS (SELECT doc_id, CAST(count(*) FILTER (term <> '') AS BIGINT) "
+            "AS n FROM tok GROUP BY doc_id), "
+            "c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s "
+            "FROM n), "
+            "x AS (SELECT doc_id, n, s, unnest(generate_series(s // 64, "
+            "(s + n - 1) // 64)) AS seq_id FROM c WHERE n > 0) "
+            "SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, "
+            "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, "
+            "CAST(least((seq_id + 1) * 64, s + n) - greatest(s, seq_id * 64) "
+            "AS BIGINT) AS n_toks FROM x ORDER BY doc_id, seq_id"
+        ),
         "export_shuffle_order": (
             "WITH h AS (SELECT doc_id, CAST(("
             "(CAST(2654435761 AS HUGEINT) * (doc_id & 4294967295)) "

@@ -334,6 +334,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("hll_distinct", lambda: text.hll_distinct_tokens(SF_DIR).num_rows),
             ("unigram_surprisal", lambda: text.unigram_surprisal(SF_DIR).count()),
             ("pack_sequences", lambda: export.pack_sequences(SF_DIR).count()),
+            ("curated_pack", lambda: export.curated_pack(SF_DIR).count()),
             ("shuffle_order", lambda: export.shuffle_export(SF_DIR).count()),
             ("budget_select", lambda: export.budget_select(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),

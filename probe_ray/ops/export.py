@@ -110,6 +110,15 @@ def pack_sequences(
         .map_batches(counts_fn, batch_format="pyarrow")
         .materialize()
     )
+    return _pack_counts(counts, n_docs, budget, range_size)
+
+
+def _pack_counts(counts, n_docs: int, budget: int, range_size: int):
+    """Shared packing tail over a MATERIALIZED (doc_id, rng, gkey, n)
+    counts Dataset: range-offset scan + bytes-bounded grouped packing
+    (used by pack_sequences and curated_pack)."""
+    import ray
+
     offsets = _range_offsets(counts, "rng", "n")
     off_ref = ray.put(offsets)
     # group key is DECOUPLED from the range: ranges hash into ~64 MB
@@ -570,3 +579,140 @@ def write_shuffle_shards(
             rows += pq.ParquetFile(f).metadata.num_rows
         result[shard] = rows
     return result
+
+
+def curated_pack(
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    range_size: int = PACK_RANGE,
+    min_quality_milli: int = 600,
+    lang: str = "en",
+    bench_max_id: int = 32,
+    ngram: int = 8,
+):
+    """END-TO-END curation -> export: quality + language filtering,
+    benchmark n-gram decontamination, exact-dedup keep-first, then
+    GPT-style sequence packing of the survivors — the full shape of a
+    training-data run as ONE pipeline with ONE corpus read, and (unlike
+    most multi-stage pipelines) an END-TO-END DuckDB oracle composing
+    the four component oracles as CTEs.
+
+    Semantics: survivors are docs with doc_id >= bench_max_id,
+    lang == ``lang``, quality_milli >= ``min_quality_milli`` (the
+    quality_score formula), sharing no ``ngram``-word gram with the
+    benchmark docs (doc_id < bench_max_id, decontaminate semantics),
+    deduplicated keep-first by sha256(text) among those survivors; the
+    survivors' whitespace tokens are then concatenated in doc_id order
+    and cut every ``budget`` tokens (pack_sequences semantics).
+    (doc_id, seq_id, seq_off, n_toks) sorted by (doc_id, seq_id).
+
+    Scale shape: the single map stage fuses scoring, the broadcast
+    decontamination membership check, hashing and token counting, so
+    the text is read ONCE and every later stage moves O(n_docs) count
+    rows; dedup is one sha-keyed exchange; packing reuses the
+    range-offset scan + bytes-bounded grouped cut."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Min
+
+    from probe_ray.ops.text import _split_words, _stats_arrays
+
+    # benchmark gram set: eval sets are the small side by definition —
+    # one pushdown read, broadcast once (decontaminate's shape)
+    bench_texts = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(
+            columns=["text"], filter=pads.field("doc_id") < bench_max_id
+        )
+        .column("text")
+        .to_pylist()
+    )
+    bench: set[str] = set()
+    for t in bench_texts:
+        w = t.split(" ")
+        for j in range(len(w) - ngram + 1):
+            bench.add(" ".join(w[j : j + ngram]))
+    bench_ref = ray.put(bench)
+
+    n_docs = table_rows(sf_dir, "documents")
+    ngroups = shuffle_parts(n_docs * 24, lo=64, hi=1 << 20)
+
+    def survive_fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = ray.get(bench_ref)
+        n_chars, alpha, _, n, uniq = _stats_arrays(batch)
+        ratio_u = np.divide(uniq, n, out=np.zeros(len(n)), where=n > 0)
+        ratio_a = np.divide(
+            alpha, n_chars, out=np.zeros(len(n)), where=n_chars > 0
+        )
+        length_ok = np.where(n >= 20, 1.0, n / 20.0)
+        q = np.floor(
+            1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok) + 0.5
+        )
+        did = batch.column("doc_id").to_numpy()
+        keep = (
+            (q >= min_quality_milli)
+            & (did >= bench_max_id)
+            & pc.equal(batch.column("lang"), lang).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        texts = batch.column("text").to_pylist()
+        for i in np.flatnonzero(keep):
+            w = texts[i].split(" ")
+            if any(
+                " ".join(w[j : j + ngram]) in b
+                for j in range(len(w) - ngram + 1)
+            ):
+                keep[i] = False
+        kept = batch.filter(pa.array(keep))
+        # sha + regex-whitespace token count over survivors only
+        shas = [
+            hashlib.sha256(t.encode()).hexdigest()
+            for t in kept.column("text").to_pylist()
+        ]
+        nd, _, doc_idx, codes, words = _split_words(kept)
+        if codes.size:
+            nonempty = np.array(
+                [bool(w) for w in words.to_pylist()], dtype=bool
+            )
+            ntok = np.bincount(
+                doc_idx,
+                weights=nonempty[codes].astype(np.float64),
+                minlength=nd,
+            ).astype(np.int64)
+        else:
+            ntok = np.zeros(nd, np.int64)
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "sha": pa.array(shas, pa.string()),
+                "n": pa.array(ntok),
+            }
+        )
+
+    deduped = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(survive_fn, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_docs * 104))
+        .groupby("sha")
+        .aggregate(Min("doc_id"), Min("n"))  # dup texts: identical n
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        did = batch.column("min(doc_id)").to_numpy().astype(np.int64)
+        rng = (did // range_size).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "rng": pa.array(rng),
+                "gkey": pa.array(rng % ngroups),
+                "n": batch.column("min(n)").cast(pa.int64()),
+            }
+        )
+
+    counts = deduped.map_batches(rekey, batch_format="pyarrow").materialize()
+    return _pack_counts(counts, n_docs, budget, range_size)

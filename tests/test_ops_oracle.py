@@ -63,6 +63,7 @@ CASES = [
     "text_distinctive_terms",
     "text_unigram_surprisal",
     "export_pack_sequences",
+    "export_curated_pack",
     "export_shuffle_order",
     "export_budget_select",
     "rel_events_json_kpis",
