@@ -57,7 +57,7 @@ import json
 import os
 import time
 from collections import Counter
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, replace
 
 import numpy as np
 import pyarrow as pa
@@ -119,6 +119,10 @@ class IndexConfig:
     # turning it off keeps old behavior (hybrid falls back to the scan
     # prefilter).
     unit_postings: bool = True
+    # Compaction support: '{repo}\x00{path}' keys dropped at tokenize time
+    # (rows never enter the index). Set by compact_index from the source
+    # index's tombstones; ships once per task with the config object.
+    exclude_keys: frozenset[str] | None = None
 
 
 def doc_hash64(repo: str, path: str) -> int:
@@ -139,6 +143,19 @@ class TokenizePartial:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        if cfg.exclude_keys:
+            import pyarrow.compute as _pc
+
+            key = _pc.binary_join_element_wise(
+                batch.column("repo"), batch.column("path"), "\x00"
+            )
+            batch = batch.filter(
+                _pc.invert(
+                    _pc.is_in(
+                        key, value_set=pa.array(sorted(cfg.exclude_keys))
+                    )
+                )
+            )
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
         commits = batch.column("commit").to_pylist()
@@ -685,11 +702,15 @@ def build_index(
         wave_entries.append(wm)
     from probe_ray import ENGINE_VERSION
 
+    cfg_json = asdict(cfg)
+    # JSON-safe: frozenset -> sorted list (compaction's exclude_keys)
+    if cfg_json.get("exclude_keys") is not None:
+        cfg_json["exclude_keys"] = sorted(cfg_json["exclude_keys"])
     manifest = {
         "version": 2,
         "engine_version": ENGINE_VERSION,
         "input_files": files,
-        "config": asdict(cfg),
+        "config": cfg_json,
         "n_docs": n_docs,
         "n_tokens": n_tokens,
         "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
@@ -910,3 +931,31 @@ def lookup_df(index_dir: str, terms: list[str]) -> dict[str, int]:
         term: int(df)
         for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist())
     }
+
+
+def compact_index(
+    index_dir: str, out_dir: str, cfg: IndexConfig | None = None
+) -> dict:
+    """Compaction: rebuild the index from its recorded input corpus with
+    every tombstoned document dropped AT THE TOKENIZE STAGE — the output
+    index has exact corpus-global stats (N, avgdl, df) over the
+    surviving documents and carries no tombstones file.
+
+    This is the second half of the delete lifecycle
+    (index/tombstones.py): tombstones give O(1) deletes that mask
+    results; compaction is the full-cost rebuild that reclaims the
+    statistics and the storage. cfg defaults to the source index's wave
+    geometry."""
+    import json as _json
+
+    from probe_ray.index.tombstones import load_tombstones
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = _json.load(f)
+    src_cfg = manifest.get("config", {})
+    cfg = cfg or IndexConfig(
+        num_waves=src_cfg.get("num_waves", 2),
+        subshards=src_cfg.get("subshards", 4),
+    )
+    cfg = replace(cfg, exclude_keys=load_tombstones(index_dir) or None)
+    return build_index(manifest["input_files"], out_dir, cfg)

@@ -95,3 +95,42 @@ def test_tombstone_cli_roundtrip(ray_session, clean_tombstones):
     assert load_tombstones(idx) == frozenset(["src1\x00a/b.py"])
     assert main(["delete", "--index", idx, "--clear", "src1:a/b.py"]) == 0
     assert load_tombstones(idx) == frozenset()
+
+
+def test_compact_index_drops_tombstoned_docs(
+    ray_session, clean_tombstones, tmp_path
+):
+    """Compaction rebuilds WITHOUT the tombstoned docs: exact stats over
+    the survivors (n_docs shrinks), victim absent, no tombstones file in
+    the output."""
+    import os
+
+    from probe_ray.index.build import compact_index
+    from probe_ray.index.tombstones import add_tombstones, load_tombstones
+    from probe_ray.search.searcher import IndexReader
+
+    idx = clean_tombstones
+    rd = IndexReader(idx)
+    try:
+        base = rd.search("error AND handler", k=10)
+        victim = (
+            base.column("repo")[0].as_py(),
+            base.column("path")[0].as_py(),
+        )
+        n_before = rd.n_docs
+    finally:
+        rd.close()
+
+    add_tombstones(idx, [victim])
+    out = str(tmp_path / "compacted")
+    m = compact_index(idx, out)
+    assert m["n_docs"] == n_before - 1
+    assert load_tombstones(out) == frozenset()
+    assert not os.path.exists(os.path.join(out, "tombstones.parquet"))
+    rd2 = IndexReader(out)
+    try:
+        after = rd2.search("error AND handler", k=10)
+        assert victim not in _paths(after)
+        assert after.num_rows > 0
+    finally:
+        rd2.close()
