@@ -617,24 +617,23 @@ def curated_pack(
     import ray
     from ray.data.aggregate import Min
 
-    from probe_ray.ops.text import _split_words, _stats_arrays
+    from probe_ray.ops.text import (
+        _space_gram_hashes,
+        _split_words,
+        _stats_arrays,
+    )
 
     # benchmark gram set: eval sets are the small side by definition —
     # one pushdown read, broadcast once (decontaminate's shape)
-    bench_texts = (
+    bench_col = (
         pads.dataset(f"{sf_dir}/documents.parquet")
         .to_table(
             columns=["text"], filter=pads.field("doc_id") < bench_max_id
         )
         .column("text")
-        .to_pylist()
     )
-    bench: set[str] = set()
-    for t in bench_texts:
-        w = t.split(" ")
-        for j in range(len(w) - ngram + 1):
-            bench.add(" ".join(w[j : j + ngram]))
-    bench_ref = ray.put(bench)
+    _, bgh = _space_gram_hashes(bench_col, ngram)
+    bench_ref = ray.put(np.unique(bgh))
 
     n_docs = table_rows(sf_dir, "documents")
     ngroups = shuffle_parts(n_docs * 24, lo=64, hi=1 << 20)
@@ -660,14 +659,10 @@ def curated_pack(
                 zero_copy_only=False
             )
         )
-        texts = batch.column("text").to_pylist()
-        for i in np.flatnonzero(keep):
-            w = texts[i].split(" ")
-            if any(
-                " ".join(w[j : j + ngram]) in b
-                for j in range(len(w) - ngram + 1)
-            ):
-                keep[i] = False
+        widx, gh = _space_gram_hashes(batch.column("text"), ngram)
+        if gh.size and b.size:
+            hit = np.isin(gh, b, kind="sort")
+            keep[np.unique(widx[hit])] = False
         kept = batch.filter(pa.array(keep))
         # sha + regex-whitespace token count over survivors only
         shas = [

@@ -369,6 +369,55 @@ def train_val_split(sf_dir: str, val_threshold: str = "e6"):
     )
 
 
+def _space_gram_hashes(texts, n: int):
+    """Per-window 63-bit gram identities for space-split word n-grams
+    (str.split(' ') semantics, including empty words from runs of
+    spaces): (doc_idx_per_window, gh_per_window). Gram identity is a
+    polynomial over per-distinct-word blake2b hashes — consistent across
+    callers, so set membership matches exact string-gram membership up
+    to a ~windows^2/2^63 collision probability (the repo's standard
+    hashed-gram identity budget). Fully vectorized: one split, one
+    dictionary encode, blake2b only over DISTINCT words, one rolling
+    combine."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy()
+    n_words = np.diff(offsets).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+    enc = pc.dictionary_encode(lists.flatten())
+    codes = enc.indices.to_numpy().astype(np.int64)
+    if codes.size < n:
+        return np.array([], np.int64), np.array([], np.int64)
+    dict_hashes = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+            for w in enc.dictionary.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(enc.dictionary),
+    )
+    wh = dict_hashes[codes]
+    m = wh.size - n + 1
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    gh = np.zeros(m, np.uint64)
+    prime = np.uint64(1099511628211)
+    for k in range(n):
+        gh = gh * prime + wh[k : m + k]
+    return (
+        doc_idx[:m][valid],
+        (gh[valid] & np.uint64((1 << 63) - 1)).astype(np.int64),
+    )
+
+
 def decontaminate(sf_dir: str, bench_max_id: int = 32, n: int = 8):
     """Benchmark n-gram decontamination: flag corpus docs that share any
     whitespace word ``n``-gram with the benchmark set (docs with
@@ -384,37 +433,25 @@ def decontaminate(sf_dir: str, bench_max_id: int = 32, n: int = 8):
     import ray
     import ray.data
 
-    bench_texts = (
+    bench_col = (
         pads.dataset(f"{sf_dir}/documents.parquet")
         .to_table(columns=["text"], filter=pads.field("doc_id") < bench_max_id)
         .column("text")
-        .to_pylist()
     )
-    bench: set[str] = set()
-    for t in bench_texts:
-        w = t.split(" ")
-        for j in range(len(w) - n + 1):
-            bench.add(" ".join(w[j : j + n]))
-    bench_ref = ray.put(bench)
+    _, bgh = _space_gram_hashes(bench_col, n)
+    bench_ref = ray.put(np.unique(bgh))
 
     def fn(batch: pa.Table) -> pa.Table:
         b = ray.get(bench_ref)
-        texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            w = t.split(" ")
-            out.append(
-                1
-                if any(
-                    " ".join(w[j : j + n]) in b
-                    for j in range(len(w) - n + 1)
-                )
-                else 0
-            )
+        widx, gh = _space_gram_hashes(batch.column("text"), n)
+        flags = np.zeros(batch.num_rows, dtype=np.int32)
+        if gh.size and b.size:
+            hit = np.isin(gh, b, kind="sort")
+            flags[np.unique(widx[hit])] = 1
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "contaminated": pa.array(out, pa.int32()),
+                "contaminated": pa.array(flags, pa.int32()),
             }
         )
 
