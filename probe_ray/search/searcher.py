@@ -974,3 +974,97 @@ def _finalize(top: pa.Table) -> pa.Table:
             "sha256": top.column("sha256"),
         }
     )
+
+
+class FederatedReader:
+    """Exact BM25 search across MULTIPLE indexes — the per-tenant /
+    per-shard index layout a 100-TB corpus actually uses (build each
+    shard independently; never rebuild the world to add a tenant).
+
+    Federation-global statistics (N = sum n_docs, avgdl over summed
+    token counts, min_dlen, df = sum per-index df) are computed once and
+    pushed through the SAME per-spec override fields the hybrid path
+    uses (_QuerySpec.avgdl / min_dlen / idfs), so every shard's actors
+    score with GLOBAL stats and the merged top-k is bit-identical to a
+    single index built over the union corpus (pinned in
+    tests/test_federated.py). Tombstones are unioned across members
+    (a federated delete deletes everywhere).
+
+    Scope: the full boolean/BM25 surface incl. field filters. Dynamic
+    special-term queries (quoted/excluded keywords — the hybrid
+    machinery, which includes only-excluded fill) are per-index
+    candidate generation and are not federated — they raise ValueError;
+    run them per member index."""
+
+    def __init__(self, index_dirs: list[str], num_workers: int | None = None):
+        if not index_dirs:
+            raise ValueError("FederatedReader needs at least one index")
+        self.readers = [IndexReader(d, num_workers) for d in index_dirs]
+        self.n_docs = sum(r.n_docs for r in self.readers)
+        self.n_tokens = sum(
+            int(r.manifest.get("n_tokens", 0)) for r in self.readers
+        )
+        self.avgdl = (self.n_tokens / self.n_docs) if self.n_docs else 0.0
+        self.min_dlen = min(r.min_dlen for r in self.readers)
+        self.tombstones: frozenset[str] = frozenset().union(
+            *(r.tombstones for r in self.readers)
+        )
+
+    def df_lookup(self, terms: list[str]) -> dict[str, int]:
+        out = {t: 0 for t in terms}
+        for r in self.readers:
+            for t, df in r.df_lookup(terms).items():
+                out[t] += df
+        return out
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        import ray
+
+        plan = create_query_plan(query)
+        if plan.special_terms:
+            raise ValueError(
+                "special-term (quoted/excluded) queries are per-index "
+                "candidate machinery; run them on a member IndexReader"
+            )
+        if len(plan.term_indices) > MAX_QUERY_TERMS:
+            return _empty_result()
+        df_global = self.df_lookup(sorted(plan.term_indices))
+        idfs = {
+            t: idf_fn(self.n_docs, df_global[t])
+            for t in plan.term_indices
+            if df_global.get(t, 0) > 0
+        }
+        spec = _QuerySpec(
+            name="q",
+            plan=plan,
+            idfs=idfs,
+            need_fill=is_only_excluded_terms(plan.ast),
+            filters=filters or {},
+            avgdl=self.avgdl,
+            min_dlen=self.min_dlen,
+            exclude_keys=self.tombstones or None,
+        )
+        futs = []
+        for r in self.readers:
+            r._ensure_workers()
+            specs_ref = ray.put([spec])
+            futs.extend(w.search.remote(specs_ref, k) for w in r._workers)
+        merged = pa.concat_tables(ray.get(futs))
+        idx = pc.sort_indices(
+            merged,
+            sort_keys=[
+                ("score", "descending"),
+                ("repo", "ascending"),
+                ("path", "ascending"),
+            ],
+        )[:k]
+        return _finalize(merged.take(idx))
+
+    def close(self):
+        for r in self.readers:
+            r.close()

@@ -1,0 +1,94 @@
+"""FederatedReader: multi-index search with federation-global stats must
+be bit-identical to a single index built over the union corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+QUERIES = [
+    "error AND handler",
+    "(error OR exception) AND +handler",
+    "database",
+    "setTools OR parse",
+]
+
+
+@pytest.fixture(scope="module")
+def federation(ray_session, small_corpus, built_index, tmp_path_factory):
+    from probe_ray.index.build import IndexConfig, build_index
+
+    t = pads.dataset(small_corpus).to_table()
+    half = t.num_rows // 2
+    root = tmp_path_factory.mktemp("fed")
+    dirs = []
+    for i, part in enumerate([t.slice(0, half), t.slice(half)]):
+        cdir = os.path.join(str(root), f"corpus{i}")
+        os.makedirs(cdir)
+        pq.write_table(part, os.path.join(cdir, "part.parquet"))
+        idir = os.path.join(str(root), f"index{i}")
+        build_index([cdir], idir, IndexConfig(num_waves=2, subshards=2))
+        dirs.append(idir)
+    return dirs, built_index[0]
+
+
+def test_federated_equals_union_index(ray_session, federation):
+    from probe_ray.search.searcher import FederatedReader, IndexReader
+
+    (a, b), union_dir = federation
+    fed = FederatedReader([a, b])
+    union = IndexReader(union_dir)
+    try:
+        assert fed.n_docs == union.n_docs
+        assert fed.n_tokens == int(union.manifest.get("n_tokens", 0))
+        for q in QUERIES:
+            ft = fed.search(q, k=10)
+            ut = union.search(q, k=10)
+            assert ft.equals(ut), f"federated != union for {q!r}"
+        # field filters ride through unchanged
+        ff = fed.search("error", k=20, filters={"lang": "en"})
+        uf = union.search("error", k=20, filters={"lang": "en"})
+        assert ff.equals(uf)
+        # special-term queries are per-index machinery
+        with pytest.raises(ValueError):
+            fed.search('"error"', k=5)
+    finally:
+        fed.close()
+        union.close()
+
+
+def test_federated_union_tombstones(ray_session, federation):
+    from probe_ray.index.tombstones import add_tombstones, clear_tombstones
+    from probe_ray.search.searcher import FederatedReader
+
+    (a, b), _ = federation
+    fed = FederatedReader([a, b])
+    try:
+        base = fed.search("error AND handler", k=10)
+        victim = (
+            base.column("repo")[0].as_py(),
+            base.column("path")[0].as_py(),
+        )
+    finally:
+        fed.close()
+    add_tombstones(a, [victim])
+    try:
+        fed2 = FederatedReader([a, b])
+        try:
+            after = fed2.search("error AND handler", k=10)
+            got = {
+                (r, p)
+                for r, p in zip(
+                    after.column("repo").to_pylist(),
+                    after.column("path").to_pylist(),
+                )
+            }
+            assert victim not in got
+        finally:
+            fed2.close()
+    finally:
+        clear_tombstones(a)

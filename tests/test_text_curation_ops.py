@@ -101,8 +101,14 @@ def test_stratified_sample_edges(ray_session, corpus_dir):
 
 def test_stratified_sample_deterministic_and_rate(ray_session):
     sf = "/root/testdata/sf0.001"
-    a = stratified_sample(sf).to_pandas().sort_values("doc_id")
-    b = stratified_sample(sf).to_pandas().sort_values("doc_id")
+    a = (
+        stratified_sample(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)  # block arrival order is not stable
+    )
+    b = (
+        stratified_sample(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     assert a.equals(b)
     # unknown langs are dropped entirely
     assert set(a["lang"]) <= {"en", "de", "fr", "es", "zh"}
