@@ -109,7 +109,15 @@ def cmd_search(args) -> int:
             return 2
         filters[fld] = val
 
-    rd = IndexReader(args.index)
+    if "," in args.index:
+        # federated search over several independently built indexes
+        # (per-tenant/shard layout); global stats, bit-identical to a
+        # union build — see searcher.FederatedReader
+        from probe_ray.search.searcher import FederatedReader
+
+        rd = FederatedReader(args.index.split(","))
+    else:
+        rd = IndexReader(args.index)
     # multiple query args are ANDed into one query, mirroring the
     # reference CLI (search_runner.rs:358-364)
     joined = " AND ".join(args.query)

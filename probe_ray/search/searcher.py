@@ -1022,6 +1022,7 @@ class FederatedReader:
         query: str,
         k: int = 10,
         filters: dict[str, str] | None = None,
+        max_total_tokens: int | None = None,
     ) -> pa.Table:
         import ray
 
@@ -1063,7 +1064,41 @@ class FederatedReader:
                 ("path", "ascending"),
             ],
         )[:k]
-        return _finalize(merged.take(idx))
+        top = merged.take(idx)
+        if max_total_tokens is not None:
+            cum = np.cumsum(top.column("doc_len").to_numpy())
+            top = top.slice(
+                0, int(np.searchsorted(cum, max_total_tokens, "right"))
+            )
+        return _finalize(top)
+
+    def search_many(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        filters: dict[str, dict[str, str]] | None = None,
+        max_total_tokens: int | None = None,
+        exact: bool = False,
+        exclude_filenames: bool = False,
+    ) -> dict[str, pa.Table]:
+        """IndexReader.search_many-compatible surface for the federated
+        scope (standard boolean/BM25 queries; per-index machinery —
+        special terms, exact mode, content-only scan — raises)."""
+        if exact or exclude_filenames:
+            raise ValueError(
+                "exact / exclude_filenames are per-index scan machinery; "
+                "run them on a member IndexReader"
+            )
+        filters = filters or {}
+        return {
+            name: self.search(
+                q,
+                k=k,
+                filters=filters.get(name),
+                max_total_tokens=max_total_tokens,
+            )
+            for name, q in queries.items()
+        }
 
     def close(self):
         for r in self.readers:
