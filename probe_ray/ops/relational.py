@@ -2741,19 +2741,34 @@ def returned_item_revenue(
         .groupby("part")
         .map_groups(meet_orders, batch_format="pyarrow")
     )
-    per_part = (
-        per_cust.repartition(shuffle_parts(table_rows(sf_dir, "customer") * 24))
-        .groupby("part2")
-        .map_groups(
-            lambda g: sum_topk(g.drop_columns(["part2"])),
-            batch_format="pyarrow",
+    n_keys = table_rows(sf_dir, "customer")
+    if n_keys * parts <= TOPK_SINGLE_MERGE_MAX_ROWS:
+        # worst-case partial rows fit one task: single-merge crossover
+        # (the top_customers_by_revenue idiom) — the custkey exchange
+        # collapses to one coalesce + one task
+        top = _dataset_topk(
+            per_cust.repartition(1).map_batches(
+                lambda t: sum_topk(t.drop_columns(["part2"])),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            [("revenue_milli", "descending"), ("custkey", "ascending")],
+            k,
         )
-    )
-    top = _dataset_topk(
-        per_part,
-        [("revenue_milli", "descending"), ("custkey", "ascending")],
-        k,
-    )
+    else:
+        per_part = (
+            per_cust.repartition(shuffle_parts(n_keys * 24))
+            .groupby("part2")
+            .map_groups(
+                lambda g: sum_topk(g.drop_columns(["part2"])),
+                batch_format="pyarrow",
+            )
+        )
+        top = _dataset_topk(
+            per_part,
+            [("revenue_milli", "descending"), ("custkey", "ascending")],
+            k,
+        )
     t = pa.concat_tables(
         ray.get(list(top.to_arrow_refs())), promote_options="default"
     )

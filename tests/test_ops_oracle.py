@@ -182,6 +182,20 @@ def test_top_customers_exchange_crossover_identity(ray_session, monkeypatch):
     )
 
 
+def test_q10_single_merge_crossover_identity(ray_session, monkeypatch):
+    """returned_item_revenue's custkey exchange: forcing the partitioned
+    branch (TOPK_SINGLE_MERGE_MAX_ROWS = -1) must equal the single-merge
+    result."""
+    from probe_ray.ops import relational
+
+    small = _canon(_to_table(relational.returned_item_revenue(SF_DIR)))
+    assert len(small) > 0
+    monkeypatch.setattr(relational, "TOPK_SINGLE_MERGE_MAX_ROWS", -1)
+    assert (
+        _canon(_to_table(relational.returned_item_revenue(SF_DIR))) == small
+    )
+
+
 def test_tpch_dim_join_crossover_identity(ray_session, monkeypatch):
     """Q5's supplier join and Q14's part join: forcing the distributed
     bounded-partition branch (DICT_DRIVER_MAX_ROWS = -1) must produce
