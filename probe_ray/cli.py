@@ -109,6 +109,17 @@ def cmd_search(args) -> int:
             return 2
         filters[fld] = val
 
+    if args.explain:
+        import json as _json
+
+        rd0 = IndexReader(args.index.split(",")[0])
+        try:
+            print(_json.dumps(rd0.explain(" AND ".join(args.query)), indent=2))
+        finally:
+            rd0.close()
+        if owns:
+            ray.shutdown()
+        return 0
     if "," in args.index:
         # federated search over several independently built indexes
         # (per-tenant/shard layout); global stats, bit-identical to a
@@ -341,6 +352,8 @@ def main(argv: list[str] | None = None) -> int:
              "stand-in; --blocks only)",
     )
     s.add_argument("--out", help="also write results as parquet (one file per query)")
+    s.add_argument("--explain", action="store_true",
+                   help="print the query plan/path JSON and exit")
     s.set_defaults(fn=cmd_search)
 
     e = sub.add_parser(

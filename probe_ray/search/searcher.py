@@ -788,6 +788,52 @@ class IndexReader:
         futs = [w.search.remote(specs_ref, k) for w in self._workers]
         return pa.concat_tables(ray.get(futs))
 
+    def explain(self, query: str, with_candidates: bool = True) -> dict:
+        """Query EXPLAIN: which execution path the query takes and the
+        statistics that drive it — no scoring work is done (except the
+        optional unit-candidate count for special-term queries, which is
+        the hybrid path's own cheap first stage).
+
+        Keys: path ("index" | "hybrid" | "invalid" | "too_many_terms"),
+        terms, special_terms, only_excluded_fill, per-term df/idf,
+        n_docs/avgdl/segments/tombstones, and for hybrid queries the
+        unit-candidate count (the number the hybrid crossover sizes its
+        pushdown re-tokenize on)."""
+        out: dict = {
+            "query": query,
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "segments": len(self._parts()),
+            "tombstones": len(self.tombstones),
+        }
+        try:
+            plan = create_query_plan(query)
+        except Exception as e:
+            out.update(path="invalid", error=str(e))
+            return out
+        terms = sorted(plan.term_indices)
+        out["terms"] = terms
+        out["special_terms"] = sorted(plan.special_terms)
+        out["only_excluded_fill"] = is_only_excluded_terms(plan.ast)
+        if len(plan.term_indices) > MAX_QUERY_TERMS:
+            out["path"] = "too_many_terms"
+            return out
+        df = self.df_lookup(terms)
+        out["df"] = df
+        out["idf"] = {
+            t: idf_fn(self.n_docs, df[t]) for t in terms if df.get(t, 0) > 0
+        }
+        if plan.special_terms:
+            out["path"] = "hybrid"
+            if with_candidates and self.has_units:
+                cand = self.special_candidate_keys(
+                    [t.lower() for t in plan.special_terms]
+                )
+                out["unit_candidates"] = cand.num_rows
+        else:
+            out["path"] = "index"
+        return out
+
     def search_dataset(self, query: str, k: int = 10, **kw):
         """search() returning a ray.data.Dataset — for composing results
         into downstream Dataset pipelines (write_parquet, joins, ...)."""

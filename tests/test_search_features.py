@@ -342,3 +342,32 @@ def test_ivf_persisted_matches_inmemory(ray_session, tmp_path):
     need = sorted({int(b) for row in probe for b in row})
     pruned = len(list(dset.get_fragments(filter=pads.field("bucket").isin(need))))
     assert pruned < all_frags, "partition pruning not effective"
+
+
+def test_explain_paths(reader):
+    """explain() reports the execution path + driving stats without
+    running the query."""
+    e1 = reader.explain("error AND handler")
+    assert e1["path"] == "index" and e1["terms"]
+    assert all(df > 0 for df in e1["df"].values())
+    assert e1["n_docs"] == reader.n_docs and e1["tombstones"] == 0
+
+    e2 = reader.explain('"JWTMiddleware"')
+    assert e2["path"] == "hybrid"
+    assert "unit_candidates" in e2
+    assert e2["unit_candidates"] >= 0
+
+    e3 = reader.explain("a AND (")
+    assert e3["path"] in ("invalid", "index", "hybrid")  # parser-dependent
+
+
+def test_cli_explain(built_index, capsys, ray_session):
+    from probe_ray.cli import main
+
+    rc = main(
+        ["search", "--index", built_index[0], "error AND handler",
+         "--explain"]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["path"] == "index" and rec["df"]
