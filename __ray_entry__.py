@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_percentile_filter": text.quality_percentile_filter,
         "export_pack_sequences": export.pack_sequences,
         "export_curated_pack": export.curated_pack,
+        "export_seq_stats": export.seq_stats,
         "export_shuffle_order": export.shuffle_export,
         "export_budget_select": export.budget_select,
         "rel_events_json_kpis": relational.events_json_kpis,
@@ -732,6 +733,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, "
             "CAST(least((seq_id + 1) * 64, s + n) - greatest(s, seq_id * 64) "
             "AS BIGINT) AS n_toks FROM x ORDER BY doc_id, seq_id"
+        ),
+        "export_seq_stats": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term "
+            "FROM documents), "
+            "n AS (SELECT doc_id, CAST(count(*) FILTER (term <> '') AS BIGINT) "
+            "AS n FROM tok GROUP BY doc_id), "
+            "c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s "
+            "FROM n), "
+            "x AS (SELECT doc_id, n, s, unnest(generate_series(s // 64, "
+            "(s + n - 1) // 64)) AS seq_id FROM c WHERE n > 0) "
+            "SELECT CAST(seq_id AS BIGINT) AS seq_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(least((seq_id + 1) * 64, s + n) - "
+            "greatest(s, seq_id * 64)) AS BIGINT) AS n_toks "
+            "FROM x GROUP BY seq_id ORDER BY seq_id"
         ),
         "export_shuffle_order": (
             "WITH h AS (SELECT doc_id, CAST(("

@@ -711,3 +711,42 @@ def curated_pack(
 
     counts = deduped.map_batches(rekey, batch_format="pyarrow").materialize()
     return _pack_counts(counts, n_docs, budget, range_size)
+
+
+def seq_stats(sf_dir: str, budget: int = PACK_BUDGET):
+    """Per-packed-sequence rollup of pack_sequences: (seq_id, n_docs,
+    n_toks) sorted by seq_id — the export-shard QA view (every interior
+    sequence must hold exactly ``budget`` tokens; only the last may be
+    partial, which the test asserts). Partial per-batch groupby then a
+    bounded per-seq exchange — O(n_seqs) rows end to end."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "seq_id": batch.column("seq_id"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "toks": batch.column("n_toks"),
+            }
+        )
+        return t.group_by(["seq_id"]).aggregate(
+            [("one", "sum"), ("toks", "sum")]
+        )
+
+    agg = (
+        pack_sequences(sf_dir, budget=budget)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("seq_id")
+        .aggregate(Sum("one_sum"), Sum("toks_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seq_id": batch.column("seq_id"),
+                "n_docs": batch.column("sum(one_sum)").cast(pa.int64()),
+                "n_toks": batch.column("sum(toks_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("seq_id")

@@ -179,3 +179,15 @@ def test_mix_hash_matches_python_ints():
     for x, h in zip(ids.tolist(), got.tolist()):
         lo, hi = x & 0xFFFFFFFF, x >> 32
         assert h == ((MIX_A * lo) % MIX_P + (MIX_B * hi) % MIX_P + 177) % MIX_P
+
+
+def test_seq_stats_budget_invariant(ray_session):
+    """Every interior packed sequence holds exactly PACK_BUDGET tokens;
+    only the final sequence may be partial."""
+    from probe_ray.ops.export import PACK_BUDGET, seq_stats
+
+    t = _table(seq_stats("/root/testdata/sf0.001"))
+    toks = t.column("n_toks").to_pylist()
+    assert len(toks) > 1
+    assert all(v == PACK_BUDGET for v in toks[:-1])
+    assert 0 < toks[-1] <= PACK_BUDGET

@@ -64,6 +64,7 @@ CASES = [
     "text_unigram_surprisal",
     "export_pack_sequences",
     "export_curated_pack",
+    "export_seq_stats",
     "export_shuffle_order",
     "export_budget_select",
     "rel_events_json_kpis",
