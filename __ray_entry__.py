@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q10_returned_items": relational.returned_item_revenue,
         "rel_q14_promo_revenue": relational.promo_revenue,
         "rel_q18_large_orders": relational.large_order_customers,
+        "rel_q19_bracket_revenue": relational.discounted_bracket_revenue,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -379,6 +380,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o.o_orderkey "
             f"HAVING sum({_MILLI.format(x='l.l_quantity')}) > 280000 "
             "ORDER BY totalprice_milli DESC, o_orderkey LIMIT 20"
+        ),
+        "rel_q19_bracket_revenue": (
+            "SELECT CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 "
+            "AND l.l_quantity BETWEEN 1 AND 20) "
+            "OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 "
+            "AND l.l_quantity BETWEEN 5 AND 30)"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

@@ -3034,3 +3034,141 @@ def large_order_customers(
         [("totalprice_milli", "descending"), ("o_orderkey", "ascending")],
         k,
     )
+
+
+def discounted_bracket_revenue(sf_dir: str):
+    """TPC-H-Q19-flavored compound-predicate join revenue: lineitem
+    |><| part where (brand, size, quantity) fall in one of two disjoint
+    brackets. One row (revenue_milli) — integer millis, exact oracle.
+
+    The part side collapses to TWO sorted key arrays (partkeys passing
+    each bracket's brand+size predicate — the dimension filter runs
+    once, driver-side under DICT_DRIVER_MAX_ROWS, and ships as
+    searchsorted arrays); each lineitem batch evaluates its quantity
+    bracket and one membership probe per bracket. Above the crossover
+    the same predicate rides the bounded-partition repartition join.
+    The final reduce moves ONE integer per block."""
+    import pyarrow.parquet as pq
+
+    n_dim = table_rows(sf_dir, "part")
+    fact_cols = ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    brackets = [
+        ("Brand#1", 10, 1.0, 20.0),
+        ("Brand#2", 20, 5.0, 30.0),
+    ]
+
+    def _rev(batch: pa.Table, member_masks) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy()
+        m = np.zeros(batch.num_rows, dtype=bool)
+        for (bm, (_, _, qlo, qhi)) in zip(member_masks, brackets):
+            m |= bm & (qty >= qlo) & (qty <= qhi)
+        rev = _milli(
+            batch.column("l_extendedprice").to_numpy()[m]
+            * (1.0 - batch.column("l_discount").to_numpy()[m])
+        )
+        return pa.table({"rev": pa.array([int(rev.sum())], pa.int64())})
+
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        part_t = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        )
+        pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
+        brand = part_t.column("p_brand").to_numpy(zero_copy_only=False)
+        size = part_t.column("p_size").to_numpy()
+        keysets = []
+        for b, smax, _, _ in brackets:
+            keysets.append(np.sort(pk[(brand == b) & (size <= smax)]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lpk = batch.column("l_partkey").to_numpy().astype(np.int64)
+            masks = []
+            for ks in keysets:
+                if ks.size:
+                    pos = np.minimum(np.searchsorted(ks, lpk), ks.size - 1)
+                    masks.append(ks[pos] == lpk)
+                else:
+                    masks.append(np.zeros(lpk.size, dtype=bool))
+            return _rev(batch, masks)
+
+        partials = _read(sf_dir, "lineitem", fact_cols).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+
+        def partial_pk(batch: pa.Table) -> pa.Table:
+            # pre-aggregate by (partkey, qty-bracket-id) before the join
+            qty = batch.column("l_quantity").to_numpy()
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())
+            )
+            out_pk, out_bi, out_rev = [], [], []
+            for bi, (_, _, qlo, qhi) in enumerate(brackets):
+                m = (qty >= qlo) & (qty <= qhi)
+                t = pa.table(
+                    {
+                        "pk": batch.column("l_partkey").filter(pa.array(m)),
+                        "rev": pa.array(rev[m]),
+                    }
+                ).group_by(["pk"]).aggregate([("rev", "sum")])
+                out_pk.append(t.column("pk").to_numpy())
+                out_bi.append(np.full(t.num_rows, bi, dtype=np.int64))
+                out_rev.append(t.column("rev_sum").to_numpy().astype(np.int64))
+            return pa.table(
+                {
+                    "pk": pa.array(np.concatenate(out_pk)),
+                    "bi": pa.array(np.concatenate(out_bi)),
+                    "rev_sum": pa.array(np.concatenate(out_rev)),
+                }
+            )
+
+        fact = _read(sf_dir, "lineitem", fact_cols).map_batches(
+            partial_pk, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def dim_label(batch: pa.Table) -> pa.Table:
+            brand = batch.column("p_brand").to_numpy(zero_copy_only=False)
+            size = batch.column("p_size").to_numpy()
+            lab = np.full(batch.num_rows, -1, dtype=np.int64)
+            for bi, (b, smax, _, _) in enumerate(brackets):
+                lab[(brand == b) & (size <= smax)] = bi
+            return pa.table(
+                {"p_partkey": batch.column("p_partkey"), "blab": pa.array(lab)}
+            )
+
+        dim = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+            dim_label, batch_format="pyarrow"
+        )
+        joined = _lookup_join_distributed(
+            fact,
+            "pk",
+            dim,
+            "p_partkey",
+            "blab",
+            pa.int64(),
+            ["bi", "rev_sum"],
+            "blab",
+            est_bytes=(table_rows(sf_dir, "lineitem") + n_dim) * 48,
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            blab = batch.column("blab")
+            bi = batch.column("bi").to_numpy()
+            lab = (
+                _pc.fill_null(blab, -1)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            m = (lab >= 0) & (lab == bi)
+            rev = batch.column("rev_sum").to_numpy().astype(np.int64)
+            return pa.table({"rev": pa.array([int(rev[m].sum())], pa.int64())})
+
+        partials = joined.map_batches(fold, batch_format="pyarrow")
+
+    total = partials.sum("rev")
+    return pa.table(
+        {"revenue_milli": pa.array([int(total or 0)], pa.int64())}
+    )

@@ -1040,7 +1040,9 @@ class FederatedReader:
     special-term queries (quoted/excluded keywords — the hybrid
     machinery, which includes only-excluded fill) are per-index
     candidate generation and are not federated — they raise ValueError;
-    run them per member index."""
+    run them per member index. Members are assumed DISJOINT document
+    sets (a sharded corpus); overlapping (repo, path) keys would appear
+    once per owning member."""
 
     def __init__(self, index_dirs: list[str], num_workers: int | None = None):
         if not index_dirs:

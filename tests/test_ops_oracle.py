@@ -40,6 +40,7 @@ CASES = [
     "rel_q10_returned_items",
     "rel_q14_promo_revenue",
     "rel_q18_large_orders",
+    "rel_q19_bracket_revenue",
     "rel_customers_without_orders",
     "rel_order_count_distribution",
     "rel_distinct_users_per_type",
@@ -205,10 +206,16 @@ def test_tpch_dim_join_crossover_identity(ray_session, monkeypatch):
 
     q5 = _canon(_to_table(relational.local_supplier_volume(SF_DIR)))
     q14 = _canon(_to_table(relational.promo_revenue(SF_DIR)))
+    q19 = _canon(_to_table(relational.discounted_bracket_revenue(SF_DIR)))
     assert len(q5) > 0 and len(q14) == 1
+    assert q19[0][0] > 0  # non-vacuous bracket revenue
     monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
     assert _canon(_to_table(relational.local_supplier_volume(SF_DIR))) == q5
     assert _canon(_to_table(relational.promo_revenue(SF_DIR))) == q14
+    assert (
+        _canon(_to_table(relational.discounted_bracket_revenue(SF_DIR)))
+        == q19
+    )
 
 
 def test_text_term_broadcast_crossover_identity(ray_session, monkeypatch):
