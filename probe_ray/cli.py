@@ -112,7 +112,12 @@ def cmd_search(args) -> int:
     if args.explain:
         import json as _json
 
-        rd0 = IndexReader(args.index.split(",")[0])
+        if "," in args.index:
+            from probe_ray.search.searcher import FederatedReader
+
+            rd0 = FederatedReader(args.index.split(","))
+        else:
+            rd0 = IndexReader(args.index)
         try:
             print(_json.dumps(rd0.explain(" AND ".join(args.query)), indent=2))
         finally:
@@ -149,11 +154,19 @@ def cmd_search(args) -> int:
             # context; the BM25 query still drives retrieval
             t = rerank(t, args.question or joined, args.reranker)
     else:
-        t = rd.search_many(
-            {"q0": joined}, k=args.k, filters={"q0": filters},
-            max_total_tokens=args.max_tokens,
-            exact=args.exact, exclude_filenames=args.exclude_filenames,
-        )["q0"]
+        try:
+            t = rd.search_many(
+                {"q0": joined}, k=args.k, filters={"q0": filters},
+                max_total_tokens=args.max_tokens,
+                exact=args.exact, exclude_filenames=args.exclude_filenames,
+            )["q0"]
+        except ValueError as e:
+            # federated scope errors (special terms / exact / scan modes)
+            print(f"error: {e}", file=sys.stderr)
+            rd.close()
+            if owns:
+                ray.shutdown()
+            return 2
         if args.corpus:
             t = _attach_code(t, args.corpus)
     if args.files_only:

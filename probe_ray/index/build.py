@@ -140,21 +140,22 @@ class TokenizePartial:
 
     def __init__(self, cfg: IndexConfig):
         self.cfg = cfg
+        # value-set built once (sorting millions of tombstone keys per
+        # batch would be pure per-batch waste during compaction)
+        self._exclude_set = (
+            pa.array(sorted(cfg.exclude_keys)) if cfg.exclude_keys else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        if cfg.exclude_keys:
+        if self._exclude_set is not None:
             import pyarrow.compute as _pc
 
             key = _pc.binary_join_element_wise(
                 batch.column("repo"), batch.column("path"), "\x00"
             )
             batch = batch.filter(
-                _pc.invert(
-                    _pc.is_in(
-                        key, value_set=pa.array(sorted(cfg.exclude_keys))
-                    )
-                )
+                _pc.invert(_pc.is_in(key, value_set=self._exclude_set))
             )
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
@@ -953,9 +954,23 @@ def compact_index(
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = _json.load(f)
     src_cfg = manifest.get("config", {})
-    cfg = cfg or IndexConfig(
-        num_waves=src_cfg.get("num_waves", 2),
-        subshards=src_cfg.get("subshards", 4),
-    )
+    if cfg is None:
+        # restore EVERY build-semantics field from the source index —
+        # compaction must differ only by the dropped documents (a default
+        # here for, say, max_content_bytes or unit_postings would change
+        # what gets indexed, not just which docs)
+        fields = {
+            f: src_cfg[f]
+            for f in (
+                "num_waves",
+                "subshards",
+                "tokenize_batch_size",
+                "read_blocks",
+                "max_content_bytes",
+                "unit_postings",
+            )
+            if f in src_cfg
+        }
+        cfg = IndexConfig(**fields)
     cfg = replace(cfg, exclude_keys=load_tombstones(index_dir) or None)
     return build_index(manifest["input_files"], out_dir, cfg)

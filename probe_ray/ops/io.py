@@ -24,18 +24,13 @@ import shutil
 import numpy as np
 import pyarrow as pa
 
-from probe_ray.ops.sizing import shuffle_parts, table_rows
+from probe_ray.ops.text import _read_documents as _read_docs_cols
 
 _CACHE_ROOT = "/tmp/probe_ray_cache/io"
 
 
 def _read_documents(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "lang", "source", "text"],
-    )
+    return _read_docs_cols(sf_dir, ["doc_id", "lang", "source", "text"])
 
 
 def _lang_rollup(ds) -> "pa.Table":
@@ -92,8 +87,15 @@ def _roundtrip(sf_dir: str, fmt: str):
         docs.write_json(out)
         back = ray.data.read_json(out)
     elif fmt == "csv":
+        import pyarrow.csv as pacsv
+
         docs.write_csv(out)
-        back = ray.data.read_csv(out)
+        # newlines_in_values: write_csv legally quotes embedded newlines;
+        # default ParseOptions would split such records mid-row
+        back = ray.data.read_csv(
+            out,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        )
     else:  # pragma: no cover
         raise ValueError(fmt)
     return _lang_rollup(back)

@@ -369,6 +369,49 @@ def train_val_split(sf_dir: str, val_threshold: str = "e6"):
     )
 
 
+def _word_hash_dict(words) -> np.ndarray:
+    """blake2b-8 hash per DISTINCT word (uint64) — the word identity all
+    gram ops share."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+            for w in words.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(words),
+    )
+
+
+def _rolling_gram_hashes(
+    doc_idx: np.ndarray, wh: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """63-bit gram identity per n-word window that stays within one doc:
+    (window_doc_idx, gh, window_start_word_index). THE single definition of the gram hash (FNV
+    prime polynomial over word hashes, masked to 63 bits) — every gram
+    op (decontaminate / curated_pack / shared_ngram_counts / dedup_spans
+    pair emission AND rewrite) must agree bit-for-bit on it for their
+    cross-op membership guarantees to hold."""
+    m = wh.size - n + 1
+    if m <= 0:
+        z = np.array([], np.int64)
+        return z, z, z
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    gh = np.zeros(m, np.uint64)
+    prime = np.uint64(1099511628211)
+    for k in range(n):
+        gh = gh * prime + wh[k : m + k]
+    starts = np.flatnonzero(valid)
+    return (
+        doc_idx[starts],
+        (gh[valid] & np.uint64((1 << 63) - 1)).astype(np.int64),
+        starts,
+    )
+
+
 def _space_gram_hashes(texts, n: int):
     """Per-window 63-bit gram identities for space-split word n-grams
     (str.split(' ') semantics, including empty words from runs of
@@ -379,8 +422,6 @@ def _space_gram_hashes(texts, n: int):
     hashed-gram identity budget). Fully vectorized: one split, one
     dictionary encode, blake2b only over DISTINCT words, one rolling
     combine."""
-    import hashlib
-
     import pyarrow.compute as pc
 
     if isinstance(texts, pa.ChunkedArray):
@@ -395,27 +436,9 @@ def _space_gram_hashes(texts, n: int):
     codes = enc.indices.to_numpy().astype(np.int64)
     if codes.size < n:
         return np.array([], np.int64), np.array([], np.int64)
-    dict_hashes = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-            )
-            for w in enc.dictionary.to_pylist()
-        ),
-        dtype=np.uint64,
-        count=len(enc.dictionary),
-    )
-    wh = dict_hashes[codes]
-    m = wh.size - n + 1
-    valid = doc_idx[:m] == doc_idx[n - 1 :]
-    gh = np.zeros(m, np.uint64)
-    prime = np.uint64(1099511628211)
-    for k in range(n):
-        gh = gh * prime + wh[k : m + k]
-    return (
-        doc_idx[:m][valid],
-        (gh[valid] & np.uint64((1 << 63) - 1)).astype(np.int64),
-    )
+    wh = _word_hash_dict(enc.dictionary)[codes]
+    widx, gh, _ = _rolling_gram_hashes(doc_idx, wh, n)
+    return widx, gh
 
 
 def decontaminate(sf_dir: str, bench_max_id: int = 32, n: int = 8):
@@ -1202,50 +1225,45 @@ def _doc_term_tf_rows(batch: pa.Table) -> pa.Table:
 TERM_BROADCAST_MAX_TERMS = 2_000_000
 
 
-def _term_stat_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch partial term statistics (part, term, cnt, df): cnt =
-    token occurrences in the batch, df = distinct docs in the batch
-    containing the term. Documents never span batches, so both sum to
-    the exact global figures. Rows are VOCAB-sized per batch, never
-    (doc,term)-sized — the token stream stays in the map task. The
-    empty-doc sentinel token '' is dropped (parity with
-    _doc_term_tf_rows)."""
-    _, _, doc_idx, codes, words = _split_words(batch)
-    if codes.size == 0:
-        return pa.table(
-            {
-                "part": pa.array([], pa.int64()),
-                "term": pa.array([], pa.string()),
-                "cnt": pa.array([], pa.int64()),
-                "df": pa.array([], pa.int64()),
-            }
-        )
-    nw = len(words)
-    cnt = np.bincount(codes, minlength=nw).astype(np.int64)
-    order = np.lexsort((codes, doc_idx))
-    d, c = doc_idx[order], codes[order]
-    new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
-    df = np.bincount(c[new], minlength=nw).astype(np.int64)
-    wl = words.to_pylist()
-    keep = np.flatnonzero(np.array([bool(w) for w in wl], dtype=bool))
-    h = _term_hash64([wl[i] for i in keep])
-    return pa.table(
-        {
-            "part": pa.array(
-                (h % np.uint64(TERM_PARTITIONS)).astype(np.int64)
-            ),
-            "term": words.take(pa.array(keep)),
-            "cnt": pa.array(cnt[keep]),
-            "df": pa.array(df[keep]),
-        }
+def _tf_rows(sf_dir: str):
+    """MATERIALIZED (part, doc_id, term, tf) rows — the single tokenize
+    pass every distinctive_terms / unigram_surprisal branch feeds from
+    (blocks preserve batch boundaries, so a doc's rows stay contiguous
+    within one block)."""
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(_doc_term_tf_rows, batch_format="pyarrow")
+        .materialize()
     )
 
 
-def _term_stats(sf_dir: str):
-    """Global (term, cnt, df) over the documents table — a vocabulary-
-    sized Dataset. One exchange of per-batch vocab partials routed by
-    blake2b(term) %% TERM_PARTITIONS; each group folds its terms with
-    one dictionary-encode + two bincounts."""
+def _vocab_estimate(tf_ds) -> int:
+    """HLL distinct-term estimate over the materialized tf rows (~2%
+    error at p=14) — O(rows) scan of in-memory blocks, no tokenize, no
+    exchange. Used only to decide the broadcast crossover; the exact
+    count re-checks before any broadcast happens."""
+    p = 14
+    m = 1 << p
+
+    def regs(batch: pa.Table) -> pa.Table:
+        term = batch.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        reg = np.zeros(m, np.uint8)
+        _hll_update(reg, _term_hash64(term.to_pylist()), p)
+        return pa.table({"regs": pa.array([reg], pa.list_(pa.uint8(), m))})
+
+    rows = tf_ds.map_batches(regs, batch_format="pyarrow").take_all()
+    reg = np.zeros(m, np.uint8)
+    for r in rows:
+        reg = np.maximum(reg, np.asarray(r["regs"], dtype=np.uint8))
+    return _hll_estimate(reg)[1]
+
+
+def _stats_from_tf_rows(tf_ds, n_docs: int):
+    """Exact global (term, cnt, df) folded FROM the materialized tf
+    rows through the term-hash partition exchange — cnt = sum tf,
+    df = row count (rows are distinct (doc, term)). No re-tokenize."""
 
     def fold(group: pa.Table) -> pa.Table:
         term = group.column("term")
@@ -1253,12 +1271,9 @@ def _term_stats(sf_dir: str):
             term = term.combine_chunks()
         enc = term.dictionary_encode()
         codes = enc.indices.to_numpy().astype(np.int64)
-        cnt = np.bincount(
-            codes, weights=group.column("cnt").to_numpy()
-        ).astype(np.int64)
-        df = np.bincount(
-            codes, weights=group.column("df").to_numpy()
-        ).astype(np.int64)
+        tf = group.column("tf").to_numpy()
+        cnt = np.bincount(codes, weights=tf).astype(np.int64)
+        df = np.bincount(codes).astype(np.int64)
         return pa.table(
             {
                 "term": enc.dictionary,
@@ -1267,14 +1282,37 @@ def _term_stats(sf_dir: str):
             }
         )
 
-    n_docs = table_rows(sf_dir, "documents")
     return (
-        _read_documents(sf_dir, ["doc_id", "text"])
-        .map_batches(_term_stat_partial, batch_format="pyarrow")
-        .repartition(shuffle_parts(n_docs * 64))
+        tf_ds.repartition(shuffle_parts(n_docs * 64))
         .groupby("part")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def _broadcast_term_stats(sf_dir: str, tf_ds):
+    """(stats_ref, total_tokens) when the corpus vocabulary fits the
+    broadcast budget, else None. Crossover order: a cheap HLL estimate
+    over the materialized tf rows gates the vocab-sized stats exchange
+    (so an over-budget vocabulary never pays a discarded stats job),
+    then the EXACT count re-checks before the driver dict is built.
+    stats_ref is a ray.put of {term: (cnt, df)}."""
+    import ray
+
+    n_docs = table_rows(sf_dir, "documents")
+    if _vocab_estimate(tf_ds) > 0.9 * TERM_BROADCAST_MAX_TERMS:
+        return None
+    stats = _stats_from_tf_rows(tf_ds, n_docs).materialize()
+    if stats.count() > TERM_BROADCAST_MAX_TERMS:
+        return None
+    batches = list(stats.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return ray.put({}), 0
+    t = pa.concat_tables(pa.table(b) for b in batches)
+    terms = t.column("term").to_pylist()
+    cnt = t.column("cnt").to_numpy()
+    df = t.column("df").to_numpy()
+    d = {w: (int(c), int(f)) for w, c, f in zip(terms, cnt, df)}
+    return ray.put(d), int(cnt.sum())
 
 
 def _empty_distinctive() -> pa.Table:
@@ -1325,27 +1363,6 @@ def _doc_topk_select(t: pa.Table, k: int) -> pa.Table:
     )
 
 
-def _broadcast_term_stats(sf_dir: str):
-    """(stats_ref, total_tokens) when the corpus vocabulary fits the
-    broadcast budget, else None. stats_ref is a ray.put of
-    {term: (cnt, df)} — read it with ray.get inside map tasks (Ray
-    caches the get per worker process)."""
-    import ray
-
-    stats = _term_stats(sf_dir).materialize()
-    if stats.count() > TERM_BROADCAST_MAX_TERMS:
-        return None
-    batches = list(stats.iter_batches(batch_format="pyarrow"))
-    if not batches:
-        return ray.put({}), 0
-    t = pa.concat_tables(pa.table(b) for b in batches)
-    terms = t.column("term").to_pylist()
-    cnt = t.column("cnt").to_numpy()
-    df = t.column("df").to_numpy()
-    d = {w: (int(c), int(f)) for w, c, f in zip(terms, cnt, df)}
-    return ray.put(d), int(cnt.sum())
-
-
 def distinctive_terms(sf_dir: str, k: int = 5):
     """Per-document top-k distinctive terms: for each doc, the k
     whitespace terms ranked by (tf desc, df asc, term asc) — high
@@ -1363,57 +1380,51 @@ def distinctive_terms(sf_dir: str, k: int = 5):
     At 100 TB both exchanges move O(distinct (doc,term)) rows, not the
     token stream; hot terms cost one group's bincount, not a join.
 
-    Size-aware crossover: when the corpus vocabulary fits
-    TERM_BROADCAST_MAX_TERMS, the global df map is broadcast once and
-    the whole op becomes ONE local map pass (plus the vocab-sized stats
-    exchange) — no (doc,term) exchange at all. Both paths are pinned
-    output-identical in tests/test_ops_oracle.py. 2M-doc rehearsal:
-    32 s -> 19 s.
+    Size-aware crossover (single tokenize for EVERY branch: the
+    (part, doc_id, term, tf) rows are materialized once and each branch
+    feeds from them): a cheap HLL vocab estimate over the materialized
+    rows gates the crossover — under ~TERM_BROADCAST_MAX_TERMS the
+    exact (term, cnt, df) stats fold through one vocab-sized exchange,
+    broadcast once, and top-k runs as a LOCAL pass over the rows (no
+    (doc,term) exchange); over it, the two-exchange path runs on the
+    same rows with no discarded stats job. Both paths pinned
+    output-identical in tests/test_ops_oracle.py.
 
-    NOTE: the crossover decision materializes the vocab-sized term-stats
-    Dataset at CALL time (eager, like dataset_topk) — building the
-    returned Dataset runs the stats job; only the final scoring pass
-    stays lazy."""
+    NOTE: the tf rows + crossover decision materialize at CALL time
+    (eager, like dataset_topk); only the final stage stays lazy."""
     import ray
 
-    bc = _broadcast_term_stats(sf_dir)
+    tf_ds = _tf_rows(sf_dir)
+    bc = _broadcast_term_stats(sf_dir, tf_ds)
     if bc is not None:
         stats_ref, _ = bc
 
         def local_topk(batch: pa.Table) -> pa.Table:
             stats = ray.get(stats_ref)
-            _, _, doc_idx, codes, words = _split_words(batch)
-            did_all = batch.column("doc_id").to_numpy()
-            if codes.size == 0:
+            if batch.num_rows == 0:
                 return _empty_distinctive()
-            order = np.lexsort((codes, doc_idx))
-            d, c = doc_idx[order], codes[order]
-            new = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
-            starts = np.flatnonzero(new)
-            tf = np.diff(np.r_[starts, d.size]).astype(np.int64)
-            dsel, csel = d[starts], c[starts]
-            wl = words.to_pylist()
+            term = batch.column("term")
+            if isinstance(term, pa.ChunkedArray):
+                term = term.combine_chunks()
+            enc = term.dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
             dfv = np.array(
-                [stats.get(w, (0, 0))[1] for w in wl], dtype=np.int64
+                [stats.get(w, (0, 0))[1] for w in enc.dictionary.to_pylist()],
+                dtype=np.int64,
             )
-            nonempty = np.array([bool(w) for w in wl], dtype=bool)
-            keep = nonempty[csel]
-            dsel, csel, tf = dsel[keep], csel[keep], tf[keep]
             t = pa.table(
                 {
-                    "doc_id": pa.array(did_all[dsel]),
-                    "term": words.take(pa.array(csel)),
-                    "tf": pa.array(tf),
-                    "df": pa.array(dfv[csel]),
+                    "doc_id": batch.column("doc_id"),
+                    "term": term,
+                    "tf": batch.column("tf"),
+                    "df": pa.array(dfv[codes]),
                 }
             )
             return _doc_topk_select(t, k)
 
-        return (
-            _read_documents(sf_dir, ["doc_id", "text"])
-            .map_batches(local_topk, batch_format="pyarrow")
-            .sort(["doc_id", "rk"])
-        )
+        return tf_ds.map_batches(
+            local_topk, batch_format="pyarrow"
+        ).sort(["doc_id", "rk"])
 
     def attach_df(group: pa.Table) -> pa.Table:
         term = group.column("term")
@@ -1440,9 +1451,7 @@ def distinctive_terms(sf_dir: str, k: int = 5):
 
     n_docs = table_rows(sf_dir, "documents")
     return (
-        _read_documents(sf_dir, ["doc_id", "text"])
-        .map_batches(_doc_term_tf_rows, batch_format="pyarrow")
-        .repartition(shuffle_parts(n_docs * 1024))
+        tf_ds.repartition(shuffle_parts(n_docs * 1024))
         .groupby("part")
         .map_groups(attach_df, batch_format="pyarrow")
         .repartition(shuffle_parts(n_docs * 256))
@@ -1473,15 +1482,19 @@ def unigram_surprisal(sf_dir: str):
     of the corpus cost more at 2M docs than the whole remaining
     pipeline — measured 84 s -> 56 s).
 
-    Size-aware crossover: when the vocabulary fits
-    TERM_BROADCAST_MAX_TERMS the corpus counts are broadcast once and
-    scoring is ONE local map pass — the (doc,term) exchanges vanish
-    (2M-doc rehearsal: 68 s -> 21 s). Both paths pinned identical.
-    NOTE: the crossover decision materializes the vocab-sized stats at
-    CALL time (eager, like dataset_topk); scoring stays lazy."""
+    Size-aware crossover (same single-tokenize structure as
+    distinctive_terms: every branch feeds from the once-materialized
+    (doc, term, tf) rows; an HLL vocab estimate gates the stats fold so
+    a too-large vocabulary never pays a discarded stats job): under the
+    budget the corpus counts broadcast once and scoring is a LOCAL pass
+    over the rows; over it, the two-exchange path runs on the same
+    rows. Both paths pinned identical.
+    NOTE: rows + crossover decision materialize at CALL time (eager);
+    scoring stays lazy."""
     import ray
 
-    bc = _broadcast_term_stats(sf_dir)
+    tf_ds = _tf_rows(sf_dir)
+    bc = _broadcast_term_stats(sf_dir, tf_ds)
     if bc is not None:
         stats_ref, total = bc
         if total == 0:
@@ -1495,44 +1508,47 @@ def unigram_surprisal(sf_dir: str):
 
         def score(batch: pa.Table) -> pa.Table:
             stats = ray.get(stats_ref)
-            nd, _, doc_idx, codes, words = _split_words(batch)
-            did = batch.column("doc_id").to_numpy()
-            wl = words.to_pylist()
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "surprisal_bits": pa.array([], pa.int64()),
+                    }
+                )
+            term = batch.column("term")
+            if isinstance(term, pa.ChunkedArray):
+                term = term.combine_chunks()
+            enc = term.dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
             c = np.array(
-                [stats.get(w, (0, 0))[0] for w in wl], dtype=np.int64
+                [
+                    stats.get(w, (0, 0))[0]
+                    for w in enc.dictionary.to_pylist()
+                ],
+                dtype=np.int64,
             )
             bits_w = _bit_length64(
                 (total // np.maximum(c, 1)).astype(np.uint64)
-            )
-            bits_w[c == 0] = 0  # the '' sentinel carries no signal
-            tok_w = (c > 0).astype(np.int64)
-            ntok = np.bincount(
-                doc_idx, weights=tok_w[codes], minlength=nd
-            ).astype(np.int64)
-            sbits = np.bincount(
-                doc_idx, weights=bits_w[codes], minlength=nd
-            ).astype(np.int64)
-            keep = ntok > 0
+            )[codes]
+            tf = batch.column("tf").to_numpy()
+            did = batch.column("doc_id").to_numpy()
+            enc_did, inv = np.unique(did, return_inverse=True)
+            ntok = np.bincount(inv, weights=tf).astype(np.int64)
+            sbits = np.bincount(inv, weights=tf * bits_w).astype(np.int64)
             return pa.table(
                 {
-                    "doc_id": pa.array(did[keep]),
-                    "n_tokens": pa.array(ntok[keep]),
-                    "surprisal_bits": pa.array(sbits[keep]),
+                    "doc_id": pa.array(enc_did),
+                    "n_tokens": pa.array(ntok),
+                    "surprisal_bits": pa.array(sbits),
                 }
             )
 
-        return (
-            _read_documents(sf_dir, ["doc_id", "text"])
-            .map_batches(score, batch_format="pyarrow")
-            .sort("doc_id")
-        )
+        return tf_ds.map_batches(
+            score, batch_format="pyarrow"
+        ).sort("doc_id")
 
     n_docs = table_rows(sf_dir, "documents")
-    tf_ds = (
-        _read_documents(sf_dir, ["doc_id", "text"])
-        .map_batches(_doc_term_tf_rows, batch_format="pyarrow")
-        .materialize()
-    )
     total = int(tf_ds.sum("tf") or 0)
     if total == 0:
         return pa.table(
@@ -1688,8 +1704,6 @@ def _gram_doc_rows(batch: pa.Table, n: int) -> pa.Table:
     same 63-bit blake2b-word polynomial gram identity as
     shared_ngram_counts (documents never span batches, so each pair is
     globally unique)."""
-    import hashlib
-
     _, _, doc_idx, codes, words = _split_words(batch)
     dids = batch.column("doc_id").to_numpy()
     empty = pa.table(
@@ -1701,25 +1715,9 @@ def _gram_doc_rows(batch: pa.Table, n: int) -> pa.Table:
     )
     if codes.size < n:
         return empty
-    dict_hashes = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-            )
-            for w in words.to_pylist()
-        ),
-        dtype=np.uint64,
-        count=len(words),
+    gd, gh, _ = _rolling_gram_hashes(
+        doc_idx, _word_hash_dict(words)[codes], n
     )
-    wh = dict_hashes[codes]
-    m = wh.size - n + 1
-    valid = doc_idx[:m] == doc_idx[n - 1 :]
-    gh = np.zeros(m, np.uint64)
-    prime = np.uint64(1099511628211)
-    for k in range(n):
-        gh = gh * prime + wh[k : m + k]
-    gd = doc_idx[:m][valid]
-    gh = (gh[valid] & np.uint64((1 << 63) - 1)).astype(np.int64)
     if gd.size == 0:
         return empty
     order = np.lexsort((gh, gd))
@@ -1755,8 +1753,6 @@ def _strip_dup_windows(batch: pa.Table, n: int, is_dup_window) -> pa.Table:
     (diff+cumsum, vectorized), and rebuild clean_text by joining each
     doc's kept words (pc.binary_join — no Python per-row work). Output
     (doc_id, n_words, n_dup_words, n_spans, clean_text)."""
-    import hashlib
-
     import pyarrow.compute as pc
 
     n_docs, n_words, doc_idx, codes, words = _split_words(batch)
@@ -1765,27 +1761,11 @@ def _strip_dup_windows(batch: pa.Table, n: int, is_dup_window) -> pa.Table:
     nw = codes.size
     covered = np.zeros(nw, dtype=bool)
     if nw >= n:
-        dict_hashes = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-                )
-                for w in words.to_pylist()
-            ),
-            dtype=np.uint64,
-            count=len(words),
+        widx, gh, starts = _rolling_gram_hashes(
+            doc_idx, _word_hash_dict(words)[codes], n
         )
-        wh = dict_hashes[codes]
-        m = nw - n + 1
-        valid = doc_idx[:m] == doc_idx[n - 1 :]
-        gh = np.zeros(m, np.uint64)
-        prime = np.uint64(1099511628211)
-        for k in range(n):
-            gh = gh * prime + wh[k : m + k]
-        gh = (gh & np.uint64((1 << 63) - 1)).astype(np.int64)
-        starts = np.flatnonzero(valid)
         if starts.size:
-            dup = is_dup_window(gh[starts], dids[doc_idx[starts]])
+            dup = is_dup_window(gh, dids[widx])
             dup_starts = starts[dup]
             diff = np.zeros(nw + 1, dtype=np.int64)
             np.add.at(diff, dup_starts, 1)

@@ -1074,7 +1074,12 @@ class FederatedReader:
     ) -> pa.Table:
         import ray
 
-        plan = create_query_plan(query)
+        try:
+            plan = create_query_plan(query)
+        except Exception:
+            # parse failures degrade to empty results, matching
+            # IndexReader.search_many
+            return _empty_result()
         if plan.special_terms:
             raise ValueError(
                 "special-term (quoted/excluded) queries are per-index "
@@ -1119,6 +1124,41 @@ class FederatedReader:
                 0, int(np.searchsorted(cum, max_total_tokens, "right"))
             )
         return _finalize(top)
+
+    def explain(self, query: str) -> dict:
+        """Federation-level EXPLAIN: the GLOBAL statistics a federated
+        search actually scores with (summed N/df, pooled avgdl), plus
+        per-member doc counts. Special-term queries report path
+        "unsupported-special" (per-index machinery)."""
+        out: dict = {
+            "query": query,
+            "federated_members": len(self.readers),
+            "member_n_docs": [r.n_docs for r in self.readers],
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "tombstones": len(self.tombstones),
+        }
+        try:
+            plan = create_query_plan(query)
+        except Exception as e:
+            out.update(path="invalid", error=str(e))
+            return out
+        terms = sorted(plan.term_indices)
+        out["terms"] = terms
+        out["special_terms"] = sorted(plan.special_terms)
+        if plan.special_terms:
+            out["path"] = "unsupported-special"
+            return out
+        if len(plan.term_indices) > MAX_QUERY_TERMS:
+            out["path"] = "too_many_terms"
+            return out
+        df = self.df_lookup(terms)
+        out["df"] = df
+        out["idf"] = {
+            t: idf_fn(self.n_docs, df[t]) for t in terms if df.get(t, 0) > 0
+        }
+        out["path"] = "index"
+        return out
 
     def search_many(
         self,
