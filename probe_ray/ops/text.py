@@ -1262,8 +1262,31 @@ def _vocab_estimate(tf_ds) -> int:
 
 def _stats_from_tf_rows(tf_ds, n_docs: int):
     """Exact global (term, cnt, df) folded FROM the materialized tf
-    rows through the term-hash partition exchange — cnt = sum tf,
-    df = row count (rows are distinct (doc, term)). No re-tokenize."""
+    rows: a map-side per-block VOCAB partial (cnt = sum tf, df = row
+    count — rows are distinct (doc, term)) shrinks the exchange to
+    vocab-sized rows before the term-hash partition groupby. No
+    re-tokenize, no (doc,term)-row shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        term = batch.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        enc = term.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        tf = batch.column("tf").to_numpy()
+        cnt = np.bincount(codes, weights=tf).astype(np.int64)
+        df = np.bincount(codes).astype(np.int64)
+        h = _term_hash64(enc.dictionary.to_pylist())
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(TERM_PARTITIONS)).astype(np.int64)
+                ),
+                "term": enc.dictionary,
+                "cnt": pa.array(cnt),
+                "df": pa.array(df),
+            }
+        )
 
     def fold(group: pa.Table) -> pa.Table:
         term = group.column("term")
@@ -1271,9 +1294,12 @@ def _stats_from_tf_rows(tf_ds, n_docs: int):
             term = term.combine_chunks()
         enc = term.dictionary_encode()
         codes = enc.indices.to_numpy().astype(np.int64)
-        tf = group.column("tf").to_numpy()
-        cnt = np.bincount(codes, weights=tf).astype(np.int64)
-        df = np.bincount(codes).astype(np.int64)
+        cnt = np.bincount(
+            codes, weights=group.column("cnt").to_numpy()
+        ).astype(np.int64)
+        df = np.bincount(
+            codes, weights=group.column("df").to_numpy()
+        ).astype(np.int64)
         return pa.table(
             {
                 "term": enc.dictionary,
@@ -1283,7 +1309,8 @@ def _stats_from_tf_rows(tf_ds, n_docs: int):
         )
 
     return (
-        tf_ds.repartition(shuffle_parts(n_docs * 64))
+        tf_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(shuffle_parts(n_docs * 64))
         .groupby("part")
         .map_groups(fold, batch_format="pyarrow")
     )
