@@ -335,6 +335,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("unigram_surprisal", lambda: text.unigram_surprisal(SF_DIR).count()),
             ("pack_sequences", lambda: export.pack_sequences(SF_DIR).count()),
             ("curated_pack", lambda: export.curated_pack(SF_DIR).count()),
+            ("seq_stats", lambda: export.seq_stats(SF_DIR).count()),
             ("shuffle_order", lambda: export.shuffle_export(SF_DIR).count()),
             ("budget_select", lambda: export.budget_select(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
@@ -351,6 +352,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_q5_volume", lambda: relational.local_supplier_volume(SF_DIR).count()),
             ("rel_q10_returns", lambda: relational.returned_item_revenue(SF_DIR).count()),
             ("rel_q18_large_orders", lambda: relational.large_order_customers(SF_DIR).count()),
+            ("rel_q19_brackets", lambda: relational.discounted_bracket_revenue(SF_DIR).num_rows),
         ]:
             # median-of-3, matching the query entries' methodology: the
             # first rep of each op pays pipeline compile + worker ramp,
