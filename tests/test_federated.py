@@ -92,3 +92,20 @@ def test_federated_union_tombstones(ray_session, federation):
             fed2.close()
     finally:
         clear_tombstones(a)
+
+
+def test_federated_parse_failure_degrades(ray_session, federation):
+    """Parse failures return empty results (no traceback), matching the
+    single-index path."""
+    from probe_ray.search.searcher import FederatedReader
+
+    (a, b), _ = federation
+    fed = FederatedReader([a, b])
+    try:
+        t = fed.search('"unterminated', k=5)
+        assert t.num_rows == 0 or t.num_rows <= 5  # no exception
+        e = fed.explain("error AND handler")
+        assert e["path"] == "index" and e["n_docs"] == fed.n_docs
+        assert e["federated_members"] == 2
+    finally:
+        fed.close()

@@ -134,3 +134,32 @@ def test_compact_index_drops_tombstoned_docs(
         assert after.num_rows > 0
     finally:
         rd2.close()
+
+
+def test_compact_index_preserves_build_config(
+    ray_session, small_corpus, tmp_path
+):
+    """Compaction restores every build-semantics field from the source
+    manifest — an index built with a content cap must compact with the
+    same cap (review finding: defaults here would change what gets
+    indexed, not just which docs)."""
+    import json
+
+    from probe_ray.index.build import IndexConfig, build_index, compact_index
+
+    src = str(tmp_path / "src_idx")
+    build_index(
+        [small_corpus],
+        src,
+        IndexConfig(
+            num_waves=2, subshards=2, max_content_bytes=500,
+            unit_postings=False,
+        ),
+    )
+    out = str(tmp_path / "compacted")
+    compact_index(src, out)
+    with open(f"{out}/manifest.json") as f:
+        cfg = json.load(f)["config"]
+    assert cfg["max_content_bytes"] == 500
+    assert cfg["unit_postings"] is False
+    assert cfg["subshards"] == 2
