@@ -302,6 +302,34 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    import json as _json
+    import os
+
+    from probe_ray.index.tombstones import load_tombstones
+
+    out = []
+    for idx in args.index.split(","):
+        with open(os.path.join(idx, "manifest.json")) as f:
+            m = _json.load(f)
+        segs = sum(len(w.get("subshards", [])) for w in m.get("waves", []))
+        out.append(
+            {
+                "index": idx,
+                "n_docs": m["n_docs"],
+                "n_tokens": m.get("n_tokens"),
+                "avgdl": round(m.get("avgdl", 0.0), 3),
+                "num_waves": m.get("num_waves"),
+                "segments": segs,
+                "engine_version": m.get("engine_version"),
+                "tombstones": len(load_tombstones(idx)),
+                "config": m.get("config", {}),
+            }
+        )
+    print(_json.dumps(out if len(out) > 1 else out[0], indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="probe_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -409,6 +437,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     sv.add_argument("--cache-dir", default=None)
     sv.set_defaults(fn=cmd_serve)
+
+    st = sub.add_parser(
+        "stats",
+        help="print index manifest summary (docs/tokens/segments/"
+             "tombstones); comma-separated indexes print a list",
+    )
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     d = sub.add_parser(
         "delete",

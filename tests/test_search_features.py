@@ -371,3 +371,13 @@ def test_cli_explain(built_index, capsys, ray_session):
     assert rc == 0
     rec = json.loads(capsys.readouterr().out)
     assert rec["path"] == "index" and rec["df"]
+
+
+def test_cli_stats(built_index, capsys, ray_session):
+    from probe_ray.cli import main
+
+    rc = main(["stats", "--index", built_index[0]])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["n_docs"] == 300 and rec["segments"] == 4
+    assert rec["tombstones"] == 0
