@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_hll_distinct": text.hll_distinct_tokens,
         "text_dedup_spans": text.dedup_spans,
         "text_quality_percentile_filter": text.quality_percentile_filter,
+        "text_quality_percentile_by_lang": text.quality_percentile_filter_by_lang,
         "export_pack_sequences": export.pack_sequences,
         "export_curated_pack": export.curated_pack,
         "export_seq_stats": export.seq_stats,
@@ -463,6 +464,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
             "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "text_quality_percentile_by_lang": (
+            "WITH s AS (SELECT doc_id, lang, "
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END AS n, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(list_distinct({_WS_TOKENS})) END AS uniq, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha, "
+            "length(text) AS nchars FROM documents), "
+            "q AS (SELECT doc_id, lang, CAST(floor(1000 * ("
+            "0.4 * (CASE WHEN n = 0 THEN 0.0 ELSE CAST(uniq AS DOUBLE) / n END) + "
+            "0.4 * (CASE WHEN nchars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / nchars END) + "
+            "0.2 * (CASE WHEN n >= 20 THEN 1.0 ELSE CAST(n AS DOUBLE) / 20.0 END)"
+            ") + 0.5) AS BIGINT) AS quality_milli FROM s), "
+            "t AS (SELECT lang, quantile_disc(quality_milli, 0.5) AS thr "
+            "FROM q GROUP BY lang) "
+            "SELECT q.doc_id, q.lang, q.quality_milli FROM q JOIN t USING (lang) "
+            "WHERE q.quality_milli >= t.thr ORDER BY doc_id"
         ),
         "text_quality_percentile_filter": (
             "WITH s AS (SELECT doc_id, "

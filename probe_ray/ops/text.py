@@ -2021,3 +2021,92 @@ def quality_percentile_filter(sf_dir: str, pct: float = 0.5):
         return batch.filter(pa.array(q >= thr))
 
     return scores.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_percentile_filter_by_lang(sf_dir: str, pct: float = 0.5):
+    """Per-GROUP percentile curation: keep documents at or above their
+    own language's exact pct-quantile of quality_milli (per-group
+    quantile_disc convention) — the per-language analog of
+    quality_percentile_filter, so a high-scoring language doesn't
+    crowd out every other language's budget.
+    (doc_id, lang, quality_milli) sorted by doc_id.
+
+    Same closed-range trick, one more dimension: per-batch
+    (lang, bin 0..1000) bincounts fold through a bounded exchange
+    (|langs| x 1001 rows), the driver derives each language's exact
+    order statistic, and the filter pass broadcasts the tiny
+    {lang: threshold} map."""
+    from ray.data.aggregate import Sum
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        n_chars, alpha, _, n, uniq = _stats_arrays(batch)
+        ratio_u = np.divide(uniq, n, out=np.zeros(len(n)), where=n > 0)
+        ratio_a = np.divide(
+            alpha, n_chars, out=np.zeros(len(n)), where=n_chars > 0
+        )
+        length_ok = np.where(n >= 20, 1.0, n / 20.0)
+        score = 1000 * (0.4 * ratio_u + 0.4 * ratio_a + 0.2 * length_ok)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "quality_milli": pa.array(
+                    np.floor(score + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    scores = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(score_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        q = batch.column("quality_milli").to_numpy()
+        key = codes * 1001 + q
+        c = np.bincount(key, minlength=len(enc.dictionary) * 1001)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "lang": enc.dictionary.take(pa.array(nz // 1001)),
+                "bin": pa.array((nz % 1001).astype(np.int64)),
+                "cnt": pa.array(c[nz].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        scores.map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )  # <= |langs| x 1001 rows by construction
+    counts: dict[str, np.ndarray] = {}
+    for r in rows:
+        counts.setdefault(r["lang"], np.zeros(1001, np.int64))[
+            int(r["bin"])
+        ] = int(r["sum(cnt)"])
+    thr = {}
+    for lang, c in counts.items():
+        n_total = int(c.sum())
+        idx = max(0, int(np.ceil(pct * n_total)) - 1)
+        thr[lang] = int(np.searchsorted(np.cumsum(c), idx + 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        t = np.array(
+            [thr.get(v, 0) for v in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )[enc.indices.to_numpy().astype(np.int64)]
+        q = batch.column("quality_milli").to_numpy()
+        return batch.filter(pa.array(q >= t))
+
+    return scores.map_batches(keep, batch_format="pyarrow").sort("doc_id")

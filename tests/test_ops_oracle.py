@@ -48,6 +48,7 @@ CASES = [
     "rel_rollup_revenue",
     "text_quality_score",
     "text_quality_percentile_filter",
+    "text_quality_percentile_by_lang",
     "text_curation_pipeline",
     "text_lang_id",
     "text_token_count",
