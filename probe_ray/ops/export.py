@@ -750,3 +750,43 @@ def seq_stats(sf_dir: str, budget: int = PACK_BUDGET):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("seq_id")
+
+
+def write_packed_shards(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 4,
+    budget: int = PACK_BUDGET,
+):
+    """Write curated_pack's output as resumable Hive-partitioned
+    Parquet: shard = seq_id %% n_shards, rows carrying (doc_id, seq_id,
+    seq_off, n_toks) — the training-artifact layout of the end-to-end
+    curation chain. Deterministic (same corpus + params => same files);
+    a failed run skips already-written shard directories. Returns
+    {shard: n_rows}."""
+
+    def with_shard(batch: pa.Table) -> pa.Table:
+        sid = batch.column("seq_id").to_numpy()
+        return batch.append_column(
+            "shard", pa.array((sid % n_shards).astype(np.int64))
+        )
+
+    (
+        curated_pack(sf_dir, budget=budget)
+        .map_batches(with_shard, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    result: dict[int, int] = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "shard=*"))):
+        shard = int(os.path.basename(d).split("=", 1)[1])
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+        result[shard] = n
+    return result

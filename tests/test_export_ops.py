@@ -191,3 +191,22 @@ def test_seq_stats_budget_invariant(ray_session):
     assert len(toks) > 1
     assert all(v == PACK_BUDGET for v in toks[:-1])
     assert 0 < toks[-1] <= PACK_BUDGET
+
+
+def test_write_packed_shards_layout(ray_session, tmp_path):
+    """Packed-shard writer: one Hive directory per seq_id % n_shards,
+    rows exactly equal to curated_pack's output."""
+    from probe_ray.ops import export
+
+    out = str(tmp_path / "packed")
+    result = export.write_packed_shards(SF_DIR, out, n_shards=4)
+    expect = _table(export.curated_pack(SF_DIR)).to_pylist()
+    assert sum(result.values()) == len(expect)
+    want = {(r["doc_id"], r["seq_id"]): (r["seq_off"], r["n_toks"]) for r in expect}
+    got = {}
+    for d in sorted(glob.glob(os.path.join(out, "shard=*"))):
+        shard = int(os.path.basename(d).split("=")[1])
+        for r in pq.read_table(d).to_pylist():
+            assert r["seq_id"] % 4 == shard
+            got[(r["doc_id"], r["seq_id"])] = (r["seq_off"], r["n_toks"])
+    assert got == want
