@@ -704,3 +704,137 @@ def ann_knn_classify(sf_dir: str, k: int = 5, max_ref: int = 500):
         .map_batches(fn, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+def _ivf_ref_index(sf_dir: str, max_ref: int) -> str:
+    """Persist the labeled reference set (vec_id < max_ref) as a
+    hive-partitioned IVF layout carrying labels — the
+    partition-pruned neighbor store for ann_knn_classify_ivf."""
+    import hashlib as _h
+    import json
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    out = os.path.join(
+        "/tmp/probe_ray_cache",
+        _h.sha1(f"{sf_dir}|{max_ref}".encode()).hexdigest()[:12],
+        "ivf_ref",
+    )
+    marker = os.path.join(out, "manifest.json")
+    if os.path.exists(marker):
+        return out
+    cent = _ivf_centroids(sf_dir)
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < max_ref,
+    )
+    m = _list_matrix(t.column("embedding"))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bucket = np.argmax(mn @ cent.T, axis=1).astype(np.int64)
+    os.makedirs(out, exist_ok=True)
+    import ray.data
+
+    ray.data.from_arrow(
+        t.append_column("bucket", pa.array(bucket))
+    ).write_parquet(os.path.join(out, "vectors"), partition_cols=["bucket"])
+    pq.write_table(
+        pa.table(
+            {
+                "centroid_id": pa.array(range(len(cent)), pa.int64()),
+                "centroid": pa.array(cent.tolist(), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(out, "centroids.parquet"),
+    )
+    with open(marker, "w") as f:
+        json.dump({"n_centroids": len(cent)}, f)
+    return out
+
+
+def ann_knn_classify_ivf(
+    sf_dir: str,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    max_ref: int = 500,
+):
+    """IVF-bucketed k-NN classification — the partition-pruned scale
+    path of ann_knn_classify: neighbors come only from each vector's
+    nprobe nearest centroid buckets of the persisted labeled reference
+    index, so a task reads corpus_ref * nprobe / n_centroids rows
+    instead of the whole seed set. Approximate by design (a true
+    neighbor outside the probed buckets is missed — the standard IVF
+    recall trade); deterministic given the seeded centroids, with the
+    same (sim desc, vec_id asc) neighbor order and smallest-label vote
+    ties as the exact op. (vec_id, label, pred_label) sorted by
+    vec_id."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    idx = _ivf_ref_index(sf_dir, max_ref)
+    cent = _list_matrix(
+        pq.read_table(os.path.join(idx, "centroids.parquet")).column(
+            "centroid"
+        )
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = _list_matrix(batch.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        probe = np.argsort(-(mn @ cent.T), axis=1, kind="stable")[:, :nprobe]
+        need = sorted({int(b) for row in probe for b in row})
+        dset = pads.dataset(os.path.join(idx, "vectors"), partitioning="hive")
+        t = dset.to_table(
+            columns=["bucket", "vec_id", "label", "embedding"],
+            filter=pads.field("bucket").isin(need),
+        )
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("vec_id", "ascending")]
+        )
+        t = t.take(order)
+        rid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rbk = t.column("bucket").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rlab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        rmn = _list_matrix(t.column("embedding"))
+        rmn = rmn / np.linalg.norm(rmn, axis=1, keepdims=True)
+        lvals = np.unique(rlab)
+        lidx = np.searchsorted(lvals, rlab)
+        sims = mn @ rmn.T  # (batch, nref_probed)
+        allowed = np.zeros(sims.shape, dtype=bool)
+        for p in range(probe.shape[1]):
+            allowed |= rbk[None, :] == probe[:, p, None]
+        allowed &= vec_ids[:, None] != rid[None, :]  # exclude self
+        sims = np.where(allowed, sims, -np.inf)
+        kk = min(k, sims.shape[1]) if sims.shape[1] else 0
+        if kk == 0:
+            pred = np.zeros(len(vec_ids), dtype=np.int64)
+        else:
+            nb = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            valid = np.take_along_axis(sims, nb, axis=1) > -np.inf
+            votes = np.zeros((len(vec_ids), len(lvals)), dtype=np.int64)
+            rows = np.repeat(np.arange(len(vec_ids)), kk)
+            np.add.at(
+                votes,
+                (rows, lidx[nb].ravel()),
+                valid.ravel().astype(np.int64),
+            )
+            pred = lvals[np.argmax(votes, axis=1)]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "label": pa.array(labels, pa.int64()),
+                "pred_label": pa.array(pred, pa.int64()),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir, columns=["vec_id", "embedding", "label"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("vec_id")
+    )

@@ -381,3 +381,24 @@ def test_cli_stats(built_index, capsys, ray_session):
     rec = json.loads(capsys.readouterr().out)
     assert rec["n_docs"] == 300 and rec["segments"] == 4
     assert rec["tombstones"] == 0
+
+
+def test_knn_classify_ivf(ray_session):
+    """IVF-bucketed classification: deterministic; full-probe (nprobe =
+    all centroids) is EXACTLY the exact classifier (same neighbor order
+    and vote ties); default nprobe agrees with exact far above the
+    ~10% chance floor of the 10-label corpus."""
+    import pyarrow as pa
+
+    from probe_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    exact = _collect(ann.ann_knn_classify(sf))
+    ivf = _collect(ann.ann_knn_classify_ivf(sf))
+    assert ivf.equals(_collect(ann.ann_knn_classify_ivf(sf)))
+    full = _collect(ann.ann_knn_classify_ivf(sf, nprobe=ann.N_CENTROIDS))
+    assert full.equals(exact)
+    pe = exact.column("pred_label").to_pylist()
+    pi = ivf.column("pred_label").to_pylist()
+    agree = sum(1 for a, b in zip(pe, pi) if a == b) / len(pe)
+    assert agree >= 0.35, f"IVF classify agreement suspiciously low: {agree}"
