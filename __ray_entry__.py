@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semantic_dedup": ann.semantic_dedup,
         "ann_knn_classify": ann.ann_knn_classify,
         "ann_knn_classify_ivf": ann.ann_knn_classify_ivf,
+        "embedding_prototype_filter": ann.prototype_filter,
         "text_embed_neardup_pairs": embed.text_embed_neardup_pairs,
         # --- multimodal plumbing -----------------------------------------
         "io_jsonl_roundtrip": io.jsonl_roundtrip,

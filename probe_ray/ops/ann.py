@@ -838,3 +838,93 @@ def ann_knn_classify_ivf(
         .map_batches(fn, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+def prototype_filter(
+    sf_dir: str,
+    pct: float = 0.2,
+    n_clusters: int = N_KMEANS,
+    iters: int = 4,
+):
+    """Prototypicality-based outlier filter (the SSL-prototypes
+    curation rule, Sorscher et al. 2022, arXiv:2206.14486 — SemDeDup's
+    companion): score every vector by cosine to its own k-means
+    centroid and DROP the least prototypical ``pct`` of the corpus
+    (global bottom quantile of the score). Returns
+    (vec_id, cluster, proto_milli, kept) sorted by vec_id —
+    proto_milli = floor(cos * 1000 + 0.5), integer so the exact
+    order-statistic threshold and the scalar-reference pin are
+    float-free.
+
+    Scale shape: centroids broadcast once (shared Lloyd loop); scoring
+    is one local map pass; the global threshold is an exact bounded
+    histogram (scores live in -1000..1000 => 2001 bins) — no sort; the
+    kept flag is a second local pass. Ties at the threshold keep
+    (>= threshold survives), matching quantile_disc convention."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cent = _kmeans_centroids(sf_dir, n_clusters, iters)
+    cent_ref = ray.put(cent)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _list_matrix(batch.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ c.T
+        cl = np.argmax(sims, axis=1)
+        proto = np.floor(
+            sims[np.arange(len(cl)), cl] * 1000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(cl.astype(np.int64)),
+                "proto_milli": pa.array(proto),
+            }
+        )
+
+    scored = (
+        _read_embeddings(sf_dir)
+        .map_batches(score, batch_format="pyarrow")
+        .materialize()
+    )
+    n_total = scored.count()
+    if n_total == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "proto_milli": pa.array([], pa.int64()),
+                "kept": pa.array([], pa.bool_()),
+            }
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        p = batch.column("proto_milli").to_numpy() + 1000  # -> 0..2000
+        c = np.bincount(p, minlength=2001)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(c[nz].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )
+    counts = np.zeros(2001, dtype=np.int64)
+    for r in rows:
+        counts[int(r["bin"])] = int(r["sum(cnt)"])
+    idx = max(0, int(np.ceil(pct * n_total)) - 1)
+    thr = int(np.searchsorted(np.cumsum(counts), idx + 1)) - 1000
+
+    def flag(batch: pa.Table) -> pa.Table:
+        p = batch.column("proto_milli").to_numpy()
+        return batch.append_column("kept", pa.array(p > thr))
+
+    return scored.map_batches(flag, batch_format="pyarrow").sort("vec_id")

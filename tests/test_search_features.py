@@ -402,3 +402,44 @@ def test_knn_classify_ivf(ray_session):
     pi = ivf.column("pred_label").to_pylist()
     agree = sum(1 for a, b in zip(pe, pi) if a == b) / len(pe)
     assert agree >= 0.35, f"IVF classify agreement suspiciously low: {agree}"
+
+
+def test_prototype_filter_matches_scalar_reference(ray_session):
+    """SSL-prototypes outlier filter: distributed result (broadcast
+    centroids + exact 2001-bin histogram threshold) must equal the
+    scalar numpy reference exactly, and drop >= ceil(pct*n) rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    t = _collect(ann.prototype_filter(sf))
+    assert t.equals(_collect(ann.prototype_filter(sf)))
+
+    cent = ann._kmeans_centroids(sf, ann.N_KMEANS, 4)
+    e = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = e.column("vec_id").to_numpy().astype(np.int64)
+    m = ann._list_matrix(e.column("embedding"))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    proto = np.floor(sims[np.arange(len(cl)), cl] * 1000.0 + 0.5).astype(
+        np.int64
+    )
+    o = np.argsort(ids)
+    ids, cl, proto = ids[o], cl[o], proto[o]
+    sp = np.sort(proto)
+    thr = int(sp[max(0, int(np.ceil(0.2 * len(ids))) - 1)])
+    ref = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(cl.astype(np.int64)),
+            "proto_milli": pa.array(proto),
+            "kept": pa.array(proto > thr),
+        }
+    )
+    assert t.equals(ref)
+    dropped = int((~(proto > thr)).sum())
+    assert dropped >= int(np.ceil(0.2 * len(ids)))
