@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q14_promo_revenue": relational.promo_revenue,
         "rel_q18_large_orders": relational.large_order_customers,
         "rel_q19_bracket_revenue": relational.discounted_bracket_revenue,
+        "rel_q22_rich_inactive": relational.rich_inactive_customers,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -393,6 +394,23 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_quantity BETWEEN 1 AND 20) "
             "OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 "
             "AND l.l_quantity BETWEEN 5 AND 30)"
+        ),
+        "rel_q22_rich_inactive": (
+            "WITH t AS (SELECT CAST(count(*) FILTER ("
+            f"{_MILLI.format(x='c_acctbal')} > 0) AS BIGINT) AS n_pos, "
+            f"CAST(sum(CASE WHEN {_MILLI.format(x='c_acctbal')} > 0 THEN "
+            f"{_MILLI.format(x='c_acctbal')} ELSE 0 END) AS BIGINT) AS s_pos "
+            "FROM customer) "
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            f"CAST(sum({_MILLI.format(x='c.c_acctbal')}) AS BIGINT) "
+            "AS total_acctbal_milli "
+            "FROM customer c, t "
+            f"WHERE {_MILLI.format(x='c.c_acctbal')} * t.n_pos > t.s_pos "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '1998-06-01') "
+            "GROUP BY c.c_nationkey ORDER BY nationkey"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

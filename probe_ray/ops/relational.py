@@ -3172,3 +3172,124 @@ def discounted_bracket_revenue(sf_dir: str):
     return pa.table(
         {"revenue_milli": pa.array([int(total or 0)], pa.int64())}
     )
+
+
+def rich_inactive_customers(sf_dir: str, since: str = "1998-06-01"):
+    """TPC-H-Q22-flavored global-predicate anti-join: customers whose
+    account balance exceeds the corpus average POSITIVE balance and who
+    have placed no order on/after ``since``, rolled up per nation.
+    (nationkey, n_customers, total_acctbal_milli) sorted by nationkey.
+
+    The average-balance predicate is evaluated in EXACT integer
+    cross-multiplied form — milli(c_acctbal) * n_pos > sum_pos_milli —
+    so the Ray side and the SQL oracle agree bit-for-bit with no float
+    threshold; (n_pos, sum_pos_milli) come from one two-int partial-sum
+    pre-pass. The anti-join is the customers_without_orders
+    union+groupby shape with per-partition nation partials."""
+    from ray.data.aggregate import Sum
+
+    since_us = _us(since)
+    parts = SEMIJOIN_PARTITIONS
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = _milli(batch.column("c_acctbal").to_numpy())
+        pos = bal > 0
+        return pa.table(
+            {
+                "n": pa.array([int(pos.sum())], pa.int64()),
+                "s": pa.array([int(bal[pos].sum())], pa.int64()),
+            }
+        )
+
+    totals = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["n", "s"])
+    )
+    n_pos = int(totals["sum(n)"] or 0)
+    sum_pos = int(totals["sum(s)"] or 0)
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").to_numpy().astype(np.int64)
+        keys = np.unique(
+            batch.column("o_custkey").to_numpy().astype(np.int64)[
+                date_us >= since_us
+            ]
+        )
+        n = len(keys)
+        return pa.table(
+            {
+                "part": pa.array(keys % parts),
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "nat": pa.array(np.zeros(n, dtype=np.int64)),
+                "bal": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        bal = _milli(batch.column("c_acctbal").to_numpy())
+        # exact integer form of bal > avg(positive balances)
+        m = bal * n_pos > sum_pos
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)[m]
+        return pa.table(
+            {
+                "part": pa.array(keys % parts),
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.ones(len(keys), dtype=np.int64)),
+                "nat": pa.array(
+                    batch.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[m]
+                ),
+                "bal": pa.array(bal[m]),
+            }
+        )
+
+    def meet(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        key = group.column("key").to_numpy()
+        have = key[side == 0]
+        anti = np.flatnonzero((side == 1) & ~np.isin(key, have))
+        t = pa.table(
+            {
+                "nat": group.column("nat").take(pa.array(anti)),
+                "one": pa.array(np.ones(len(anti), dtype=np.int64)),
+                "bal": group.column("bal").take(pa.array(anti)),
+            }
+        )
+        g = t.group_by(["nat"]).aggregate([("one", "sum"), ("bal", "sum")])
+        return pa.table(
+            {
+                "nat": g.column("nat"),
+                "n": g.column("one_sum").cast(pa.int64()),
+                "b": g.column("bal_sum").cast(pa.int64()),
+            }
+        )
+
+    left = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        order_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+    est = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "customer")) * 48
+    agg = (
+        left.union(right)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+        .groupby("nat")
+        .aggregate(Sum("n"), Sum("b"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nationkey": batch.column("nat"),
+                "n_customers": batch.column("sum(n)").cast(pa.int64()),
+                "total_acctbal_milli": batch.column("sum(b)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("nationkey")
