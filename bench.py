@@ -347,12 +347,16 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("text_curation", lambda: text.curation_pipeline(SF_DIR).count()),
             ("embed_neardup_chain", lambda: embed.text_embed_neardup_pairs(SF_DIR).count()),
             ("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR).count()),
+            ("prototype_filter", lambda: ann.prototype_filter(SF_DIR).count()),
+            ("knn_classify_ivf", lambda: ann.ann_knn_classify_ivf(SF_DIR).count()),
             ("dedup_spans", lambda: text.dedup_spans(SF_DIR).count()),
             ("multimodal_frames", lambda: multimodal.frame_features(SF_DIR).count()),
             ("rel_q5_volume", lambda: relational.local_supplier_volume(SF_DIR).count()),
             ("rel_q10_returns", lambda: relational.returned_item_revenue(SF_DIR).count()),
             ("rel_q18_large_orders", lambda: relational.large_order_customers(SF_DIR).count()),
             ("rel_q19_brackets", lambda: relational.discounted_bracket_revenue(SF_DIR).num_rows),
+            ("rel_q22_antijoin", lambda: relational.rich_inactive_customers(SF_DIR).count()),
+            ("quality_pct_by_lang", lambda: text.quality_percentile_filter_by_lang(SF_DIR).count()),
         ]:
             # median-of-3, matching the query entries' methodology: the
             # first rep of each op pays pipeline compile + worker ramp,
