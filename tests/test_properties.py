@@ -269,3 +269,78 @@ def test_pattern_matcher_total_and_sound(pieces, src):
         assert src[m.start():m.end()] == m.group(0)
         for w in words:
             assert w in m.group(0)
+
+
+_word_st = st.text(alphabet="ab ", min_size=0, max_size=12)
+_docs_st = st.lists(_word_st, min_size=1, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_docs_st)
+def test_strip_dup_windows_property(texts):
+    """dedup_spans' rewrite kernel vs a scalar reference on random tiny
+    corpora (alphabet chosen to force shared n-grams): identical
+    covered-word masks, span counts and rebuilt text for n=2."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from probe_ray.ops import text as textmod
+
+    n = 2
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    # shared-gram set from the scalar definition
+    prime = 1099511628211
+
+    def wh(w):
+        return int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+        )
+
+    def words_of(s):
+        s2 = s.strip()
+        return s2.split() if s2 else [""]
+
+    gram_docs = {}
+    for did, tx in enumerate(texts):
+        ws = words_of(tx)
+        hs = [wh(w) for w in ws]
+        for i in range(len(ws) - n + 1):
+            g = 0
+            for k in range(n):
+                g = (g * prime + hs[i + k]) % (1 << 64)
+            gram_docs.setdefault(g & ((1 << 63) - 1), set()).add(did)
+    shared = {g for g, d in gram_docs.items() if len(d) >= 2}
+
+    def is_dup(gh, _doc):
+        return np.array([int(g) in shared for g in gh], dtype=bool)
+
+    got = textmod._strip_dup_windows(batch, n, is_dup).to_pylist()
+
+    for did, tx in enumerate(texts):
+        ws = words_of(tx)
+        hs = [wh(w) for w in ws]
+        cov = [False] * len(ws)
+        for i in range(len(ws) - n + 1):
+            g = 0
+            for k in range(n):
+                g = (g * prime + hs[i + k]) % (1 << 64)
+            if (g & ((1 << 63) - 1)) in shared:
+                for j in range(i, i + n):
+                    cov[j] = True
+        row = got[did]
+        assert row["doc_id"] == did
+        assert row["n_words"] == len(ws)
+        assert row["n_dup_words"] == sum(cov)
+        assert row["n_spans"] == sum(
+            1 for i, c in enumerate(cov) if c and (i == 0 or not cov[i - 1])
+        )
+        assert row["clean_text"] == " ".join(
+            w for w, c in zip(ws, cov) if not c
+        )
