@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_pack_sequences": export.pack_sequences,
         "export_curated_pack": export.curated_pack,
         "export_seq_stats": export.seq_stats,
+        "export_pack_by_lang": export.pack_sequences_by_lang,
         "export_shuffle_order": export.shuffle_export,
         "export_budget_select": export.budget_select,
         "rel_events_json_kpis": relational.events_json_kpis,
@@ -799,6 +800,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(least((seq_id + 1) * 64, s + n) - "
             "greatest(s, seq_id * 64)) AS BIGINT) AS n_toks "
             "FROM x GROUP BY seq_id ORDER BY seq_id"
+        ),
+        "export_pack_by_lang": (
+            "WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term "
+            "FROM documents), "
+            "n AS (SELECT doc_id, any_value(lang) AS lang, "
+            "CAST(count(*) FILTER (term <> '') AS BIGINT) AS n FROM tok "
+            "GROUP BY doc_id), "
+            "c AS (SELECT doc_id, lang, n, CAST(coalesce(sum(n) OVER ("
+            "PARTITION BY lang ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS s FROM n), "
+            "x AS (SELECT doc_id, lang, n, s, unnest(generate_series(s // 64, "
+            "(s + n - 1) // 64)) AS seq_id FROM c WHERE n > 0) "
+            "SELECT lang, doc_id, CAST(seq_id AS BIGINT) AS seq_id, "
+            "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off, "
+            "CAST(least((seq_id + 1) * 64, s + n) - greatest(s, seq_id * 64) "
+            "AS BIGINT) AS n_toks FROM x ORDER BY lang, doc_id, seq_id"
         ),
         "export_shuffle_order": (
             "WITH h AS (SELECT doc_id, CAST(("

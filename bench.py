@@ -336,6 +336,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("pack_sequences", lambda: export.pack_sequences(SF_DIR).count()),
             ("curated_pack", lambda: export.curated_pack(SF_DIR).count()),
             ("seq_stats", lambda: export.seq_stats(SF_DIR).count()),
+            ("pack_by_lang", lambda: export.pack_sequences_by_lang(SF_DIR).count()),
             ("shuffle_order", lambda: export.shuffle_export(SF_DIR).count()),
             ("budget_select", lambda: export.budget_select(SF_DIR).count()),
             ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),

@@ -790,3 +790,155 @@ def write_packed_shards(
         )
         result[shard] = n
     return result
+
+
+def pack_sequences_by_lang(
+    sf_dir: str, budget: int = PACK_BUDGET, range_size: int = PACK_RANGE
+):
+    """Per-LANGUAGE sequence packing: each language is its own token
+    stream (docs concatenated in doc_id order within the language, cut
+    every ``budget`` tokens; seq_id starts at 0 per language) — the
+    multi-stream export a multilingual training mix uses. One row per
+    (doc, sequence) overlap: (lang, doc_id, seq_id, seq_off, n_toks).
+
+    Same range-offset scan as pack_sequences with the composite key
+    lang_code * n_ranges + range and a RESET of the running sum at each
+    language boundary (the _shard_grp_offsets idiom) — driver state is
+    |langs| x n_ranges integers; the exchange still moves only count
+    rows."""
+    import ray
+
+    n_docs = table_rows(sf_dir, "documents")
+    n_ranges = n_docs // range_size + 2
+    ngroups = shuffle_parts(n_docs * 32, lo=64, hi=1 << 20)
+
+    # distinct languages: bounded per-batch partials -> driver set
+    lang_rows = (
+        _read_documents(sf_dir, ["lang"])
+        .map_batches(
+            lambda b: pa.table(
+                {"lang": b.column("lang").combine_chunks().unique()}
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    langs = sorted({r["lang"] for r in lang_rows})
+    lang_code = {v: i for i, v in enumerate(langs)}
+
+    def counts_fn(batch: pa.Table) -> pa.Table:
+        nd, _, doc_idx, codes, words = _split_words(batch)
+        if codes.size:
+            nonempty = np.array(
+                [bool(w) for w in words.to_pylist()], dtype=bool
+            )
+            n = np.bincount(
+                doc_idx,
+                weights=nonempty[codes].astype(np.float64),
+                minlength=nd,
+            ).astype(np.int64)
+        else:
+            n = np.zeros(nd, np.int64)
+        did = batch.column("doc_id").to_numpy()
+        lc = np.array(
+            [lang_code[v] for v in batch.column("lang").to_pylist()],
+            dtype=np.int64,
+        )
+        key = lc * n_ranges + (did // range_size)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "lang": batch.column("lang"),
+                "key": pa.array(key),
+                "gkey": pa.array(key % ngroups),
+                "n": pa.array(n),
+            }
+        )
+
+    counts = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(counts_fn, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # per-(lang, range) exclusive prefix sums, RESET at language
+    # boundaries (key // n_ranges changes)
+    def partials(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy()
+        v = batch.column("n").to_numpy()
+        u, inv = np.unique(k, return_inverse=True)
+        t = np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+        return pa.table({"k": pa.array(u), "t": pa.array(t)})
+
+    totals: dict[int, int] = {}
+    for row in counts.map_batches(partials, batch_format="pyarrow").take_all():
+        totals[row["k"]] = totals.get(row["k"], 0) + row["t"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    cur_lang = None
+    for k in sorted(totals):
+        if k // n_ranges != cur_lang:
+            cur_lang = k // n_ranges
+            acc = 0
+        offsets[k] = acc
+        acc += totals[k]
+    off_ref = ray.put(offsets)
+
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "seq_id": pa.array([], pa.int64()),
+            "seq_off": pa.array([], pa.int64()),
+            "n_toks": pa.array([], pa.int64()),
+        }
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        keyv = group.column("key").to_numpy()
+        did = group.column("doc_id").to_numpy()
+        if did.size == 0:
+            return empty
+        order = np.lexsort((did, keyv))
+        keyv, did = keyv[order], did[order]
+        lang_arr = group.column("lang").take(pa.array(order))
+        n = group.column("n").to_numpy()[order]
+        new = np.r_[True, keyv[1:] != keyv[:-1]]
+        run_id = np.cumsum(new) - 1
+        cs = np.concatenate(([0], np.cumsum(n[:-1]))).astype(np.int64)
+        starts = np.flatnonzero(new)
+        base = np.array(
+            [off.get(int(kk), 0) for kk in keyv[starts]], dtype=np.int64
+        )
+        s = base[run_id] + (cs - cs[starts][run_id])
+        keep = n > 0
+        sel = np.flatnonzero(keep)
+        did, n, s = did[keep], n[keep], s[keep]
+        lang_arr = lang_arr.take(pa.array(sel))
+        first = s // budget
+        last = (s + n - 1) // budget
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(did.size, dtype=np.int64), reps)
+        run_starts = np.concatenate(([0], np.cumsum(reps[:-1])))
+        within = np.arange(idx.size, dtype=np.int64) - run_starts[idx]
+        seq_id = first[idx] + within
+        sb = seq_id * budget
+        st = np.maximum(sb, s[idx])
+        en = np.minimum(sb + budget, (s + n)[idx])
+        return pa.table(
+            {
+                "lang": lang_arr.take(pa.array(idx)),
+                "doc_id": pa.array(did[idx]),
+                "seq_id": pa.array(seq_id.astype(np.int64)),
+                "seq_off": pa.array((st - sb).astype(np.int64)),
+                "n_toks": pa.array((en - st).astype(np.int64)),
+            }
+        )
+
+    return (
+        counts.repartition(shuffle_parts(n_docs * 32))
+        .groupby("gkey")
+        .map_groups(pack, batch_format="pyarrow")
+        .sort(["lang", "doc_id", "seq_id"])
+    )

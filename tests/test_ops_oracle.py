@@ -68,6 +68,7 @@ CASES = [
     "export_pack_sequences",
     "export_curated_pack",
     "export_seq_stats",
+    "export_pack_by_lang",
     "export_shuffle_order",
     "export_budget_select",
     "rel_events_json_kpis",
