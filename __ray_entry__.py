@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q18_large_orders": relational.large_order_customers,
         "rel_q19_bracket_revenue": relational.discounted_bracket_revenue,
         "rel_q22_rich_inactive": relational.rich_inactive_customers,
+        "rel_event_funnel": relational.event_funnel,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -412,6 +413,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '1998-06-01') "
             "GROUP BY c.c_nationkey ORDER BY nationkey"
+        ),
+        "rel_event_funnel": (
+            "WITH ev AS (SELECT * FROM events "
+            "WHERE ts < TIMESTAMP '2024-01-03'), "
+            "s1 AS (SELECT user_id, min(ts) AS t FROM ev "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t GROUP BY e.user_id) "
+            "SELECT * FROM (SELECT 1 AS step, 'signup' AS event_type, "
+            "CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users "
+            "UNION ALL SELECT 2, 'click', "
+            "CAST((SELECT count(*) FROM s2) AS BIGINT) "
+            "UNION ALL SELECT 3, 'purchase', "
+            "CAST((SELECT count(*) FROM s3) AS BIGINT)) ORDER BY step"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

@@ -3293,3 +3293,108 @@ def rich_inactive_customers(sf_dir: str, since: str = "1998-06-01"):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("nationkey")
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def event_funnel(
+    sf_dir: str, steps: tuple = FUNNEL_STEPS, before: str = "2024-01-03"
+):
+    """Ordered funnel analysis over the event window ts < ``before``:
+    for each user, step i counts only if an event of type steps[i]
+    occurs STRICTLY AFTER the user's step-(i-1) completion time
+    (first-touch semantics: each step's completion time is the EARLIEST
+    qualifying event). Output one row per funnel depth:
+    (step, event_type, n_users) — n_users = users whose first-touch
+    chain reaches that step. The default window makes the funnel
+    discriminating on the dense synthetic stream (every user fires
+    every type eventually; the early window is where drop-off lives).
+
+    ONE user-keyed bounded-partition exchange; inside a group the chain
+    is computed fully vectorized per step: events sorted by
+    (user, ts, event_id), each step's completion time = minimum ts of
+    matching events after the user's previous completion (one
+    np.minimum.reduceat pass per step — steps are a constant, users are
+    not). Driver sees only |steps| rows per partition."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    parts = SESSION_PARTITIONS
+    before_us = _us(before)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        sidx = np.array([step_of.get(e, -1) for e in et], dtype=np.int64)
+        m = (sidx >= 0) & (
+            batch.column("ts").to_numpy().astype(np.int64) < before_us
+        )
+        uid = batch.column("user_id").to_numpy().astype(np.int64)[m]
+        return pa.table(
+            {
+                "part": pa.array(uid % parts),
+                "user_id": pa.array(uid),
+                "step": pa.array(sidx[m]),
+                "ts": pa.array(
+                    batch.column("ts").to_numpy().astype(np.int64)[m]
+                ),
+            }
+        )
+
+    def funnel(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        stp = group.column("step").to_numpy()
+        ts = group.column("ts").to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, stp, ts = uid[order], stp[order], ts[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        n_users = starts.size
+        # completion time per user per step, NaT = +inf sentinel
+        INF = np.iinfo(np.int64).max
+        prev = np.full(n_users, -1, dtype=np.int64)  # strictly-after bound
+        reached = np.zeros(len(steps), dtype=np.int64)
+        user_of = np.cumsum(new) - 1
+        for i in range(len(steps)):
+            cand = ts.copy()
+            cand[(stp != i) | (ts <= prev[user_of])] = INF
+            first = np.minimum.reduceat(cand, starts)
+            done = first < INF
+            reached[i] = int(done.sum())
+            prev = np.where(done, first, INF)
+            if not done.any():
+                break
+            # users that failed step i can never complete later steps:
+            # prev = INF makes every later candidate ts <= prev false
+            # only when ts < INF, so mark them explicitly
+        return pa.table(
+            {
+                "step": pa.array(
+                    np.arange(1, len(steps) + 1, dtype=np.int64)
+                ),
+                "event_type": pa.array(list(steps), pa.string()),
+                "n": pa.array(reached),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 32))
+        .groupby("part")
+        .map_groups(funnel, batch_format="pyarrow")
+        .groupby(["step", "event_type"])
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "step": batch.column("step"),
+                "event_type": batch.column("event_type"),
+                "n_users": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("step")
