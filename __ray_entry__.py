@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q19_bracket_revenue": relational.discounted_bracket_revenue,
         "rel_q22_rich_inactive": relational.rich_inactive_customers,
         "rel_event_funnel": relational.event_funnel,
+        "rel_retention_cohorts": relational.retention_cohorts,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -431,6 +432,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(*) FROM s2) AS BIGINT) "
             "UNION ALL SELECT 3, 'purchase', "
             "CAST((SELECT count(*) FROM s3) AS BIGINT)) ORDER BY step"
+        ),
+        "rel_retention_cohorts": (
+            "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS first_us "
+            "FROM events GROUP BY user_id) "
+            "SELECT (first_us // 86400000000) * 86400000000 AS cohort_day_us, "
+            "CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(count(*) FILTER (EXISTS (SELECT 1 FROM events e "
+            "WHERE e.user_id = u.user_id "
+            "AND epoch_us(e.ts) >= u.first_us + 21 * 86400000000 "
+            "AND epoch_us(e.ts) < u.first_us + 22 * 86400000000)) "
+            "AS BIGINT) AS n_retained "
+            "FROM u GROUP BY cohort_day_us ORDER BY cohort_day_us"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

@@ -3398,3 +3398,83 @@ def event_funnel(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("step")
+
+
+def retention_cohorts(sf_dir: str, day_lo: int = 21, day_hi: int = 22):
+    """Day-cohort retention: users grouped by the calendar day of their
+    FIRST event; a user is retained iff they have any event inside the
+    RELATIVE day window [first + day_lo days, first + day_hi days) —
+    the "active on day N after first touch" product metric (an
+    open-ended horizon saturates on this month-long dense stream; the
+    bounded window discriminates). (cohort_day_us, n_users, n_retained)
+    sorted by cohort day.
+
+    ONE user-keyed bounded exchange; per group the first-ts and the
+    window test are one lexsort + bincount pass; the cohort rollup is
+    a tiny per-day groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    parts = SESSION_PARTITIONS
+    day_us = 86_400_000_000
+    lo_us, hi_us = day_lo * day_us, day_hi * day_us
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(uid % parts),
+                "user_id": pa.array(uid),
+                "ts": pa.array(
+                    batch.column("ts").to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        ts = group.column("ts").to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        user_of = np.cumsum(new) - 1
+        first = ts[starts]
+        cohort = (first // day_us) * day_us
+        f = first[user_of]
+        in_win = (ts >= f + lo_us) & (ts < f + hi_us)
+        retained = (
+            np.bincount(user_of, weights=in_win, minlength=starts.size) > 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "cohort_day_us": pa.array(cohort),
+                "one": pa.array(np.ones(starts.size, dtype=np.int64)),
+                "ret": pa.array(retained),
+            }
+        )
+        return t.group_by(["cohort_day_us"]).aggregate(
+            [("one", "sum"), ("ret", "sum")]
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 24))
+        .groupby("part")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("cohort_day_us")
+        .aggregate(Sum("one_sum"), Sum("ret_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day_us": batch.column("cohort_day_us"),
+                "n_users": batch.column("sum(one_sum)").cast(pa.int64()),
+                "n_retained": batch.column("sum(ret_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        "cohort_day_us"
+    )
