@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q22_rich_inactive": relational.rich_inactive_customers,
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
+        "rel_event_transitions": relational.event_transition_counts,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -444,6 +445,15 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(e.ts) < u.first_us + 22 * 86400000000)) "
             "AS BIGINT) AS n_retained "
             "FROM u GROUP BY cohort_day_us ORDER BY cohort_day_us"
+        ),
+        "rel_event_transitions": (
+            "WITH seq AS (SELECT user_id, event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS to_type FROM events) "
+            "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM seq WHERE to_type IS NOT NULL "
+            "GROUP BY from_type, to_type "
+            "ORDER BY n DESC, from_type, to_type LIMIT 15"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

@@ -3478,3 +3478,79 @@ def retention_cohorts(sf_dir: str, day_lo: int = 21, day_hi: int = 22):
     return agg.map_batches(rename, batch_format="pyarrow").sort(
         "cohort_day_us"
     )
+
+
+def event_transition_counts(sf_dir: str, k: int = 15):
+    """Event-sequence transition mining: counts of CONSECUTIVE
+    event-type pairs within each user's time-ordered stream (ties by
+    event_id, matching the oracle's window order), top-k globally.
+    (from_type, to_type, n) by (n desc, from_type, to_type).
+
+    ONE user-keyed bounded exchange; per group one lexsort builds every
+    user's ordered stream and the pair emission is two shifted slices +
+    a dictionary-encoded bincount — no per-row loop; the global rollup
+    moves <= |types|^2 rows per partition."""
+    from ray.data.aggregate import Sum
+
+    parts = SESSION_PARTITIONS
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(uid % parts),
+                "user_id": pa.array(uid),
+                "ts": pa.array(batch.column("ts").to_numpy().astype(np.int64)),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        ts = group.column("ts").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        et = group.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        same = u[1:] == u[:-1]
+        a, b = c[:-1][same], c[1:][same]
+        nt = len(enc.dictionary)
+        cnt = np.bincount(a * nt + b, minlength=nt * nt)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "from_type": enc.dictionary.take(pa.array(nz // nt)),
+                "to_type": enc.dictionary.take(pa.array(nz % nt)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 40))
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "from_type": batch.column("from_type"),
+                "to_type": batch.column("to_type"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return _dataset_topk(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        [("n", "descending"), ("from_type", "ascending"), ("to_type", "ascending")],
+        k,
+    )

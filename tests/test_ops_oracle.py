@@ -44,6 +44,7 @@ CASES = [
     "rel_q22_rich_inactive",
     "rel_event_funnel",
     "rel_retention_cohorts",
+    "rel_event_transitions",
     "rel_customers_without_orders",
     "rel_order_count_distribution",
     "rel_distinct_users_per_type",
