@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
+        "rel_conversion_latency": relational.conversion_latency_stats,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -454,6 +455,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM seq WHERE to_type IS NOT NULL "
             "GROUP BY from_type, to_type "
             "ORDER BY n DESC, from_type, to_type LIMIT 15"
+        ),
+        "rel_conversion_latency": (
+            "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "p AS (SELECT e.user_id, min(epoch_us(e.ts)) - any_value(s1.t) "
+            "AS lat FROM events e JOIN s1 USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t "
+            "GROUP BY e.user_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_converted, "
+            "CAST(sum(lat) AS BIGINT) AS sum_latency_us, "
+            "CAST(min(lat) AS BIGINT) AS min_latency_us, "
+            "CAST(max(lat) AS BIGINT) AS max_latency_us FROM p"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

@@ -3554,3 +3554,100 @@ def event_transition_counts(sf_dir: str, k: int = 15):
         [("n", "descending"), ("from_type", "ascending"), ("to_type", "ascending")],
         k,
     )
+
+
+def conversion_latency_stats(sf_dir: str):
+    """Signup-to-purchase conversion latency: per user, the time from
+    the FIRST signup to the first purchase STRICTLY AFTER it; one
+    global row (n_converted, sum_latency_us, min_latency_us,
+    max_latency_us) — integer microseconds, so the oracle comparison
+    is exact and the distributed reduce is a four-int fold.
+
+    ONE user-keyed bounded exchange (the event_funnel kernel shape);
+    per group one lexsort + two reduceat passes find each user's
+    (first signup, first later purchase)."""
+    parts = SESSION_PARTITIONS
+    INF = np.iinfo(np.int64).max
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        code = np.array(
+            [0 if e == "signup" else (1 if e == "purchase" else -1) for e in et],
+            dtype=np.int64,
+        )
+        m = code >= 0
+        uid = batch.column("user_id").to_numpy().astype(np.int64)[m]
+        return pa.table(
+            {
+                "part": pa.array(uid % parts),
+                "user_id": pa.array(uid),
+                "code": pa.array(code[m]),
+                "ts": pa.array(
+                    batch.column("ts").to_numpy().astype(np.int64)[m]
+                ),
+            }
+        )
+
+    def latency(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        code = group.column("code").to_numpy()
+        ts = group.column("ts").to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, code, ts = uid[order], code[order], ts[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        user_of = np.cumsum(new) - 1
+        s_cand = np.where(code == 0, ts, INF)
+        first_signup = np.minimum.reduceat(s_cand, starts)
+        p_cand = ts.copy()
+        p_cand[(code != 1) | (ts <= first_signup[user_of])] = INF
+        first_purchase = np.minimum.reduceat(p_cand, starts)
+        done = (first_signup < INF) & (first_purchase < INF)
+        lat = (first_purchase - first_signup)[done]
+        if lat.size == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "s": pa.array([0], pa.int64()),
+                    "mn": pa.array([INF], pa.int64()),
+                    "mx": pa.array([-1], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([int(lat.size)], pa.int64()),
+                "s": pa.array([int(lat.sum())], pa.int64()),
+                "mn": pa.array([int(lat.min())], pa.int64()),
+                "mx": pa.array([int(lat.max())], pa.int64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 32))
+        .groupby("part")
+        .map_groups(latency, batch_format="pyarrow")
+        .take_all()
+    )  # <= SESSION_PARTITIONS four-int rows
+    n = sum(int(r["n"]) for r in rows)
+    s = sum(int(r["s"]) for r in rows)
+    mn = min((int(r["mn"]) for r in rows), default=INF)
+    mx = max((int(r["mx"]) for r in rows), default=-1)
+    if n == 0:
+        return pa.table(
+            {
+                "n_converted": pa.array([0], pa.int64()),
+                "sum_latency_us": pa.array([0], pa.int64()),
+                "min_latency_us": pa.array([0], pa.int64()),
+                "max_latency_us": pa.array([0], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "n_converted": pa.array([n], pa.int64()),
+            "sum_latency_us": pa.array([s], pa.int64()),
+            "min_latency_us": pa.array([mn], pa.int64()),
+            "max_latency_us": pa.array([mx], pa.int64()),
+        }
+    )

@@ -45,6 +45,7 @@ CASES = [
     "rel_event_funnel",
     "rel_retention_cohorts",
     "rel_event_transitions",
+    "rel_conversion_latency",
     "rel_customers_without_orders",
     "rel_order_count_distribution",
     "rel_distinct_users_per_type",
