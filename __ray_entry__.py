@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_score": text.quality_score,
         "text_lang_id": text.lang_id,
         "text_lang_id_ngram": text.lang_id_ngram,
+        "text_lang_id_confusion": text.lang_id_confusion,
         "text_fingerprint": text.fingerprint,
         "text_curation_pipeline": text.curation_pipeline,
         "text_train_val_split": text.train_val_split,
@@ -540,6 +541,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
             "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "text_lang_id_confusion": (
+            "WITH s AS (SELECT doc_id, lang, list_transform(list_slice("
+            f"{_WS_TOKENS}, 1, 200), x -> lower(x)) AS toks FROM documents), "
+            "h AS (SELECT doc_id, lang, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('the','a','and','of','to','in','is','for','on','with')))) AS e, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('der','die','das','und','ist','nicht','ein','zu','mit')))) AS d, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('le','la','les','et','est','pas','un','une','dans')))) AS f, "
+            "len(list_distinct(list_filter(toks, x -> x IN "
+            "('el','la','los','y','es','no','un','una','en','que')))) AS s2 "
+            "FROM s), "
+            "g AS (SELECT lang, CASE "
+            "WHEN e > 0 AND e >= d AND e >= f AND e >= s2 THEN 'en' "
+            "WHEN d > 0 AND d > e AND d >= f AND d >= s2 THEN 'de' "
+            "WHEN f > 0 AND f > e AND f > d AND f >= s2 THEN 'fr' "
+            "WHEN s2 > 0 AND s2 > e AND s2 > d AND s2 > f THEN 'es' "
+            "ELSE 'unknown' END AS lang_guess FROM h) "
+            "SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n "
+            "FROM g GROUP BY lang, lang_guess ORDER BY lang, lang_guess"
         ),
         "text_quality_percentile_by_lang": (
             "WITH s AS (SELECT doc_id, lang, "

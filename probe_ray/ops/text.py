@@ -205,56 +205,55 @@ def lang_id(sf_dir: str):
     dictionary), then per-doc distinct hits come from one (doc, code)
     dedup + bincount per profile — no per-doc Python set work. Only the
     first 200 words of each doc vote, like the scalar loop it replaced."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        n_docs, _, doc_idx, codes, words = _split_words(batch)
-        langs = list(_LANG_PROFILES)
-        hits = np.zeros((len(langs), n_docs), np.int64)
-        if codes.size:
-            # position of each word within its doc; only the first 200 vote
-            starts = np.flatnonzero(
-                np.r_[True, doc_idx[1:] != doc_idx[:-1]]
-            )
-            pos = np.arange(codes.size, dtype=np.int64) - np.repeat(
-                starts, np.diff(np.r_[starts, codes.size])
-            )
-            # fold case BEFORE deduplication ("The" and "the" are one
-            # distinct token, as in the scalar set() it replaced)
-            lower = np.array(
-                [w.lower() for w in words.to_pylist()], dtype=object
-            )
-            uniq_lower, lowcode_of = np.unique(lower, return_inverse=True)
-            sel = pos < 200
-            d, c = doc_idx[sel], lowcode_of[codes[sel]]
-            order = np.lexsort((c, d))
-            d, c = d[order], c[order]
-            first = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
-            d, c = d[first], c[first]
-            for li, lang in enumerate(langs):
-                prof = _LANG_PROFILES[lang]
-                member = np.fromiter(
-                    (w in prof for w in uniq_lower),
-                    dtype=bool,
-                    count=len(uniq_lower),
-                )
-                hits[li] = np.bincount(
-                    d, weights=member[c], minlength=n_docs
-                ).astype(np.int64)
-        best_i = np.argmax(hits, axis=0)  # first max wins, like the loop
-        best_n = hits[best_i, np.arange(n_docs)]
-        names = np.array(langs + ["unknown"])
-        out = names[np.where(best_n > 0, best_i, len(langs))]
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "lang_guess": pa.array(out.tolist(), pa.string()),
-            }
-        )
-
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pyarrow"
+        _lang_id_batch, batch_format="pyarrow"
     )
 
+
+def _lang_id_batch(batch: pa.Table) -> pa.Table:
+    n_docs, _, doc_idx, codes, words = _split_words(batch)
+    langs = list(_LANG_PROFILES)
+    hits = np.zeros((len(langs), n_docs), np.int64)
+    if codes.size:
+        # position of each word within its doc; only the first 200 vote
+        starts = np.flatnonzero(
+            np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+        )
+        pos = np.arange(codes.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, codes.size])
+        )
+        # fold case BEFORE deduplication ("The" and "the" are one
+        # distinct token, as in the scalar set() it replaced)
+        lower = np.array(
+            [w.lower() for w in words.to_pylist()], dtype=object
+        )
+        uniq_lower, lowcode_of = np.unique(lower, return_inverse=True)
+        sel = pos < 200
+        d, c = doc_idx[sel], lowcode_of[codes[sel]]
+        order = np.lexsort((c, d))
+        d, c = d[order], c[order]
+        first = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+        d, c = d[first], c[first]
+        for li, lang in enumerate(langs):
+            prof = _LANG_PROFILES[lang]
+            member = np.fromiter(
+                (w in prof for w in uniq_lower),
+                dtype=bool,
+                count=len(uniq_lower),
+            )
+            hits[li] = np.bincount(
+                d, weights=member[c], minlength=n_docs
+            ).astype(np.int64)
+    best_i = np.argmax(hits, axis=0)  # first max wins, like the loop
+    best_n = hits[best_i, np.arange(n_docs)]
+    names = np.array(langs + ["unknown"])
+    out = names[np.where(best_n > 0, best_i, len(langs))]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_guess": pa.array(out.tolist(), pa.string()),
+        }
+    )
 
 # character-trigram profiles (top trigrams of each language's common
 # function words) for the n-gram language heuristic
@@ -2110,3 +2109,46 @@ def quality_percentile_filter_by_lang(sf_dir: str, pct: float = 0.5):
         return batch.filter(pa.array(q >= t))
 
     return scores.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def lang_id_confusion(sf_dir: str):
+    """Language-ID quality view: confusion matrix of the stop-word
+    language guesser against the corpus's true lang labels.
+    (lang, lang_guess, n) sorted by (lang, lang_guess) — the curation
+    QA artifact for deciding whether the cheap classifier is fit for a
+    mixture. One fused read-and-guess map pass (the lang_id kernel runs
+    on the same batch that carries the true label), then a tiny
+    |langs|^2 rollup."""
+    from ray.data.aggregate import Sum
+
+    def guess_with_label(batch: pa.Table) -> pa.Table:
+        guessed = _lang_id_batch(
+            batch.select(["doc_id", "text"])
+        )
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_guess": guessed.column("lang_guess"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        ).group_by(["lang", "lang_guess"]).aggregate([("one", "sum")])
+
+    agg = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(guess_with_label, batch_format="pyarrow")
+        .groupby(["lang", "lang_guess"])
+        .aggregate(Sum("one_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_guess": batch.column("lang_guess"),
+                "n": batch.column("sum(one_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["lang", "lang_guess"]
+    )

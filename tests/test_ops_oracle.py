@@ -56,6 +56,7 @@ CASES = [
     "text_quality_percentile_by_lang",
     "text_curation_pipeline",
     "text_lang_id",
+    "text_lang_id_confusion",
     "text_token_count",
     "text_normalize_stopwords",
     "text_stats",
