@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
         "rel_conversion_latency": relational.conversion_latency_stats,
+        "rel_rolling_active_users": relational.rolling_active_users,
         "rel_customers_without_orders": relational.customers_without_orders,
         "rel_order_count_distribution": relational.order_count_distribution,
         "rel_distinct_users_per_type": relational.distinct_users_per_type,
@@ -468,6 +469,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(lat) AS BIGINT) AS sum_latency_us, "
             "CAST(min(lat) AS BIGINT) AS min_latency_us, "
             "CAST(max(lat) AS BIGINT) AS max_latency_us FROM p"
+        ),
+        "rel_rolling_active_users": (
+            "WITH bounds AS (SELECT min(epoch_us(ts)) // 86400000000 AS d0, "
+            "max(epoch_us(ts)) // 86400000000 AS d1 FROM events), "
+            "days AS (SELECT unnest(generate_series(d0, d1)) AS day "
+            "FROM bounds), "
+            "ud AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events) "
+            "SELECT CAST(days.day * 86400000000 AS BIGINT) AS day_us, "
+            "CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active "
+            "FROM days LEFT JOIN ud ON ud.day BETWEEN days.day - 6 "
+            "AND days.day GROUP BY days.day ORDER BY day_us"
         ),
         "rel_customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "

@@ -359,6 +359,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_q22_antijoin", lambda: relational.rich_inactive_customers(SF_DIR).count()),
             ("rel_event_funnel", lambda: relational.event_funnel(SF_DIR).count()),
             ("rel_retention", lambda: relational.retention_cohorts(SF_DIR).count()),
+            ("rel_rolling_active", lambda: relational.rolling_active_users(SF_DIR).count()),
             ("quality_pct_by_lang", lambda: text.quality_percentile_filter_by_lang(SF_DIR).count()),
         ]:
             # median-of-3, matching the query entries' methodology: the

@@ -3651,3 +3651,107 @@ def conversion_latency_stats(sf_dir: str):
             "max_latency_us": pa.array([mx], pa.int64()),
         }
     )
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7):
+    """Rolling window_days-day DISTINCT active users per calendar day —
+    the windowed COUNT(DISTINCT) that naively needs a per-window set
+    union. Done exactly with NO set shipping: a user is active in
+    window-ending-day d iff any of their event days falls in
+    [d - window_days + 1, d]; equivalently each active day covers the
+    day interval [day, day + window_days - 1], so per USER the covered
+    windows are a union of intervals — one diff-array stamp + cumsum
+    over the corpus's day range. Each user then contributes EXACTLY one
+    count to each covered window, and the global per-day rollup is an
+    integer sum of per-partition day vectors. (day_us, n_active) for
+    every day in the corpus's day range, sorted.
+
+    ONE user-keyed bounded exchange; per-partition output is
+    O(day_range) ints regardless of user count."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    parts = SESSION_PARTITIONS
+    day_us = 86_400_000_000
+    # corpus day range from parquet footer min/max (zero data read)
+    f = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    lo = None
+    hi = None
+    for rg in range(f.metadata.num_row_groups):
+        for ci in range(f.metadata.row_group(rg).num_columns):
+            col = f.metadata.row_group(rg).column(ci)
+            if col.path_in_schema == "ts" and col.statistics is not None:
+                mn = col.statistics.min
+                mx = col.statistics.max
+                mn_us = int(mn.timestamp() * 1e6) if hasattr(mn, "timestamp") else int(mn)
+                mx_us = int(mx.timestamp() * 1e6) if hasattr(mx, "timestamp") else int(mx)
+                lo = mn_us if lo is None else min(lo, mn_us)
+                hi = mx_us if hi is None else max(hi, mx_us)
+    day0 = lo // day_us
+    n_days = hi // day_us - day0 + 1
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        day = (
+            batch.column("ts").to_numpy().astype(np.int64) // day_us - day0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "part": pa.array(uid % parts),
+                "user_id": pa.array(uid),
+                "day": pa.array(day),
+            }
+        )
+        # distinct (user, day) per batch shrinks the exchange
+        return t.group_by(["part", "user_id", "day"]).aggregate([])
+
+    def stamp(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        day = group.column("day").to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        user_of = np.cumsum(new) - 1
+        n_users = int(new.sum())
+        # interval union per user: stamp [day, day+window) in a per-user
+        # diff row, then covered = cumsum > 0; summed over users via one
+        # 2-D bincount on (user, day) pairs
+        width = n_days + window_days + 1
+        diff = np.zeros(n_users * width, dtype=np.int64)
+        np.add.at(diff, user_of * width + day, 1)
+        np.add.at(
+            diff,
+            user_of * width + np.minimum(day + window_days, width - 1),
+            -1,
+        )
+        covered = (
+            np.cumsum(diff.reshape(n_users, width), axis=1) > 0
+        )[:, :n_days]
+        per_day = covered.sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(np.arange(n_days, dtype=np.int64)),
+                "n": pa.array(per_day),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(table_rows(sf_dir, "events") * 24))
+        .groupby("part")
+        .map_groups(stamp, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "day_us": pa.array((d + day0) * day_us),
+                "n_active": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("day_us")

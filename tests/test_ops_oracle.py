@@ -46,6 +46,7 @@ CASES = [
     "rel_retention_cohorts",
     "rel_event_transitions",
     "rel_conversion_latency",
+    "rel_rolling_active_users",
     "rel_customers_without_orders",
     "rel_order_count_distribution",
     "rel_distinct_users_per_type",
