@@ -687,9 +687,14 @@ def ann_knn_classify(sf_dir: str, k: int = 5, max_ref: int = 500):
         # stable argsort of -sims over the id-sorted reference axis =
         # (sim desc, vec_id asc)
         nb = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        # mask the -inf self row when kk spans the whole reference set
+        # (max_ref <= k) — it must never vote its own label
+        valid = np.take_along_axis(sims, nb, axis=1) > -np.inf
         votes = np.zeros((len(vec_ids), len(lvals)), dtype=np.int64)
         rows = np.repeat(np.arange(len(vec_ids)), kk)
-        np.add.at(votes, (rows, lidx_r[nb].ravel()), 1)
+        np.add.at(
+            votes, (rows, lidx_r[nb].ravel()), valid.ravel().astype(np.int64)
+        )
         pred = lvals[np.argmax(votes, axis=1)]  # tie -> smallest label
         return pa.table(
             {
@@ -859,8 +864,10 @@ def prototype_filter(
     Scale shape: centroids broadcast once (shared Lloyd loop); scoring
     is one local map pass; the global threshold is an exact bounded
     histogram (scores live in -1000..1000 => 2001 bins) — no sort; the
-    kept flag is a second local pass. Ties at the threshold keep
-    (>= threshold survives), matching quantile_disc convention."""
+    kept flag is a second local pass. The threshold is the exact
+    pct-quantile value (quantile_disc convention) and ties AT it DROP
+    (kept = proto_milli > threshold), so at least ceil(pct*n) rows are
+    dropped."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -920,8 +927,9 @@ def prototype_filter(
     counts = np.zeros(2001, dtype=np.int64)
     for r in rows:
         counts[int(r["bin"])] = int(r["sum(cnt)"])
-    idx = max(0, int(np.ceil(pct * n_total)) - 1)
-    thr = int(np.searchsorted(np.cumsum(counts), idx + 1)) - 1000
+    from probe_ray.ops.sizing import disc_quantile_from_hist
+
+    thr = disc_quantile_from_hist(counts, n_total, pct) - 1000
 
     def flag(batch: pa.Table) -> pa.Table:
         p = batch.column("proto_milli").to_numpy()

@@ -113,19 +113,36 @@ def pack_sequences(
     return _pack_counts(counts, n_docs, budget, range_size)
 
 
-def _pack_counts(counts, n_docs: int, budget: int, range_size: int):
-    """Shared packing tail over a MATERIALIZED (doc_id, rng, gkey, n)
-    counts Dataset: range-offset scan + bytes-bounded grouped packing
-    (used by pack_sequences and curated_pack)."""
+def _pack_counts(
+    counts,
+    n_docs: int,
+    budget: int,
+    range_size: int,
+    offsets: dict | None = None,
+    key_col: str | None = None,
+    label_col: str | None = None,
+):
+    """Shared packing tail over a MATERIALIZED counts Dataset
+    (doc_id, rng|key, gkey, n [, label]): range-offset scan +
+    bytes-bounded grouped packing. THE single packing kernel —
+    pack_sequences, curated_pack and pack_sequences_by_lang all thread
+    through here. With key_col/offsets, runs segment on the provided
+    composite key (e.g. lang * n_ranges + range, offsets precomputed
+    with a per-stream reset) instead of doc_id // range_size; label_col
+    is carried through to the output (the per-stream label)."""
     import ray
 
-    offsets = _range_offsets(counts, "rng", "n")
+    if offsets is None:
+        offsets = _range_offsets(counts, "rng", "n")
     off_ref = ray.put(offsets)
     # group key is DECOUPLED from the range: ranges hash into ~64 MB
     # groups, each group call finishes every range it holds vectorized.
     # One map_groups call per group — bounded by bytes, not by range
     # count (10^12 docs / range_size calls would be pure scheduling).
-    empty = pa.table(
+    empty_cols = {}
+    if label_col:
+        empty_cols[label_col] = pa.array([], pa.string())
+    empty_cols.update(
         {
             "doc_id": pa.array([], pa.int64()),
             "seq_id": pa.array([], pa.int64()),
@@ -133,6 +150,7 @@ def _pack_counts(counts, n_docs: int, budget: int, range_size: int):
             "n_toks": pa.array([], pa.int64()),
         }
     )
+    empty = pa.table(empty_cols)
 
     def pack(group: pa.Table) -> pa.Table:
         off = ray.get(off_ref)
@@ -140,11 +158,25 @@ def _pack_counts(counts, n_docs: int, budget: int, range_size: int):
         if did.size == 0:
             return empty
         n = group.column("n").to_numpy()
-        order = np.argsort(did, kind="stable")
+        if key_col is not None:
+            keyv = group.column(key_col).to_numpy()
+            order = np.lexsort((did, keyv))
+        else:
+            order = np.argsort(did, kind="stable")
         did, n = did[order], n[order]
-        # doc_id order is range order; segment into per-range runs and
-        # give each run its broadcast base offset + local exclusive cumsum
-        rngv = did // range_size
+        label = (
+            group.column(label_col).take(pa.array(order))
+            if label_col
+            else None
+        )
+        # within a run, doc_id order is stream order; segment into
+        # per-key runs and give each its broadcast base offset + local
+        # exclusive cumsum
+        rngv = (
+            group.column(key_col).to_numpy()[order]
+            if key_col is not None
+            else did // range_size
+        )
         new = np.r_[True, rngv[1:] != rngv[:-1]]
         run_id = np.cumsum(new) - 1
         cs = np.concatenate(([0], np.cumsum(n[:-1]))).astype(np.int64)
@@ -154,7 +186,10 @@ def _pack_counts(counts, n_docs: int, budget: int, range_size: int):
         )
         s = base[run_id] + (cs - cs[starts][run_id])
         keep = n > 0
+        sel = np.flatnonzero(keep)
         did, n, s = did[keep], n[keep], s[keep]
+        if label is not None:
+            label = label.take(pa.array(sel))
         first = s // budget
         last = (s + n - 1) // budget
         reps = (last - first + 1).astype(np.int64)
@@ -165,7 +200,10 @@ def _pack_counts(counts, n_docs: int, budget: int, range_size: int):
         sb = seq_id * budget
         st = np.maximum(sb, s[idx])
         en = np.minimum(sb + budget, (s + n)[idx])
-        return pa.table(
+        cols = {}
+        if label is not None:
+            cols[label_col] = label.take(pa.array(idx))
+        cols.update(
             {
                 "doc_id": pa.array(did[idx]),
                 "seq_id": pa.array(seq_id.astype(np.int64)),
@@ -173,12 +211,14 @@ def _pack_counts(counts, n_docs: int, budget: int, range_size: int):
                 "n_toks": pa.array((en - st).astype(np.int64)),
             }
         )
+        return pa.table(cols)
 
+    sort_keys = ([label_col] if label_col else []) + ["doc_id", "seq_id"]
     return (
         counts.repartition(shuffle_parts(n_docs * 24))
         .groupby("gkey")
         .map_groups(pack, batch_format="pyarrow")
-        .sort(["doc_id", "seq_id"])
+        .sort(sort_keys)
     )
 
 
@@ -761,9 +801,25 @@ def write_packed_shards(
     """Write curated_pack's output as resumable Hive-partitioned
     Parquet: shard = seq_id %% n_shards, rows carrying (doc_id, seq_id,
     seq_off, n_toks) — the training-artifact layout of the end-to-end
-    curation chain. Deterministic (same corpus + params => same files);
-    a failed run skips already-written shard directories. Returns
-    {shard: n_rows}."""
+    curation chain. Deterministic (same corpus + params => same rows);
+    resume is ALL-OR-NOTHING per out_dir: a `_done` marker commits the
+    export, a rerun that finds it returns the recorded counts without
+    recomputing, and a rerun after a mid-write failure clears the
+    partial directory first (write_parquet APPENDS uniquely-named
+    files, so writing into a partial dir would duplicate rows).
+    Returns {shard: n_rows}."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_done")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return {int(k): v for k, v in json.load(fh).items()}
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     def with_shard(batch: pa.Table) -> pa.Table:
         sid = batch.column("seq_id").to_numpy()
@@ -776,10 +832,6 @@ def write_packed_shards(
         .map_batches(with_shard, batch_format="pyarrow")
         .write_parquet(out_dir, partition_cols=["shard"])
     )
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
 
     result: dict[int, int] = {}
     for d in sorted(glob.glob(os.path.join(out_dir, "shard=*"))):
@@ -789,6 +841,8 @@ def write_packed_shards(
             for f in glob.glob(os.path.join(d, "*.parquet"))
         )
         result[shard] = n
+    with open(marker, "w") as fh:
+        json.dump(result, fh)
     return result
 
 
@@ -882,63 +936,12 @@ def pack_sequences_by_lang(
             acc = 0
         offsets[k] = acc
         acc += totals[k]
-    off_ref = ray.put(offsets)
-
-    empty = pa.table(
-        {
-            "lang": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "seq_id": pa.array([], pa.int64()),
-            "seq_off": pa.array([], pa.int64()),
-            "n_toks": pa.array([], pa.int64()),
-        }
-    )
-
-    def pack(group: pa.Table) -> pa.Table:
-        off = ray.get(off_ref)
-        keyv = group.column("key").to_numpy()
-        did = group.column("doc_id").to_numpy()
-        if did.size == 0:
-            return empty
-        order = np.lexsort((did, keyv))
-        keyv, did = keyv[order], did[order]
-        lang_arr = group.column("lang").take(pa.array(order))
-        n = group.column("n").to_numpy()[order]
-        new = np.r_[True, keyv[1:] != keyv[:-1]]
-        run_id = np.cumsum(new) - 1
-        cs = np.concatenate(([0], np.cumsum(n[:-1]))).astype(np.int64)
-        starts = np.flatnonzero(new)
-        base = np.array(
-            [off.get(int(kk), 0) for kk in keyv[starts]], dtype=np.int64
-        )
-        s = base[run_id] + (cs - cs[starts][run_id])
-        keep = n > 0
-        sel = np.flatnonzero(keep)
-        did, n, s = did[keep], n[keep], s[keep]
-        lang_arr = lang_arr.take(pa.array(sel))
-        first = s // budget
-        last = (s + n - 1) // budget
-        reps = (last - first + 1).astype(np.int64)
-        idx = np.repeat(np.arange(did.size, dtype=np.int64), reps)
-        run_starts = np.concatenate(([0], np.cumsum(reps[:-1])))
-        within = np.arange(idx.size, dtype=np.int64) - run_starts[idx]
-        seq_id = first[idx] + within
-        sb = seq_id * budget
-        st = np.maximum(sb, s[idx])
-        en = np.minimum(sb + budget, (s + n)[idx])
-        return pa.table(
-            {
-                "lang": lang_arr.take(pa.array(idx)),
-                "doc_id": pa.array(did[idx]),
-                "seq_id": pa.array(seq_id.astype(np.int64)),
-                "seq_off": pa.array((st - sb).astype(np.int64)),
-                "n_toks": pa.array((en - st).astype(np.int64)),
-            }
-        )
-
-    return (
-        counts.repartition(shuffle_parts(n_docs * 32))
-        .groupby("gkey")
-        .map_groups(pack, batch_format="pyarrow")
-        .sort(["lang", "doc_id", "seq_id"])
+    return _pack_counts(
+        counts,
+        n_docs,
+        budget,
+        range_size,
+        offsets=offsets,
+        key_col="key",
+        label_col="lang",
     )

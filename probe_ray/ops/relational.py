@@ -3378,7 +3378,7 @@ def event_funnel(
             }
         )
 
-    agg = (
+    rows = (
         _read(sf_dir, "events", ["user_id", "event_type", "ts"])
         .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(shuffle_parts(table_rows(sf_dir, "events") * 32))
@@ -3386,18 +3386,21 @@ def event_funnel(
         .map_groups(funnel, batch_format="pyarrow")
         .groupby(["step", "event_type"])
         .aggregate(Sum("n"))
+        .take_all()
+    )  # <= |steps| rows by construction
+    by_step = {int(r["step"]): int(r["sum(n)"]) for r in rows}
+    # always emit every funnel depth — zero-count steps included, so the
+    # empty-window output matches the oracle's constant 3-row shape
+    return pa.table(
+        {
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            "event_type": pa.array(list(steps), pa.string()),
+            "n_users": pa.array(
+                [by_step.get(i, 0) for i in range(1, len(steps) + 1)],
+                pa.int64(),
+            ),
+        }
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "step": batch.column("step"),
-                "event_type": batch.column("event_type"),
-                "n_users": batch.column("sum(n)").cast(pa.int64()),
-            }
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow").sort("step")
 
 
 def retention_cohorts(sf_dir: str, day_lo: int = 21, day_hi: int = 22):
@@ -3668,25 +3671,41 @@ def rolling_active_users(sf_dir: str, window_days: int = 7):
 
     ONE user-keyed bounded exchange; per-partition output is
     O(day_range) ints regardless of user count."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
     parts = SESSION_PARTITIONS
     day_us = 86_400_000_000
-    # corpus day range from parquet footer min/max (zero data read)
+    # corpus day range from parquet footer min/max (zero data read).
+    # Footer stats decode to NAIVE datetimes; interpret them explicitly
+    # as UTC (naive .timestamp() would apply the machine timezone and
+    # shift every day boundary off the raw UTC epoch-us the rows carry).
     f = pq.ParquetFile(f"{sf_dir}/events.parquet")
     lo = None
     hi = None
+
+    def _us_of(v) -> int:
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp() * 1e6)
+        return int(v)
+
     for rg in range(f.metadata.num_row_groups):
         for ci in range(f.metadata.row_group(rg).num_columns):
             col = f.metadata.row_group(rg).column(ci)
             if col.path_in_schema == "ts" and col.statistics is not None:
-                mn = col.statistics.min
-                mx = col.statistics.max
-                mn_us = int(mn.timestamp() * 1e6) if hasattr(mn, "timestamp") else int(mn)
-                mx_us = int(mx.timestamp() * 1e6) if hasattr(mx, "timestamp") else int(mx)
+                mn_us = _us_of(col.statistics.min)
+                mx_us = _us_of(col.statistics.max)
                 lo = mn_us if lo is None else min(lo, mn_us)
                 hi = mx_us if hi is None else max(hi, mx_us)
+    if lo is None:
+        # stats absent: fall back to one narrow driver read of ts
+        t_mm = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+        v = t_mm.column("ts").to_numpy().astype(np.int64)
+        lo, hi = int(v.min()), int(v.max())
     day0 = lo // day_us
     n_days = hi // day_us - day0 + 1
 

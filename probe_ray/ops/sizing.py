@@ -30,3 +30,17 @@ def table_rows(sf_dir: str, table: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def disc_quantile_from_hist(counts, n_total: int, pct: float) -> int:
+    """Exact discrete pct-quantile from a value histogram (DuckDB
+    quantile_disc convention: the sorted value at index
+    max(0, ceil(pct*n)-1)). counts[i] = occurrences of value i; returns
+    the bin index. THE single definition of the quantile convention —
+    quality_percentile_filter(_by_lang) and ann.prototype_filter all
+    thread through here so the convention can never drift between the
+    ops and their oracles."""
+    import numpy as np
+
+    idx = max(0, int(np.ceil(pct * n_total)) - 1)
+    return int(np.searchsorted(np.cumsum(counts), idx + 1))

@@ -11,7 +11,11 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from probe_ray.ops.sizing import shuffle_parts, table_rows
+from probe_ray.ops.sizing import (
+    disc_quantile_from_hist,
+    shuffle_parts,
+    table_rows,
+)
 from probe_ray.ops.topk import dataset_topk
 
 _WS = re.compile(r"\s+")
@@ -2012,8 +2016,7 @@ def quality_percentile_filter(sf_dir: str, pct: float = 0.5):
     counts = np.zeros(1001, dtype=np.int64)
     for r in rows:
         counts[int(r["bin"])] = int(r["sum(cnt)"])
-    idx = max(0, int(np.ceil(pct * n_total)) - 1)
-    thr = int(np.searchsorted(np.cumsum(counts), idx + 1))
+    thr = disc_quantile_from_hist(counts, n_total, pct)
 
     def keep(batch: pa.Table) -> pa.Table:
         q = batch.column("quality_milli").to_numpy()
@@ -2090,11 +2093,10 @@ def quality_percentile_filter_by_lang(sf_dir: str, pct: float = 0.5):
         counts.setdefault(r["lang"], np.zeros(1001, np.int64))[
             int(r["bin"])
         ] = int(r["sum(cnt)"])
-    thr = {}
-    for lang, c in counts.items():
-        n_total = int(c.sum())
-        idx = max(0, int(np.ceil(pct * n_total)) - 1)
-        thr[lang] = int(np.searchsorted(np.cumsum(c), idx + 1))
+    thr = {
+        lang: disc_quantile_from_hist(c, int(c.sum()), pct)
+        for lang, c in counts.items()
+    }
 
     def keep(batch: pa.Table) -> pa.Table:
         lang = batch.column("lang")
