@@ -107,6 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": text.lang_id,
         "text_lang_id_ngram": text.lang_id_ngram,
         "text_lang_id_confusion": text.lang_id_confusion,
+        # doc-length distribution per language: the SAME exact grouped
+        # histogram-quantile operator applied to the documents table —
+        # the curation view of length balance across the mixture
+        "text_doclen_quantiles_by_lang": lambda sf: (
+            relational.column_quantiles_by_group(
+                sf, table="documents", column="n_chars", group="lang"
+            )
+        ),
         "text_fingerprint": text.fingerprint,
         "text_curation_pipeline": text.curation_pipeline,
         "text_train_val_split": text.train_val_split,
@@ -576,6 +584,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'unknown' END AS lang_guess FROM h) "
             "SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n "
             "FROM g GROUP BY lang, lang_guess ORDER BY lang, lang_guess"
+        ),
+        "text_doclen_quantiles_by_lang": (
+            "SELECT * FROM (SELECT lang, CAST(0.5 AS DOUBLE) AS q, "
+            "quantile_disc(n_chars, 0.5) AS value FROM documents "
+            "GROUP BY lang UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), "
+            "quantile_disc(n_chars, 0.9) FROM documents GROUP BY lang) "
+            "ORDER BY lang, q"
         ),
         "text_quality_percentile_by_lang": (
             "WITH s AS (SELECT doc_id, lang, "

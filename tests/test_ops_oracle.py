@@ -58,6 +58,7 @@ CASES = [
     "text_curation_pipeline",
     "text_lang_id",
     "text_lang_id_confusion",
+    "text_doclen_quantiles_by_lang",
     "text_token_count",
     "text_normalize_stopwords",
     "text_stats",
