@@ -181,7 +181,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
     q["fts_search_blocks_reranked"] = fts.fts_search_blocks_reranked
     q["fts_search_blocks_balanced"] = fts.fts_search_blocks_balanced
-    return q
+
+    # The driver verifies only the FIRST 50 entries (dict order). Pin that
+    # window to an explicit, all-oracle-bearing slice covering every
+    # operator family (rel/text/fts/dedup/ann/embedding/export/io/
+    # multimodal); the remaining oracle rows come next (they stay checked
+    # by tests/test_ops_oracle.py), rows-only entries last.
+    ordered = {k: q[k] for k in DRIVER_WINDOW}
+    oracle_keys = set(oracle_sql().keys())
+    ordered.update(
+        {k: v for k, v in q.items() if k not in ordered and k in oracle_keys}
+    )
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
+
+
+# The driver-checked window: exactly 50 names, every one of them present in
+# oracle_sql(), at least one per operator family. tests/test_driver_gate.py
+# asserts these invariants so a future insertion can't silently evict a
+# family from external verification again (round-3 lesson).
+DRIVER_WINDOW = [
+    # relational (17)
+    "rel_q1_pricing_summary",
+    "rel_top_customers_by_revenue",
+    "rel_sessionize_events",
+    "rel_top_event_per_user",
+    "rel_asof_last_click",
+    "rel_band_join_counts",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_q10_returned_items",
+    "rel_q18_large_orders",
+    "rel_q22_rich_inactive",
+    "rel_event_funnel",
+    "rel_event_transitions",
+    "rel_retention_cohorts",
+    "rel_value_quantiles",
+    "rel_value_quantiles_by_type",
+    "rel_events_json_kpis",
+    # text (14)
+    "text_doclen_quantiles_by_lang",
+    "text_heavy_hitters",
+    "text_token_count",
+    "text_stats",
+    "text_quality_score",
+    "text_lang_id_confusion",
+    "text_curation_pipeline",
+    "text_decontaminate",
+    "text_distinctive_terms",
+    "text_unigram_surprisal",
+    "text_quality_percentile_by_lang",
+    "text_stratified_sample",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    # fulltext engine (3)
+    "fts_corpus_sha256",
+    "fts_index_doc_stats",
+    "fts_extract_docs",
+    # dedup (4)
+    "dedup_exact_groups",
+    "dedup_exact_keep_first",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_neardup_clusters",
+    # ANN / embeddings (3)
+    "ann_brute_topk",
+    "ann_knn_classify",
+    "embedding_neardup_pairs",
+    # export / packing (6)
+    "export_pack_sequences",
+    "export_curated_pack",
+    "export_seq_stats",
+    "export_pack_by_lang",
+    "export_shuffle_order",
+    "export_budget_select",
+    # io (2)
+    "io_jsonl_roundtrip",
+    "io_csv_roundtrip",
+    # multimodal (1)
+    "multimodal_payload_sizes",
+]
 
 
 _WS_TOKENS = "string_split_regex(trim(text), '\\s+')"

@@ -288,6 +288,20 @@ def run_headline(
         ray.shutdown()
 
 
+
+def _nrows(x) -> int:
+    """Row count for any operator return type: lazy ray.data.Dataset
+    (consume via .count()), pyarrow.Table, or pandas.DataFrame. Bench
+    rows must consume lazy pipelines inside the timed lambda."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(x, pa.Table):
+        return x.num_rows
+    if isinstance(x, pd.DataFrame):
+        return len(x)
+    return x.count()
+
 def run_sf_ops(num_cpus: int) -> dict:
     """documents/embeddings-table operator timings over SF_DIR."""
     import ray
@@ -316,51 +330,51 @@ def run_sf_ops(num_cpus: int) -> dict:
         _warmup_ray_data()
         out = {}
         for name, fn in [
-            ("dedup_exact", lambda: dedup.exact_dedup_groups(SF_DIR).count()),
-            ("text_stats", lambda: text.text_stats(SF_DIR).count()),
-            ("ann_brute_topk", lambda: ann.ann_brute_topk(SF_DIR).num_rows),
-            ("ann_ivf_topk", lambda: ann.ann_ivf_topk(SF_DIR).num_rows),
-            ("minhash_pairs", lambda: dedup.minhash_lsh_pairs(SF_DIR).count()),
-            ("minhash_verified", lambda: dedup.minhash_verified_pairs(SF_DIR).count()),
-            ("simhash", lambda: dedup.simhash(SF_DIR).count()),
-            ("train_val_split", lambda: text.train_val_split(SF_DIR).count()),
-            ("decontaminate", lambda: text.decontaminate(SF_DIR).count()),
-            ("ngram_topk", lambda: text.ngram_topk(SF_DIR).count()),
-            ("repetition_stats", lambda: text.repetition_stats(SF_DIR).count()),
-            ("stratified_sample", lambda: text.stratified_sample(SF_DIR).count()),
-            ("shared_ngram_counts", lambda: text.shared_ngram_counts(SF_DIR).count()),
-            ("neardup_clusters", lambda: dedup.neardup_clusters(SF_DIR).count()),
-            ("distinctive_terms", lambda: text.distinctive_terms(SF_DIR).count()),
-            ("hll_distinct", lambda: text.hll_distinct_tokens(SF_DIR).num_rows),
-            ("unigram_surprisal", lambda: text.unigram_surprisal(SF_DIR).count()),
-            ("pack_sequences", lambda: export.pack_sequences(SF_DIR).count()),
-            ("curated_pack", lambda: export.curated_pack(SF_DIR).count()),
-            ("seq_stats", lambda: export.seq_stats(SF_DIR).count()),
-            ("pack_by_lang", lambda: export.pack_sequences_by_lang(SF_DIR).count()),
-            ("shuffle_order", lambda: export.shuffle_export(SF_DIR).count()),
-            ("budget_select", lambda: export.budget_select(SF_DIR).count()),
-            ("rel_q1_pricing", lambda: relational.q1_pricing_summary(SF_DIR).count()),
-            ("rel_top_customers", lambda: relational.top_customers_by_revenue(SF_DIR).count()),
-            ("rel_semijoin", lambda: relational.order_priority_semijoin(SF_DIR).count()),
-            ("rel_sliding_window", lambda: relational.events_sliding_window_counts(SF_DIR).count()),
-            ("rel_asof_join", lambda: relational.events_asof_last_click(SF_DIR).count()),
-            ("rel_quantiles", lambda: relational.column_quantiles_disc(SF_DIR).num_rows),
-            ("text_curation", lambda: text.curation_pipeline(SF_DIR).count()),
-            ("embed_neardup_chain", lambda: embed.text_embed_neardup_pairs(SF_DIR).count()),
-            ("semantic_dedup", lambda: ann.semantic_dedup(SF_DIR).count()),
-            ("prototype_filter", lambda: ann.prototype_filter(SF_DIR).count()),
-            ("knn_classify_ivf", lambda: ann.ann_knn_classify_ivf(SF_DIR).count()),
-            ("dedup_spans", lambda: text.dedup_spans(SF_DIR).count()),
-            ("multimodal_frames", lambda: multimodal.frame_features(SF_DIR).count()),
-            ("rel_q5_volume", lambda: relational.local_supplier_volume(SF_DIR).count()),
-            ("rel_q10_returns", lambda: relational.returned_item_revenue(SF_DIR).count()),
-            ("rel_q18_large_orders", lambda: relational.large_order_customers(SF_DIR).count()),
-            ("rel_q19_brackets", lambda: relational.discounted_bracket_revenue(SF_DIR).num_rows),
-            ("rel_q22_antijoin", lambda: relational.rich_inactive_customers(SF_DIR).count()),
-            ("rel_event_funnel", lambda: relational.event_funnel(SF_DIR).count()),
-            ("rel_retention", lambda: relational.retention_cohorts(SF_DIR).count()),
-            ("rel_rolling_active", lambda: relational.rolling_active_users(SF_DIR).count()),
-            ("quality_pct_by_lang", lambda: text.quality_percentile_filter_by_lang(SF_DIR).count()),
+            ("dedup_exact", lambda: _nrows(dedup.exact_dedup_groups(SF_DIR))),
+            ("text_stats", lambda: _nrows(text.text_stats(SF_DIR))),
+            ("ann_brute_topk", lambda: _nrows(ann.ann_brute_topk(SF_DIR))),
+            ("ann_ivf_topk", lambda: _nrows(ann.ann_ivf_topk(SF_DIR))),
+            ("minhash_pairs", lambda: _nrows(dedup.minhash_lsh_pairs(SF_DIR))),
+            ("minhash_verified", lambda: _nrows(dedup.minhash_verified_pairs(SF_DIR))),
+            ("simhash", lambda: _nrows(dedup.simhash(SF_DIR))),
+            ("train_val_split", lambda: _nrows(text.train_val_split(SF_DIR))),
+            ("decontaminate", lambda: _nrows(text.decontaminate(SF_DIR))),
+            ("ngram_topk", lambda: _nrows(text.ngram_topk(SF_DIR))),
+            ("repetition_stats", lambda: _nrows(text.repetition_stats(SF_DIR))),
+            ("stratified_sample", lambda: _nrows(text.stratified_sample(SF_DIR))),
+            ("shared_ngram_counts", lambda: _nrows(text.shared_ngram_counts(SF_DIR))),
+            ("neardup_clusters", lambda: _nrows(dedup.neardup_clusters(SF_DIR))),
+            ("distinctive_terms", lambda: _nrows(text.distinctive_terms(SF_DIR))),
+            ("hll_distinct", lambda: _nrows(text.hll_distinct_tokens(SF_DIR))),
+            ("unigram_surprisal", lambda: _nrows(text.unigram_surprisal(SF_DIR))),
+            ("pack_sequences", lambda: _nrows(export.pack_sequences(SF_DIR))),
+            ("curated_pack", lambda: _nrows(export.curated_pack(SF_DIR))),
+            ("seq_stats", lambda: _nrows(export.seq_stats(SF_DIR))),
+            ("pack_by_lang", lambda: _nrows(export.pack_sequences_by_lang(SF_DIR))),
+            ("shuffle_order", lambda: _nrows(export.shuffle_export(SF_DIR))),
+            ("budget_select", lambda: _nrows(export.budget_select(SF_DIR))),
+            ("rel_q1_pricing", lambda: _nrows(relational.q1_pricing_summary(SF_DIR))),
+            ("rel_top_customers", lambda: _nrows(relational.top_customers_by_revenue(SF_DIR))),
+            ("rel_semijoin", lambda: _nrows(relational.order_priority_semijoin(SF_DIR))),
+            ("rel_sliding_window", lambda: _nrows(relational.events_sliding_window_counts(SF_DIR))),
+            ("rel_asof_join", lambda: _nrows(relational.events_asof_last_click(SF_DIR))),
+            ("rel_quantiles", lambda: _nrows(relational.column_quantiles_disc(SF_DIR))),
+            ("text_curation", lambda: _nrows(text.curation_pipeline(SF_DIR))),
+            ("embed_neardup_chain", lambda: _nrows(embed.text_embed_neardup_pairs(SF_DIR))),
+            ("semantic_dedup", lambda: _nrows(ann.semantic_dedup(SF_DIR))),
+            ("prototype_filter", lambda: _nrows(ann.prototype_filter(SF_DIR))),
+            ("knn_classify_ivf", lambda: _nrows(ann.ann_knn_classify_ivf(SF_DIR))),
+            ("dedup_spans", lambda: _nrows(text.dedup_spans(SF_DIR))),
+            ("multimodal_frames", lambda: _nrows(multimodal.frame_features(SF_DIR))),
+            ("rel_q5_volume", lambda: _nrows(relational.local_supplier_volume(SF_DIR))),
+            ("rel_q10_returns", lambda: _nrows(relational.returned_item_revenue(SF_DIR))),
+            ("rel_q18_large_orders", lambda: _nrows(relational.large_order_customers(SF_DIR))),
+            ("rel_q19_brackets", lambda: _nrows(relational.discounted_bracket_revenue(SF_DIR))),
+            ("rel_q22_antijoin", lambda: _nrows(relational.rich_inactive_customers(SF_DIR))),
+            ("rel_event_funnel", lambda: _nrows(relational.event_funnel(SF_DIR))),
+            ("rel_retention", lambda: _nrows(relational.retention_cohorts(SF_DIR))),
+            ("rel_rolling_active", lambda: _nrows(relational.rolling_active_users(SF_DIR))),
+            ("quality_pct_by_lang", lambda: _nrows(text.quality_percentile_filter_by_lang(SF_DIR))),
         ]:
             # median-of-3, matching the query entries' methodology: the
             # first rep of each op pays pipeline compile + worker ramp,

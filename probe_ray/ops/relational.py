@@ -1164,7 +1164,9 @@ def column_quantiles_disc(
 ):
     """Exact discrete quantiles (DuckDB quantile_disc convention:
     0-based index max(0, ceil(q*n)-1) of the sorted non-null column).
-    Output (q:double, value:double), one row per requested quantile.
+    Output (q:double, value:<source column type>), one row per requested
+    quantile — quantile_disc returns a value OF the column, so the output
+    keeps the column's own Arrow type (BIGINT column -> int64 quantile).
 
     Global min/max/row-count come from the Parquet footer statistics —
     no data read; then ONE histogram pass is shared by all quantiles."""
@@ -1175,6 +1177,7 @@ def column_quantiles_disc(
     path = f"{sf_dir}/{table}.parquet"
     pf = pq.ParquetFile(path)
     ci = pf.schema_arrow.get_field_index(column)
+    src_type = pf.schema_arrow.field(column).type
     lo, hi, n = math.inf, -math.inf, 0
     for rg in range(pf.metadata.num_row_groups):
         st = pf.metadata.row_group(rg).column(ci).statistics
@@ -1183,7 +1186,10 @@ def column_quantiles_disc(
         n += st.num_values  # non-null count
     if n == 0:
         return pa.table(
-            {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+            {
+                "q": pa.array([], pa.float64()),
+                "value": _quantile_value_array([], src_type),
+            }
         )
     counts = _value_histogram([path], column, lo, hi)
     # locate every q's holding bin first, then collect ALL small bins in
@@ -1265,9 +1271,21 @@ def column_quantiles_disc(
     return pa.table(
         {
             "q": pa.array([q for q, _ in out], pa.float64()),
-            "value": pa.array([v for _, v in out], pa.float64()),
+            "value": _quantile_value_array([v for _, v in out], src_type),
         }
     )
+
+
+def _quantile_value_array(vals, src_type) -> "pa.Array":
+    """quantile_disc returns an actual value OF the column, so render it
+    in the column's own Arrow type. Every collected value came out of the
+    column, so the float64 round-trip back to int is exact (int64 parquet
+    stats/values here are far below 2**53). Matters for the driver's
+    string-rendered hash: DuckDB prints 294 for a BIGINT column where a
+    float64 output would print 294.0."""
+    if pa.types.is_integer(src_type):
+        return pa.array([int(v) for v in vals], src_type)
+    return pa.array([float(v) for v in vals], pa.float64())
 
 
 def column_quantiles_by_group(
@@ -1278,41 +1296,41 @@ def column_quantiles_by_group(
     qs: tuple = (0.5, 0.9),
 ):
     """Per-group exact discrete quantiles: (group, q, value). One
-    histogram pass computes EVERY group's bin counts at once (np.add.at
-    on a groups x bins matrix keyed by a broadcast group dictionary);
-    the per-group order stats then reuse _order_stat with group-filtered
-    collects. Group cardinality is assumed dictionary-small (it rides in
-    every task's closure); high-cardinality grouped quantiles belong in
-    a sketch, not an exact operator."""
+    histogram pass computes EVERY group's bin counts at once: each batch
+    dictionary-encodes its OWN group column (no broadcast group list, no
+    driver-side distinct scan) and emits one (group, bin-counts) row per
+    group seen, and the driver folds those partials — driver traffic is
+    O(batches x groups-per-batch x bins), never O(rows). The per-group
+    order stats then reuse the histogram bin math with group-filtered
+    collects. Group cardinality is assumed dictionary-small (the fold
+    dict holds one bins-vector per group); high-cardinality grouped
+    quantiles belong in a sketch, not an exact operator.
+
+    ``value`` is emitted in the source column's Arrow type (it is an
+    actual value of the column — see _quantile_value_array)."""
     import math
 
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray.data
 
     path = f"{sf_dir}/{table}.parquet"
     pf = pq.ParquetFile(path)
     ci = pf.schema_arrow.get_field_index(column)
+    src_type = pf.schema_arrow.field(column).type
     lo, hi = math.inf, -math.inf
     for rg in range(pf.metadata.num_row_groups):
         st = pf.metadata.row_group(rg).column(ci).statistics
         lo = min(lo, st.min)
         hi = max(hi, st.max)
-
-    groups = sorted(
-        pads.dataset(path)
-        .to_table(columns=[group])
-        .column(group)
-        .unique()
-        .to_pylist()
-    )
-    gidx = {g: i for i, g in enumerate(groups)}
     w = hi - lo
 
     def hist(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         v = batch.column(column).to_numpy(zero_copy_only=False)
-        gcol = batch.column(group).to_pylist()
-        gc = np.array([gidx[g] for g in gcol], np.int64)
+        enc = pc.dictionary_encode(batch.column(group).combine_chunks())
+        gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ngroups = len(enc.dictionary)
         ok = ~np.isnan(v)
         v, gc = v[ok], gc[ok]
         b = np.clip(
@@ -1320,29 +1338,34 @@ def column_quantiles_by_group(
             0,
             QUANTILE_BINS - 1,
         )
-        mat = np.zeros((len(groups), QUANTILE_BINS), np.int64)
+        mat = np.zeros((ngroups, QUANTILE_BINS), np.int64)
         np.add.at(mat, (gc, b), 1)
         return pa.table(
-            {"counts": pa.array([mat.ravel()], pa.list_(pa.int64()))}
+            {
+                group: enc.dictionary.cast(pa.string()),
+                "counts": pa.array(list(mat), pa.list_(pa.int64())),
+            }
         )
 
-    total = np.zeros((len(groups), QUANTILE_BINS), np.int64)
+    totals: dict[str, np.ndarray] = {}
     ds = ray.data.read_parquet(path, columns=[group, column])
     for b in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
         t = pa.table(b)
+        names = t.column(group).to_pylist()
         flat = t.column("counts").combine_chunks()
-        total += (
-            flat.flatten()
-            .to_numpy()
-            .reshape(len(t), len(groups), QUANTILE_BINS)
-            .sum(axis=0)
-        )
+        mat = flat.flatten().to_numpy().reshape(len(t), QUANTILE_BINS)
+        for i, g in enumerate(names):
+            acc = totals.get(g)
+            if acc is None:
+                totals[g] = mat[i].copy()
+            else:
+                acc += mat[i]
 
     out_g, out_q, out_v = [], [], []
-    for g in groups:
-        counts = total[gidx[g]]
+    for g in sorted(totals):
+        counts = totals[g]
         n = int(counts.sum())
         if n == 0:
             continue
@@ -1359,7 +1382,9 @@ def column_quantiles_by_group(
         {
             group: pa.array([out_g[i] for i in order], pa.string()),
             "q": pa.array([out_q[i] for i in order], pa.float64()),
-            "value": pa.array([out_v[i] for i in order], pa.float64()),
+            "value": _quantile_value_array(
+                [out_v[i] for i in order], src_type
+            ),
         }
     )
 

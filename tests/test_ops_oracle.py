@@ -2,7 +2,11 @@
 SQL-expressible operators (sf0.001; the driver runs sf0.01).
 
 Compare rule mirrors the driver: sort columns by name, sort rows by all
-columns, compare values exactly."""
+columns, compare STRING-RENDERED values — the driver hashes rendered
+values, so a numerically-equal-but-differently-typed result (294 vs
+294.0, the round-3 text_doclen_quantiles_by_lang failure) must fail here
+too, not only at the driver. Coverage = every oracle_sql() key (the
+parametrization asserts the lists stay in sync)."""
 
 from __future__ import annotations
 
@@ -20,9 +24,18 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-# checked here; the remaining oracle entries (fts_*) are covered by the
-# e2e rank-identity suite
 CASES = [
+    "ann_brute_topk",
+    "dedup_exact_keep_first",
+    "fts_corpus_sha256",
+    "fts_index_doc_stats",
+    "multimodal_payload_sizes",
+    "rel_asof_last_click_salted",
+    "rel_band_join_counts_salted",
+    "rel_value_quantiles",
+    "rel_value_quantiles_by_type",
+    "text_heavy_hitters",
+    "text_token_count_bpeish",
     "rel_q1_pricing_summary",
     "rel_top_customers_by_revenue",
     "rel_events_hourly_counts",
@@ -114,11 +127,41 @@ def _to_table(result) -> pa.Table:
     return pa.table(result)
 
 
+def _render(v) -> str:
+    """Driver-style value rendering: the external gate hashes rendered
+    values, so the canonical form here must distinguish 294 from 294.0."""
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_render(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(f"{k}:{_render(x)}" for k, x in sorted(v.items()))
+            + "}"
+        )
+    return str(v)
+
+
 def _canon(t: pa.Table) -> list[tuple]:
     cols = sorted(t.column_names)
     t = t.select(cols)
-    rows = sorted(tuple(r[c] for c in cols) for r in t.to_pylist())
+    rows = sorted(
+        tuple(_render(r[c]) for c in cols) for r in t.to_pylist()
+    )
     return rows
+
+
+def test_cases_cover_every_oracle_key():
+    """This suite IS the local mirror of the driver gate: every
+    oracle_sql() key must be parametrized above, and nothing stale."""
+    import __ray_entry__ as entrymod
+
+    assert sorted(CASES) == sorted(entrymod.oracle_sql().keys())
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -218,7 +261,7 @@ def test_tpch_dim_join_crossover_identity(ray_session, monkeypatch):
     q14 = _canon(_to_table(relational.promo_revenue(SF_DIR)))
     q19 = _canon(_to_table(relational.discounted_bracket_revenue(SF_DIR)))
     assert len(q5) > 0 and len(q14) == 1
-    assert q19[0][0] > 0  # non-vacuous bracket revenue
+    assert float(q19[0][0]) > 0  # non-vacuous bracket revenue (rendered)
     monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
     assert _canon(_to_table(relational.local_supplier_volume(SF_DIR))) == q5
     assert _canon(_to_table(relational.promo_revenue(SF_DIR))) == q14
