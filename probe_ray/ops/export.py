@@ -23,7 +23,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from probe_ray.ops.sizing import shuffle_parts, table_rows
+from probe_ray.ops.sizing import (
+    shuffle_parts,
+    table_column_max,
+    table_rows,
+)
 from probe_ray.ops.text import _read_documents, _split_words
 
 #: Tokens per packed training sequence (GPT-style concat-and-cut).
@@ -859,11 +863,23 @@ def pack_sequences_by_lang(
     lang_code * n_ranges + range and a RESET of the running sum at each
     language boundary (the _shard_grp_offsets idiom) — driver state is
     |langs| x n_ranges integers; the exchange still moves only count
-    rows."""
+    rows.
+
+    n_ranges comes from the MAX doc_id (parquet footer stats, no data
+    read), not the row count: with sparse/offset doc_ids a row-count
+    bound would let one language's range index spill into the next
+    language's key space and silently merge their token streams.
+    counts_fn re-asserts the bound per batch as a backstop."""
     import ray
+    import ray.data
 
     n_docs = table_rows(sf_dir, "documents")
-    n_ranges = n_docs // range_size + 2
+    max_doc = table_column_max(sf_dir, "documents", "doc_id")
+    if max_doc is None:
+        max_doc = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).max("doc_id")
+    n_ranges = int(max_doc) // range_size + 2
     ngroups = shuffle_parts(n_docs * 32, lo=64, hi=1 << 20)
 
     # distinct languages: bounded per-batch partials -> driver set
@@ -898,7 +914,12 @@ def pack_sequences_by_lang(
             [lang_code[v] for v in batch.column("lang").to_pylist()],
             dtype=np.int64,
         )
-        key = lc * n_ranges + (did // range_size)
+        rng = did // range_size
+        assert rng.size == 0 or int(rng.max()) < n_ranges, (
+            "doc_id range index exceeds n_ranges: composite lang key "
+            "would collide across languages"
+        )
+        key = lc * n_ranges + rng
         return pa.table(
             {
                 "doc_id": pa.array(did),

@@ -32,6 +32,23 @@ def table_rows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
 
 
+def table_column_max(sf_dir: str, table: str, column: str):
+    """Column max from parquet row-group footer statistics (no data
+    read). Returns None when the footer carries no stats for the column
+    — callers must fall back conservatively."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet"))
+    ci = pf.schema_arrow.get_field_index(column)
+    mx = None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(ci).statistics
+        if st is None or st.max is None:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def disc_quantile_from_hist(counts, n_total: int, pct: float) -> int:
     """Exact discrete pct-quantile from a value histogram (DuckDB
     quantile_disc convention: the sorted value at index

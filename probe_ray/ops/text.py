@@ -1227,6 +1227,23 @@ def _doc_term_tf_rows(batch: pa.Table) -> pa.Table:
 # terms) are far under.
 TERM_BROADCAST_MAX_TERMS = 2_000_000
 
+# per-worker-process cache of deserialized broadcast objects: ray.get of
+# a driver-put dict re-unpickles on EVERY call, so a per-batch ray.get
+# inside map_batches pays the full deserialize per batch; one cache entry
+# per ObjectRef makes it once per worker process instead.
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_get(ref):
+    import ray
+
+    out = _BCAST_CACHE.get(ref)
+    if out is None:
+        if len(_BCAST_CACHE) >= 4:  # bound worker heap across op runs
+            _BCAST_CACHE.clear()
+        out = _BCAST_CACHE[ref] = ray.get(ref)
+    return out
+
 
 def _tf_rows(sf_dir: str):
     """MATERIALIZED (part, doc_id, term, tf) rows — the single tokenize
@@ -1415,24 +1432,30 @@ def distinctive_terms(sf_dir: str, k: int = 5):
     feeds from them): a cheap HLL vocab estimate over the materialized
     rows gates the crossover — under ~TERM_BROADCAST_MAX_TERMS the
     exact (term, cnt, df) stats fold through one vocab-sized exchange,
-    broadcast once, and top-k runs as a LOCAL pass over the rows (no
-    (doc,term) exchange); over it, the two-exchange path runs on the
-    same rows with no discarded stats job. Both paths pinned
-    output-identical in tests/test_ops_oracle.py.
+    broadcast once, and top-k candidates are a LOCAL pass over the rows.
+    A doc's tf rows can straddle block/batch boundaries (Ray's
+    BlockOutputBuffer slices a map task's output at arbitrary rows once
+    it exceeds the target block size), so the local pass emits per-batch
+    per-doc top-k CANDIDATES (any row in a doc's true top-k is in its
+    own batch's top-k — selection is monotone under subsetting) and a
+    doc-keyed groupby folds them exactly; that fold moves O(docs * k)
+    rows, never the (doc,term) stream. Over the budget, the
+    two-exchange path runs on the same rows with no discarded stats
+    job. Both paths pinned output-identical in tests/test_ops_oracle.py.
 
     NOTE: the tf rows + crossover decision materialize at CALL time
     (eager, like dataset_topk); only the final stage stays lazy."""
-    import ray
-
     tf_ds = _tf_rows(sf_dir)
     bc = _broadcast_term_stats(sf_dir, tf_ds)
     if bc is not None:
         stats_ref, _ = bc
 
         def local_topk(batch: pa.Table) -> pa.Table:
-            stats = ray.get(stats_ref)
             if batch.num_rows == 0:
-                return _empty_distinctive()
+                return _empty_distinctive().drop_columns(["rk"]).add_column(
+                    0, "part", pa.array([], pa.int64())
+                )
+            stats = _bcast_get(stats_ref)
             term = batch.column("term")
             if isinstance(term, pa.ChunkedArray):
                 term = term.combine_chunks()
@@ -1450,11 +1473,25 @@ def distinctive_terms(sf_dir: str, k: int = 5):
                     "df": pa.array(dfv[codes]),
                 }
             )
-            return _doc_topk_select(t, k)
+            cand = _doc_topk_select(t, k).drop_columns(["rk"])
+            did = cand.column("doc_id").to_numpy()
+            return cand.add_column(
+                0,
+                "part",
+                pa.array((did % TERM_PARTITIONS).astype(np.int64)),
+            )
 
-        return tf_ds.map_batches(
-            local_topk, batch_format="pyarrow"
-        ).sort(["doc_id", "rk"])
+        def fold_topk(group: pa.Table) -> pa.Table:
+            return _doc_topk_select(
+                group.select(["doc_id", "term", "tf", "df"]), k
+            )
+
+        return (
+            tf_ds.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(fold_topk, batch_format="pyarrow")
+            .sort(["doc_id", "rk"])
+        )
 
     def attach_df(group: pa.Table) -> pa.Table:
         term = group.column("term")
@@ -1517,12 +1554,14 @@ def unigram_surprisal(sf_dir: str):
     (doc, term, tf) rows; an HLL vocab estimate gates the stats fold so
     a too-large vocabulary never pays a discarded stats job): under the
     budget the corpus counts broadcast once and scoring is a LOCAL pass
-    over the rows; over it, the two-exchange path runs on the same
+    over the rows emitting per-batch per-doc PARTIAL sums — a doc's tf
+    rows can straddle block/batch boundaries (BlockOutputBuffer slices
+    map output at arbitrary rows), so the partials fold through a
+    doc-keyed groupby that moves O(docs) rows, never the (doc,term)
+    stream. Over the budget, the two-exchange path runs on the same
     rows. Both paths pinned identical.
     NOTE: rows + crossover decision materialize at CALL time (eager);
     scoring stays lazy."""
-    import ray
-
     tf_ds = _tf_rows(sf_dir)
     bc = _broadcast_term_stats(sf_dir, tf_ds)
     if bc is not None:
@@ -1537,15 +1576,16 @@ def unigram_surprisal(sf_dir: str):
             )
 
         def score(batch: pa.Table) -> pa.Table:
-            stats = ray.get(stats_ref)
             if batch.num_rows == 0:
                 return pa.table(
                     {
+                        "part": pa.array([], pa.int64()),
                         "doc_id": pa.array([], pa.int64()),
                         "n_tokens": pa.array([], pa.int64()),
                         "surprisal_bits": pa.array([], pa.int64()),
                     }
                 )
+            stats = _bcast_get(stats_ref)
             term = batch.column("term")
             if isinstance(term, pa.ChunkedArray):
                 term = term.combine_chunks()
@@ -1568,15 +1608,38 @@ def unigram_surprisal(sf_dir: str):
             sbits = np.bincount(inv, weights=tf * bits_w).astype(np.int64)
             return pa.table(
                 {
+                    "part": pa.array(
+                        (enc_did % TERM_PARTITIONS).astype(np.int64)
+                    ),
                     "doc_id": pa.array(enc_did),
                     "n_tokens": pa.array(ntok),
                     "surprisal_bits": pa.array(sbits),
                 }
             )
 
-        return tf_ds.map_batches(
-            score, batch_format="pyarrow"
-        ).sort("doc_id")
+        def fold(group: pa.Table) -> pa.Table:
+            did = group.column("doc_id").to_numpy()
+            uniq, inv = np.unique(did, return_inverse=True)
+            ntok = np.zeros(uniq.size, np.int64)
+            sbits = np.zeros(uniq.size, np.int64)
+            np.add.at(ntok, inv, group.column("n_tokens").to_numpy())
+            np.add.at(
+                sbits, inv, group.column("surprisal_bits").to_numpy()
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(uniq),
+                    "n_tokens": pa.array(ntok),
+                    "surprisal_bits": pa.array(sbits),
+                }
+            )
+
+        return (
+            tf_ds.map_batches(score, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(fold, batch_format="pyarrow")
+            .sort("doc_id")
+        )
 
     n_docs = table_rows(sf_dir, "documents")
     total = int(tf_ds.sum("tf") or 0)

@@ -460,7 +460,7 @@ def hybrid_search_many(
                 keep = keep & pc.invert(
                     pc.is_in(
                         key,
-                        value_set=pa.array(sorted(reader.tombstones)),
+                        value_set=reader.tombstone_value_set(),
                     )
                 ).to_numpy(zero_copy_only=False)
             idxs = np.flatnonzero(keep)

@@ -698,6 +698,18 @@ class IndexReader:
         from probe_ray.index.tombstones import load_tombstones
 
         self.tombstones: frozenset[str] = load_tombstones(index_dir)
+        self._tombstone_value_set = None
+
+    def tombstone_value_set(self):
+        """The tombstone keys as a sorted pa.Array, built ONCE per reader
+        (tombstones are immutable after open) — the hybrid candidate
+        filter runs per query and must not re-sort/re-encode the set on
+        its hot path."""
+        if self._tombstone_value_set is None:
+            import pyarrow as pa
+
+            self._tombstone_value_set = pa.array(sorted(self.tombstones))
+        return self._tombstone_value_set
 
     def df_lookup(self, terms: list[str]) -> dict[str, int]:
         """Cached per-term document frequencies (see _DfDict)."""

@@ -210,3 +210,45 @@ def test_write_packed_shards_layout(ray_session, tmp_path):
             assert r["seq_id"] % 4 == shard
             got[(r["doc_id"], r["seq_id"])] = (r["seq_off"], r["n_toks"])
     assert got == want
+
+
+def test_pack_by_lang_sparse_doc_ids(ray_session, tmp_path):
+    """Sparse/offset doc_ids must not collide across languages: the
+    composite key's range bound comes from max(doc_id), not the row
+    count (round-3 advisory — a doc_id >= n_docs + 2*range_size used to
+    spill its range index into the next language's key space and merge
+    token streams). Packing is a pure function of per-language doc ORDER
+    and token counts, so the sparse corpus must pack identically to the
+    same corpus with dense ids."""
+    from probe_ray.ops import export
+
+    texts = ["a b c", "d e f g", "h i", "j k l m n"]
+    langs = ["en", "de", "en", "de"]
+    sparse_ids = [0, 5, 100_000, 100_001]
+    dense_ids = [0, 1, 2, 3]
+    for name, ids in [("sparse", sparse_ids), ("dense", dense_ids)]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lang": pa.array(langs, pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+    remap = dict(zip(sparse_ids, dense_ids))
+    sp = [
+        {**r, "doc_id": remap[r["doc_id"]]}
+        for r in _table(
+            export.pack_sequences_by_lang(str(tmp_path / "sparse"), budget=4)
+        ).to_pylist()
+    ]
+    de = _table(
+        export.pack_sequences_by_lang(str(tmp_path / "dense"), budget=4)
+    ).to_pylist()
+    key = lambda r: (r["lang"], r["seq_id"], r["doc_id"])
+    assert sorted(sp, key=key) == sorted(de, key=key)
+    assert len(de) > 0

@@ -285,6 +285,31 @@ def test_text_term_broadcast_crossover_identity(ray_session, monkeypatch):
     assert _canon(_to_table(text.unigram_surprisal(SF_DIR))) == surp_bc
 
 
+def test_text_broadcast_doc_straddle_identity(ray_session):
+    """The broadcast branches must NOT assume a doc's (doc,term,tf) rows
+    land in one batch: Ray's BlockOutputBuffer slices map output at
+    arbitrary row boundaries once a block exceeds target_max_block_size.
+    Shrink the target so docs straddle blocks and assert the per-batch
+    partial+fold paths still produce the exact answer (the round-3
+    advisory: partial sums / duplicate ranks under straddling)."""
+    import ray.data
+
+    from probe_ray.ops import text
+
+    base_dist = _canon(_to_table(text.distinctive_terms(SF_DIR)))
+    base_surp = _canon(_to_table(text.unigram_surprisal(SF_DIR)))
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        # corpus tf rows are ~100s of KB; 16 KiB blocks guarantee many
+        # docs straddle a block boundary
+        ctx.target_max_block_size = 16 * 1024
+        assert _canon(_to_table(text.distinctive_terms(SF_DIR))) == base_dist
+        assert _canon(_to_table(text.unigram_surprisal(SF_DIR))) == base_surp
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_ngram_jaccard_hot_token_df_cap(ray_session, tmp_path):
     """A token shared by every doc used to emit df^2/2 pairs in a Python
     double loop; df_cap skips such runs. Both the uncapped and the capped
