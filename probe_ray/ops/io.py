@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -75,30 +76,39 @@ def _lang_rollup(ds) -> "pa.Table":
 def _roundtrip(sf_dir: str, fmt: str):
     import ray.data
 
-    out = os.path.join(
+    # per-call unique scratch dir: two concurrent roundtrips over the
+    # same corpus (parallel bench/test workers) must not delete or
+    # overwrite each other's shard files mid-read
+    root = os.path.join(
         _CACHE_ROOT,
         hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
-        fmt,
     )
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    os.makedirs(root, exist_ok=True)
+    out = tempfile.mkdtemp(prefix=f"{fmt}-", dir=root)
     docs = _read_documents(sf_dir)
-    if fmt == "jsonl":
-        docs.write_json(out)
-        back = ray.data.read_json(out)
-    elif fmt == "csv":
-        import pyarrow.csv as pacsv
+    try:
+        if fmt == "jsonl":
+            docs.write_json(out)
+            back = ray.data.read_json(out)
+        elif fmt == "csv":
+            import pyarrow.csv as pacsv
 
-        docs.write_csv(out)
-        # newlines_in_values: write_csv legally quotes embedded newlines;
-        # default ParseOptions would split such records mid-row
-        back = ray.data.read_csv(
-            out,
-            parse_options=pacsv.ParseOptions(newlines_in_values=True),
-        )
-    else:  # pragma: no cover
-        raise ValueError(fmt)
-    return _lang_rollup(back)
+            docs.write_csv(out)
+            # newlines_in_values: write_csv legally quotes embedded
+            # newlines; default ParseOptions would split such records
+            # mid-row
+            back = ray.data.read_csv(
+                out,
+                parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            )
+        else:  # pragma: no cover
+            raise ValueError(fmt)
+        # materialize before cleanup: the rollup must finish reading the
+        # shard files while they still exist
+        rolled = _lang_rollup(back).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return rolled
 
 
 def jsonl_roundtrip(sf_dir: str):

@@ -3350,8 +3350,18 @@ def event_funnel(
     step_of = {s: i for i, s in enumerate(steps)}
 
     def keyed(batch: pa.Table) -> pa.Table:
-        et = batch.column("event_type").to_pylist()
-        sidx = np.array([step_of.get(e, -1) for e in et], dtype=np.int64)
+        import pyarrow.compute as pc
+
+        # vectorized event_type -> step index: hash-probe against the
+        # |steps|-element value set, null (absent) -> -1
+        sidx = (
+            pc.index_in(
+                batch.column("event_type"), value_set=pa.array(list(steps))
+            )
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         m = (sidx >= 0) & (
             batch.column("ts").to_numpy().astype(np.int64) < before_us
         )
@@ -3598,10 +3608,16 @@ def conversion_latency_stats(sf_dir: str):
     INF = np.iinfo(np.int64).max
 
     def keyed(batch: pa.Table) -> pa.Table:
-        et = batch.column("event_type").to_pylist()
-        code = np.array(
-            [0 if e == "signup" else (1 if e == "purchase" else -1) for e in et],
-            dtype=np.int64,
+        import pyarrow.compute as pc
+
+        code = (
+            pc.index_in(
+                batch.column("event_type"),
+                value_set=pa.array(["signup", "purchase"]),
+            )
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         m = code >= 0
         uid = batch.column("user_id").to_numpy().astype(np.int64)[m]

@@ -684,18 +684,38 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
          -> groupby(token).sum -> distributed screen at
          cut = threshold - n//(k+1), which cannot drop a true heavy
          hitter (sum of per-batch underestimates <= n/(k+1));
-      3. exact recount of the candidate set (broadcast, zero shuffle)."""
-    import math
-    from collections import Counter
+      3. exact recount of the candidate set (broadcast, zero shuffle).
 
+    All three per-batch kernels are vectorized over _split_words'
+    dictionary codes (one utf8_split_whitespace + dictionary_encode +
+    np.bincount per batch — the ngram_topk idiom), not Python Counter
+    loops. _split_words yields [''] for an empty/whitespace doc where
+    str.split() yields [], so the zero-length dictionary entry is
+    masked out of every count."""
+    import math
+
+    import pyarrow.compute as pc
     import ray.data  # noqa: F401
 
     k = max(64, int(4 / phi))
     docs = _read_documents(sf_dir, ["text"])
 
+    def _batch_word_counts(batch: pa.Table):
+        """(words, counts) for a batch: per-distinct-word totals over
+        every doc, with the empty-doc '' artifact removed."""
+        _, _, _, codes, words = _split_words(batch)
+        cnt = np.bincount(codes, minlength=len(words)).astype(np.int64)
+        keep = (
+            pc.utf8_length(words).to_numpy(zero_copy_only=False) > 0
+        )
+        if not keep.all():
+            sel = np.flatnonzero(keep)
+            return words.take(pa.array(sel)), cnt[sel]
+        return words, cnt
+
     def ntok(batch: pa.Table) -> pa.Table:
-        tot = sum(len(t.split()) for t in batch.column("text").to_pylist())
-        return pa.table({"n": pa.array([tot], pa.int64())})
+        _, cnt = _batch_word_counts(batch)
+        return pa.table({"n": pa.array([int(cnt.sum())], pa.int64())})
 
     n = int(
         docs.map_batches(ntok, batch_format="pyarrow").sum("n") or 0
@@ -709,20 +729,20 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
     cut = max(1, threshold - n // (k + 1))
 
     def mg(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(t.split())
-        if len(c) > k:
-            items = c.most_common()
-            dec = items[k][1]  # (k+1)-th largest count
-            items = [(tok, m - dec) for tok, m in items[:k] if m > dec]
-        else:
-            items = list(c.items())
-        items.sort()
+        words, cnt = _batch_word_counts(batch)
+        if cnt.size > k:
+            # (k+1)-th largest count; survivors = counts strictly above
+            # it, decremented by it (ties at dec drop — same selection
+            # the Counter.most_common version made, independent of tie
+            # order)
+            dec = np.partition(cnt, cnt.size - (k + 1))[cnt.size - (k + 1)]
+            m = cnt > dec
+            sel = np.flatnonzero(m)
+            words, cnt = words.take(pa.array(sel)), cnt[sel] - dec
         return pa.table(
             {
-                "token": pa.array([x[0] for x in items], pa.string()),
-                "cnt": pa.array([x[1] for x in items], pa.int64()),
+                "token": words,
+                "cnt": pa.array(cnt),
             }
         )
 
@@ -739,19 +759,21 @@ def heavy_hitters(sf_dir: str, phi: float = 0.001):
         .map_batches(screen, batch_format="pyarrow")
         .take_all()
     )
-    cand = {r["token"] for r in cand_t}
+    cand = sorted({r["token"] for r in cand_t})
     if not cand:
         return empty
+    cand_arr = pa.array(cand, pa.string())  # <= ~2/phi strings
 
     def recount(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(w for w in t.split() if w in cand)
-        items = sorted(c.items())
+        words, cnt = _batch_word_counts(batch)
+        m = pc.is_in(words, value_set=cand_arr).to_numpy(
+            zero_copy_only=False
+        )
+        sel = np.flatnonzero(m)
         return pa.table(
             {
-                "token": pa.array([x[0] for x in items], pa.string()),
-                "cnt": pa.array([x[1] for x in items], pa.int64()),
+                "token": words.take(pa.array(sel)),
+                "cnt": pa.array(cnt[sel]),
             }
         )
 
