@@ -157,6 +157,159 @@ def merge_context_windows(
     return merged
 
 
+def _is_function_like(node_type: str) -> bool:
+    # block_merging.rs:240-246
+    return (
+        "function" in node_type
+        or "method" in node_type
+        or "fn" in node_type
+        or "func" in node_type
+    )
+
+
+def _should_merge_ranked(b1: dict, b2: dict, threshold: int) -> bool:
+    """block_merging.rs:178-237 — same file, and overlap OR gap <=
+    threshold OR comment-adjacent-function with gap <= 2*threshold."""
+    if (b1["repo"], b1["path"]) != (b2["repo"], b2["path"]):
+        return False
+    s1, e1 = b1["start_line"], b1["end_line"]
+    s2, e2 = b2["start_line"], b2["end_line"]
+    overlapping = s1 <= e2 and s2 <= e1
+    if overlapping:
+        distance = 0
+    elif s2 > e1:
+        distance = s2 - e1 - 1
+    else:
+        distance = s1 - e2 - 1
+    comment_with_function = (
+        "comment" in b1["node_type"] and _is_function_like(b2["node_type"])
+    ) or ("comment" in b2["node_type"] and _is_function_like(b1["node_type"]))
+    return (
+        overlapping
+        or distance <= threshold
+        or (comment_with_function and distance <= threshold * 2)
+    )
+
+
+def _merge_block_content(b1: dict, b2: dict, file_lines: list[str] | None) -> str:
+    """block_merging.rs:255-411 — union the two blocks' lines by absolute
+    position; fill gaps from the file content when available, else emit
+    the reference's placeholder lines (<10-line gaps 'should be
+    included', larger gaps 'skipped')."""
+    s1, e1 = b1["start_line"], b1["end_line"]
+    s2, e2 = b2["start_line"], b2["end_line"]
+    ms, me = min(s1, s2), max(e1, e2)
+    if s1 == ms and e1 == me:
+        return b1["code"]
+    if s2 == ms and e2 == me:
+        return b2["code"]
+    line_map: dict[int, str] = {}
+    for i, ln in enumerate(b1["code"].split("\n")):
+        line_map[s1 + i] = ln
+    for i, ln in enumerate(b2["code"].split("\n")):
+        line_map.setdefault(s2 + i, ln)
+    out: list[str] = []
+    cur = ms
+    while cur <= me:
+        if cur in line_map:
+            out.append(line_map[cur])
+            cur += 1
+            continue
+        gap_start = gap_end = cur
+        while gap_end < me and (gap_end + 1) not in line_map:
+            gap_end += 1
+        gap_size = gap_end - gap_start + 1
+        filled = False
+        if gap_size < 10 and file_lines is not None:
+            seg = file_lines[gap_start - 1 : gap_end]
+            if seg:
+                out.extend(seg)
+                filled = True
+        if not filled:
+            if gap_size < 10:
+                out.append(
+                    f"... lines {gap_start}-{gap_end} should be included ..."
+                )
+            else:
+                out.append(f"... lines {gap_start}-{gap_end} skipped...")
+        cur = gap_end + 1
+    return "\n".join(out)
+
+
+def merge_ranked_blocks(
+    results: pa.Table,
+    threshold: int = 5,
+    content_of: dict[tuple[str, str], str] | None = None,
+) -> pa.Table:
+    """Post-rank block merging, block_merging.rs:18-168: group the ranked
+    result table by file (deterministic sorted-file order, the BTreeMap
+    analog), per file greedily merge overlapping / within-threshold
+    blocks to a fixed point. Merged row: lines = span union; every score
+    = MAX of the pair; block_unique_terms = MAX; node_type from the
+    higher-ranked (earlier) row; code = line-map union with gap fill
+    from ``content_of[(repo, path)]`` when given, reference placeholder
+    lines otherwise. Row order = file order then merged emission order
+    (the reference re-ranks downstream, not here).
+
+    Bounded driver work by construction: the input is an already-ranked
+    top-k table, never the full block stream."""
+    rows = results.to_pylist()
+    for rank, r in enumerate(rows):
+        r["_rank"] = rank
+    by_file: dict[tuple[str, str], list[dict]] = {}
+    for r in rows:
+        by_file.setdefault((r["repo"], r["path"]), []).append(r)
+    out_rows: list[dict] = []
+    for key in sorted(by_file):
+        blocks = by_file[key]
+        if len(blocks) == 1:
+            out_rows.append(blocks[0])
+            continue
+        file_lines = None
+        if content_of is not None and key in content_of:
+            file_lines = content_of[key].split("\n")
+        blocks.sort(key=lambda b: b["start_line"])
+        processed: set[int] = set()
+        for i in range(len(blocks)):
+            if i in processed:
+                continue
+            cur = dict(blocks[i])
+            processed.add(i)
+            changed = True
+            while changed:
+                changed = False
+                for j, nxt in enumerate(blocks):
+                    if j in processed:
+                        continue
+                    if not _should_merge_ranked(cur, nxt, threshold):
+                        continue
+                    code = _merge_block_content(cur, nxt, file_lines)
+                    if cur["_rank"] > nxt["_rank"]:
+                        cur["node_type"] = nxt["node_type"]
+                    cur["start_line"] = min(cur["start_line"], nxt["start_line"])
+                    cur["end_line"] = max(cur["end_line"], nxt["end_line"])
+                    cur["code"] = code
+                    for col in ("score", "bm25"):
+                        if col in cur:
+                            cur[col] = max(cur[col], nxt[col])
+                    if "block_unique_terms" in cur:
+                        cur["block_unique_terms"] = max(
+                            cur["block_unique_terms"], nxt["block_unique_terms"]
+                        )
+                    cur["_rank"] = min(cur["_rank"], nxt["_rank"])
+                    processed.add(j)
+                    changed = True
+            out_rows.append(cur)
+    for r in out_rows:
+        r.pop("_rank", None)
+    if not out_rows:
+        return results
+    return pa.table(
+        {name: [r[name] for r in out_rows] for name in results.column_names},
+        schema=results.schema,
+    )
+
+
 def filter_tokenized_block(tokens: list[str], plan: QueryPlan) -> bool:
     """filter_tokenized_block port (file_processing.rs:202-279): term
     matched iff its (already tokenized/stemmed) keyword is a block token,
@@ -501,10 +654,16 @@ def search_blocks(
     allow_tests: bool = True,
     file_candidates: int = FILE_CANDIDATES,
     node_extent: str = "window",
+    merge_threshold: int | None = None,
 ) -> pa.Table:
     """Distributed block search: index-guided candidate files -> block
     extraction as a map_batches stage over only those files (pushdown
     path filter at the parquet read) -> bounded driver-side re-rank.
+
+    ``merge_threshold`` (opt-in; the reference's --merge-threshold with
+    no_merge=false default) applies the post-rank merge pass to the
+    top-k table, gap-filling merged code from one bounded filtered read
+    of only the <= k result files.
 
     ``reader`` is an IndexReader over the same corpus."""
     import pyarrow.dataset as pads
@@ -558,7 +717,30 @@ def search_blocks(
         )
         for r in rows
     ]
-    return _blocks_to_table(rank_blocks(blocks, query), k)
+    out = _blocks_to_table(rank_blocks(blocks, query), k)
+    if merge_threshold is not None and out.num_rows > 1:
+        want = sorted(
+            set(
+                zip(
+                    out.column("repo").to_pylist(),
+                    out.column("path").to_pylist(),
+                )
+            )
+        )
+        content_of: dict[tuple[str, str], str] = {}
+        t = pads.dataset(corpus_files).to_table(
+            columns=["repo", "path", "content"],
+            filter=pads.field("path").isin([p for _, p in want]),
+        )  # <= k result files — bounded
+        for rp, p, c in zip(
+            t.column("repo").to_pylist(),
+            t.column("path").to_pylist(),
+            t.column("content").to_pylist(),
+        ):
+            if (rp, p) in set(want):
+                content_of[(rp, p)] = c
+        out = merge_ranked_blocks(out, merge_threshold, content_of)
+    return out
 
 
 def search_blocks_scalar(
