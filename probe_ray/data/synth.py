@@ -74,12 +74,57 @@ def _commit(repo: str) -> str:
     return hashlib.sha1(f"{repo}@snapshot".encode()).hexdigest()
 
 
+# ---- Zipfian large-vocabulary mode (zipf_vocab > 0) ------------------------
+# The default 35-word COMMON_WORDS pool makes every common word df ~= N,
+# which neutralizes block-max pruning (the round-3 10M-doc rehearsal's
+# bottleneck #2 — a corpus property, not an index property). zipf_vocab
+# switches the common-word draws to a ``zipf_vocab``-word vocabulary with
+# P(rank k) ~ 1/k^s, so query terms span the real df spectrum (rank 1 ~= N,
+# rank 10k ~= thousands) and the rare-anchored WAND path engages.
+
+_CONS = "bcdfghjklmnpqrstvwxz"  # vowel-free => inert under the stemmer
+_zipf_cache: dict[tuple[int, float], tuple[np.ndarray, list[str]]] = {}
+
+
+def zipf_word(rank: int) -> str:
+    """Deterministic vocabulary word for 0-based ``rank``: 'qz' + base-20
+    consonant encoding. All-lowercase, all-alpha, length >= 3 — survives
+    the tokenizer whole, never stems, never collides with COMMON_WORDS."""
+    s = []
+    r = rank
+    while True:
+        s.append(_CONS[r % 20])
+        r //= 20
+        if r == 0:
+            break
+    return "qz" + "".join(s)
+
+
+def _zipf_tables(vocab: int, s: float) -> tuple[np.ndarray, list[str]]:
+    key = (vocab, s)
+    hit = _zipf_cache.get(key)
+    if hit is None:
+        w = 1.0 / np.arange(1, vocab + 1, dtype=np.float64) ** s
+        cdf = np.cumsum(w / w.sum())
+        words = [zipf_word(r) for r in range(vocab)]
+        hit = _zipf_cache[key] = (cdf, words)
+    return hit
+
+
 def make_rows(
-    start: int, count: int, seed: int = 42, stmt_scale: int = 1
+    start: int,
+    count: int,
+    seed: int = 42,
+    stmt_scale: int = 1,
+    zipf_vocab: int = 0,
+    zipf_s: float = 1.07,
 ) -> pa.Table:
     """Rows [start, start+count) of the corpus — position-deterministic.
     ``stmt_scale`` multiplies statements per file (~1 KB × stmt_scale docs)
-    for compute-dominated benchmarking."""
+    for compute-dominated benchmarking. ``zipf_vocab`` > 0 draws the
+    common words from a Zipf(s)-distributed synthetic vocabulary of that
+    size instead of the 35-word COMMON_WORDS pool (see zipf_word)."""
+    ztables = _zipf_tables(zipf_vocab, zipf_s) if zipf_vocab > 0 else None
     repos, paths, commits, langs, contents = [], [], [], [], []
     for i in range(start, start + count):
         rng = np.random.default_rng((seed << 32) ^ i)
@@ -101,7 +146,18 @@ def make_rows(
         syn_idx = rng.integers(len(SYNTAX), size=n_stmts)
         ident_idx = rng.integers(len(IDENTIFIERS), size=n_stmts)
         ncom = rng.integers(1, 5, size=n_stmts)
-        com_idx = rng.choice(len(COMMON_WORDS), size=int(ncom.sum()), p=_ZIPF_P)
+        if ztables is not None:
+            cdf, zwords = ztables
+            # inverse-CDF sampling: one uniform draw + searchsorted per
+            # word (rng.choice rebuilds its sampler per call at 100k+
+            # categories)
+            com_idx = np.searchsorted(cdf, rng.random(int(ncom.sum())))
+            com_pool: list[str] = zwords
+        else:
+            com_idx = rng.choice(
+                len(COMMON_WORDS), size=int(ncom.sum()), p=_ZIPF_P
+            )
+            com_pool = COMMON_WORDS
         # one statement per LINE: block extraction (search/blocks.py)
         # operates on line-heuristic context windows, so the corpus needs
         # real line structure (a single joined line would also trip the
@@ -111,7 +167,7 @@ def make_rows(
         for k in range(n_stmts):
             words = [SYNTAX[syn_idx[k]], IDENTIFIERS[ident_idx[k]]]
             for j in range(ncom[k]):
-                words.append(COMMON_WORDS[com_idx[ci + j]])
+                words.append(com_pool[com_idx[ci + j]])
             ci += int(ncom[k])
             stmts.append(" ".join(words))
         if rng.random() < 0.08:

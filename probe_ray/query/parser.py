@@ -289,6 +289,24 @@ def is_only_excluded_terms(expr: Expr) -> bool:
     return all(t.excluded for t in walk_terms(expr))
 
 
+def necessary_keywords(expr: Expr) -> set[str]:
+    """Keywords every matching document MUST contain under eval_mask's
+    no-required-terms semantics (Term matches iff ALL its keywords are
+    present; And intersects; Or unions the match sets, so only keywords
+    necessary on BOTH branches stay necessary). Valid only when the query
+    has no required (+) terms — callers on the required path already have
+    the stronger required_kws set. Excluded terms contribute nothing.
+
+    Used by the searcher's conjunctive-anchor candidate generation: the
+    min-df necessary keyword's postings are a complete candidate
+    superset, so other hot terms need only targeted-block tf decodes."""
+    if isinstance(expr, Term):
+        return set() if expr.excluded else set(expr.keywords)
+    if isinstance(expr, And):
+        return necessary_keywords(expr.left) | necessary_keywords(expr.right)
+    return necessary_keywords(expr.left) & necessary_keywords(expr.right)
+
+
 def _all_required_present(
     expr: Expr, matched: set[int], term_indices: dict[str, int]
 ) -> bool:

@@ -70,12 +70,23 @@ from probe_ray.index.codec import (
     unpack_tf,
 )
 from probe_ray.query.bm25 import MAX_QUERY_TERMS, QueryPlan, create_query_plan, idf as idf_fn
-from probe_ray.query.parser import is_only_excluded_terms, walk_terms
+from probe_ray.query.parser import (
+    is_only_excluded_terms,
+    necessary_keywords,
+    walk_terms,
+)
 from probe_ray.search.scoring import eval_mask, max_impact, score_ast
 
 # Segment-local candidate count above which a term is treated as "hot"
 # (block-max pruned) when it is not required/excluded.
 HOT_DF = 8192
+
+# Block-max pruning effectiveness counters, accumulated per worker
+# process (two int adds per hot term per query — negligible). Read /
+# reset through SegmentWorker.prune_stats() / IndexReader.prune_stats();
+# the Zipfian-corpus rehearsal (tools/rehearse_zipf.py) reports
+# decoded/total as the WAND-path evidence at scale.
+PRUNE_STATS = {"hot_blocks_total": 0, "hot_blocks_decoded": 0, "hot_terms": 0}
 
 _DOCSTATS_CACHE: dict[tuple[str, int, int], pa.Table] = {}
 
@@ -211,6 +222,7 @@ def score_segment(
             # here can match; zero-match fill impossible (required => None)
             continue
 
+        anchored = False
         if required_kws:
             req_ids = [full_decode(t)[0] for t in sorted(required_kws)]
             cand = _intersect_sorted(sorted(req_ids, key=len))
@@ -224,12 +236,35 @@ def score_segment(
                 if t in excluded or int(dfs[by_term[t]]) <= HOT_DF
             ]
             hot_terms = [t for t in q_terms if t not in rare_terms]
-            cand_parts = [full_decode(t)[0] for t in rare_terms]
-            cand = (
-                np.unique(np.concatenate(cand_parts))
-                if cand_parts
-                else np.empty(0, dtype=np.uint64)
+            # Conjunctive anchor: a keyword the AST makes NECESSARY
+            # (present in every matching doc) bounds the candidate set by
+            # its own postings, so the other hot terms never need a full
+            # decode — only targeted blocks (Phase A) — and Phase B's
+            # hot-only candidate expansion is provably empty. This is the
+            # WAND-path win on realistic (Zipfian) corpora: 'common AND
+            # mid-rank' decodes the mid-rank postings, not the common.
+            necessary = (
+                necessary_keywords(plan.ast) if not spec.need_fill else set()
             )
+            if necessary and any(t not in by_term for t in necessary):
+                # a necessary keyword has no posting here => no match in
+                # this segment (mirrors the required-keyword early-out)
+                continue
+            anchored = False
+            if hot_terms and necessary:
+                anchor = min(necessary, key=lambda t: int(dfs[by_term[t]]))
+                cand = full_decode(anchor)[0]
+                if anchor in hot_terms:
+                    hot_terms = [t for t in hot_terms if t != anchor]
+                    rare_terms = rare_terms + [anchor]
+                anchored = True
+            if not anchored:
+                cand_parts = [full_decode(t)[0] for t in rare_terms]
+                cand = (
+                    np.unique(np.concatenate(cand_parts))
+                    if cand_parts
+                    else np.empty(0, dtype=np.uint64)
+                )
 
         def tf_for(t: str, cand_arr: np.ndarray) -> np.ndarray:
             ids, tfs = full_decode(t)
@@ -287,6 +322,12 @@ def score_segment(
                 ids_sel, pos_sel = decode_selected_blocks(payloads[i], n, need)
                 tf_all = unpack_tf(tf_bits[i], n)
                 hot_data[t] = (ids_sel, tf_all[pos_sel])
+                if anchored:
+                    # Phase B is skipped on the anchor path — these
+                    # targeted decodes ARE the term's total block cost
+                    PRUNE_STATS["hot_blocks_total"] += len(last)
+                    PRUNE_STATS["hot_blocks_decoded"] += len(need)
+                    PRUNE_STATS["hot_terms"] += 1
 
             def tf_hot(t: str, cand_arr: np.ndarray) -> np.ndarray:
                 ids_sel, tfs_sel = hot_data[t]
@@ -306,62 +347,79 @@ def score_segment(
                     plan.ast, tf_arrays, doc_len_all[cand], s_avgdl, spec.idfs
                 ),
             )
-            inc = included if fmask is None else (included & fmask[cand.astype(np.int64)])
-            inc_scores = scores[inc]
-            if len(inc_scores) >= k:
-                theta = np.partition(inc_scores, -k)[-k]
-            else:
-                theta = -np.inf
-            # Phase B: hot-only candidates via block-max pruning.
-            ub_global = {
-                t: spec.idfs.get(t, 0.0)
-                * max_impact(2.0, float(s_min or 1), s_avgdl)
-                for t in hot_terms
-            }
-            extra_parts = []
-            for t in hot_terms:
-                i = by_term[t]
-                n = int(dfs[i])
-                last = np.frombuffer(blk_last[i], dtype=np.uint64)
-                maxtf = np.frombuffer(blk_maxtf[i], dtype=np.uint8)
-                others = sum(ub for u, ub in ub_global.items() if u != t)
-                ub_blocks = np.array(
-                    [
-                        spec.idfs.get(t, 0.0)
-                        * max_impact(float(m), float(s_min or 1), s_avgdl)
-                        + others
-                        for m in maxtf
-                    ]
+            if not anchored:
+                # Phase B: hot-only candidates via block-max pruning.
+                # Skipped entirely on the anchor path: every matching doc
+                # contains the anchor keyword, so cand is already a
+                # complete candidate superset.
+                inc = (
+                    included
+                    if fmask is None
+                    else (included & fmask[cand.astype(np.int64)])
                 )
-                keep = (
-                    np.flatnonzero(ub_blocks >= theta)
-                    if theta > -np.inf
-                    else np.arange(len(last))
+                inc_scores = scores[inc]
+                if len(inc_scores) >= k:
+                    theta = np.partition(inc_scores, -k)[-k]
+                else:
+                    theta = -np.inf
+                ub_global = {
+                    t: spec.idfs.get(t, 0.0)
+                    * max_impact(2.0, float(s_min or 1), s_avgdl)
+                    for t in hot_terms
+                }
+                extra_parts = []
+                for t in hot_terms:
+                    i = by_term[t]
+                    n = int(dfs[i])
+                    last = np.frombuffer(blk_last[i], dtype=np.uint64)
+                    maxtf = np.frombuffer(blk_maxtf[i], dtype=np.uint8)
+                    others = sum(ub for u, ub in ub_global.items() if u != t)
+                    ub_blocks = np.array(
+                        [
+                            spec.idfs.get(t, 0.0)
+                            * max_impact(float(m), float(s_min or 1), s_avgdl)
+                            + others
+                            for m in maxtf
+                        ]
+                    )
+                    keep = (
+                        np.flatnonzero(ub_blocks >= theta)
+                        if theta > -np.inf
+                        else np.arange(len(last))
+                    )
+                    keep = np.union1d(keep, hot_blocks_needed[t])
+                    PRUNE_STATS["hot_blocks_total"] += len(last)
+                    PRUNE_STATS["hot_blocks_decoded"] += len(keep)
+                    PRUNE_STATS["hot_terms"] += 1
+                    ids_sel, pos_sel = decode_selected_blocks(
+                        payloads[i], n, keep
+                    )
+                    tf_all = unpack_tf(tf_bits[i], n)
+                    hot_data[t] = (ids_sel, tf_all[pos_sel])
+                    extra_parts.append(ids_sel)
+                extra = (
+                    np.unique(np.concatenate(extra_parts))
+                    if extra_parts
+                    else np.empty(0, np.uint64)
                 )
-                keep = np.union1d(keep, hot_blocks_needed[t])
-                ids_sel, pos_sel = decode_selected_blocks(payloads[i], n, keep)
-                tf_all = unpack_tf(tf_bits[i], n)
-                hot_data[t] = (ids_sel, tf_all[pos_sel])
-                extra_parts.append(ids_sel)
-            extra = (
-                np.unique(np.concatenate(extra_parts))
-                if extra_parts
-                else np.empty(0, np.uint64)
-            )
-            if len(cand):
-                extra = extra[~np.isin(extra, cand, assume_unique=True)]
-            if len(extra):
-                tf2 = {t: tf_for(t, extra) for t in rare_terms}
-                tf2.update({t: tf_hot(t, extra) for t in hot_terms})
-                s2, inc2 = gate(
-                    tf2,
-                    *score_ast(
-                        plan.ast, tf2, doc_len_all[extra], s_avgdl, spec.idfs
-                    ),
-                )
-                cand = np.concatenate([cand, extra])
-                scores = np.concatenate([scores, s2])
-                included = np.concatenate([included, inc2])
+                if len(cand):
+                    extra = extra[~np.isin(extra, cand, assume_unique=True)]
+                if len(extra):
+                    tf2 = {t: tf_for(t, extra) for t in rare_terms}
+                    tf2.update({t: tf_hot(t, extra) for t in hot_terms})
+                    s2, inc2 = gate(
+                        tf2,
+                        *score_ast(
+                            plan.ast,
+                            tf2,
+                            doc_len_all[extra],
+                            s_avgdl,
+                            spec.idfs,
+                        ),
+                    )
+                    cand = np.concatenate([cand, extra])
+                    scores = np.concatenate([scores, s2])
+                    included = np.concatenate([included, inc2])
 
         if fmask is not None and len(cand):
             included = included & fmask[cand.astype(np.int64)]
@@ -586,6 +644,14 @@ class SegmentWorker:
             self._unit_vocab_cache[key] = vocab
         return vocab
 
+    def prune_stats(self, reset: bool = False) -> dict:
+        """This worker process' accumulated block-max pruning counters."""
+        out = dict(PRUNE_STATS)
+        if reset:
+            for key in PRUNE_STATS:
+                PRUNE_STATS[key] = 0
+        return out
+
     def search(self, specs: list[_QuerySpec], k: int) -> pa.Table:
         all_terms = sorted({t for sp in specs for t in sp.plan.term_indices})
         tables = []
@@ -799,6 +865,25 @@ class IndexReader:
         specs_ref = ray.put(specs)
         futs = [w.search.remote(specs_ref, k) for w in self._workers]
         return pa.concat_tables(ray.get(futs))
+
+    def prune_stats(self, reset: bool = False) -> dict:
+        """Aggregate block-max pruning counters across the actor pool
+        (plus this process, for the scalar paths). ``reset`` zeroes the
+        counters after reading — the rehearsal harness brackets a query
+        batch with reset/read to report per-batch skipped-block ratios."""
+        import ray
+
+        totals = dict(PRUNE_STATS)
+        if reset:
+            for key in PRUNE_STATS:
+                PRUNE_STATS[key] = 0
+        if self._workers:
+            for st in ray.get(
+                [w.prune_stats.remote(reset) for w in self._workers]
+            ):
+                for key, v in st.items():
+                    totals[key] = totals.get(key, 0) + v
+        return totals
 
     def explain(self, query: str, with_candidates: bool = True) -> dict:
         """Query EXPLAIN: which execution path the query takes and the
