@@ -223,3 +223,52 @@ def test_negative_compound_word_reference_cases():
     p2 = create_query_plan("settings AND -networkfirewall")
     assert "networkfirewall" in p2.excluded_terms
     assert "set" in p2.term_indices  # settings -> stemmed positive term
+
+
+def test_necessary_keywords():
+    """Anchor-soundness invariant for the searcher's conjunctive-anchor
+    path: a keyword reported necessary must be present in EVERY document
+    eval_mask/evaluate accepts. And unions, Or intersects, excluded and
+    required-mode queries contribute nothing (the searcher uses
+    required_kws on that path)."""
+    from probe_ray.query.parser import necessary_keywords
+
+    def nk(q):
+        return necessary_keywords(parse_query(q).ast)
+
+    assert nk("error AND handling") == {"error", "handl"}  # stemmed kws
+    assert nk("error OR handling") == set()
+    assert nk("(error OR handling) AND config") == {"config"}
+    assert nk("(a AND c) OR (b AND c)") == {"c"}
+    assert nk("error -handling") == {"error"}
+    assert nk("-handling") == set()
+    # compound term: ALL its split keywords are necessary
+    kws = nk("whitelist AND config")
+    assert "config" in kws and len(kws) >= 2  # white+list or whitelist
+
+
+def test_necessary_keywords_sound_vs_evaluate():
+    """Exhaustive check on small universes: every doc accepted by
+    evaluate() contains every necessary keyword."""
+    from itertools import combinations
+
+    from probe_ray.query.parser import necessary_keywords
+
+    queries = [
+        "a AND b", "a OR b", "(a OR b) AND c", "(a AND b) OR (a AND c)",
+        "a AND (b OR (c AND d))", "a -b", "(a OR b) AND (c OR d)",
+        "a AND b AND c", "(a AND b) OR c",
+    ]
+    universe = ["a", "b", "c", "d"]
+    for q in queries:
+        plan = create_query_plan(q)
+        nec = necessary_keywords(plan.ast)
+        for r in range(len(universe) + 1):
+            for present in combinations(universe, r):
+                matched = {
+                    plan.term_indices[t]
+                    for t in present
+                    if t in plan.term_indices
+                }
+                if evaluate(plan.ast, matched, plan.term_indices):
+                    assert nec <= set(present), (q, present, nec)
