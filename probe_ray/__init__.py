@@ -3,4 +3,4 @@
 # Bump whenever an index-content-affecting change lands (tokenizer
 # semantics, codec layout, docstats schema): cached indexes built by an
 # older engine are rebuilt instead of served stale.
-ENGINE_VERSION = 5  # 5: units_grams trigram sidecar added to the index layout
+ENGINE_VERSION = 6  # 6: case-preserved unit postings (exact H2 change filter)

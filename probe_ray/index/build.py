@@ -204,21 +204,21 @@ class TokenizePartial:
                 run[0].append(dh)
                 run[1].append(f)
             if cfg.unit_postings:
-                # distinct lowercased alnum units of RAW content + path —
-                # raw (pre-cap), because the hybrid path's candidate mask
-                # substring-matches the raw corpus text; per-codepoint
-                # str.lower() means lower(part of unit) is a substring of
-                # lower(unit), so these postings over-approximate every
-                # doc a special term can re-tokenize (hybrid.py module doc)
+                # distinct CASE-PRESERVED alnum units of RAW content +
+                # path — raw (pre-cap), because the hybrid path's
+                # candidate mask substring-matches the raw corpus text
+                # (case-insensitively at query time). Preserving case
+                # makes tokenization-change detection EXACT per unit:
+                # the tokenizer operates on raw tokens, so
+                # _expand_token(unit, ctx) != _expand_token(unit, {})
+                # decides precisely whether a doc holding that unit can
+                # re-tokenize under a special-term context (hybrid.py
+                # module doc; manifest flag "units_cased")
                 if content is contents[i]:
-                    # dedup BEFORE lowering: distinct raw runs are far
-                    # fewer than total runs on repetitive text
-                    units = {u.lower() for u in set(raw_c[0])}
+                    units = set(raw_c[0])
                 else:  # content was capped; units come from RAW text
-                    units = {
-                        u.lower() for u in set(_ALNUM_RUNS.findall(contents[i]))
-                    }
-                units.update(u.lower() for u in set(raw_p[0]))
+                    units = set(_ALNUM_RUNS.findall(contents[i]))
+                units.update(raw_p[0])
                 for u in units:
                     key = (s, UNIT_PREFIX + u)
                     run = runs.get(key)
@@ -323,8 +323,9 @@ def _unit_trigram_sidecar(terms: list[str]) -> pa.Table:
     gram_rg: set[tuple[str, int]] = set()
     for i, term in enumerate(terms):
         rg = i // POSTINGS_ROW_GROUP
-        for j in range(len(term) - 2):
-            gram_rg.add((term[j : j + 3], rg))
+        lt = term.lower()  # query-side match is case-insensitive
+        for j in range(len(lt) - 2):
+            gram_rg.add((lt[j : j + 3], rg))
     rows = sorted(gram_rg)
     return pa.table(
         {
@@ -710,6 +711,10 @@ def build_index(
     manifest = {
         "version": 2,
         "engine_version": ENGINE_VERSION,
+        # True iff EVERY wave's unit postings are case-preserved (an
+        # append onto a pre-v6 index leaves old lowercased waves — the
+        # exact tokenization-change filter must then stay off)
+        "units_cased": all(wm.get("units_cased") for wm in wave_entries),
         "input_files": files,
         "config": cfg_json,
         "n_docs": n_docs,
@@ -751,9 +756,16 @@ def _tokenize_wave(
         "fragments": wave_files,
         "status": "building",
         "steps": {},
+        "units_cased": True,
     }
     if wm.get("fragments") != wave_files:
-        wm = {"wave": wave, "fragments": wave_files, "status": "building", "steps": {}}
+        wm = {
+            "wave": wave,
+            "fragments": wave_files,
+            "status": "building",
+            "steps": {},
+            "units_cased": True,
+        }
     steps = wm["steps"]
 
     if steps.get("tokenized") != "done":

@@ -293,7 +293,13 @@ def hybrid_search_many(
             # _CandidateStage's exact per-ctx mask refines the path-level
             # over-selection, so results stay bit-equal to the scan.
             actives_union = sorted({s for _, _, act in ctx_specs for s in act})
-            keys = reader.special_candidate_keys(actives_union)
+            # per-ctx tokenization sets: on a units_cased index the
+            # worker filters substring-matched units to those whose
+            # expansion actually changes under SOME query context —
+            # exact, so dropping them cannot alter any score
+            keys = reader.special_candidate_keys(
+                actives_union, [sp for _, sp, act in active_ctxs if act]
+            )
             # upper bound on candidate (doc, ctx) rows, known BEFORE any
             # corpus read — the fallback decision is now free
             if keys.num_rows * len(active_ctxs) > _fallback_threshold(n_docs):

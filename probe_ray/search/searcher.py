@@ -573,7 +573,7 @@ class SegmentWorker:
                     ).combine_chunks()
                     mask = None
                     for t in need_rgs[rg]:
-                        m = pc.match_substring(vocab_rg, t)
+                        m = pc.match_substring(vocab_rg, t, ignore_case=True)
                         mask = m if mask is None else pc.or_(mask, m)
                     idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
                     if len(idxs):
@@ -582,26 +582,57 @@ class SegmentWorker:
             vocab = self._unit_vocab(w, s)
             mask = None
             for t in full:
-                m = pc.match_substring(vocab, t)
+                m = pc.match_substring(vocab, t, ignore_case=True)
                 mask = m if mask is None else pc.or_(mask, m)
             idxs = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
             if len(idxs):
                 matched.update(vocab.take(pa.array(idxs)).to_pylist())
         return sorted(matched)
 
-    def unit_candidates(self, terms: list[str]) -> pa.Table:
+    def unit_candidates(
+        self,
+        terms: list[str],
+        ctx_sets: list[frozenset] | None = None,
+    ) -> pa.Table:
         """Distinct (repo, path) rows of this worker's segments whose
         content or path contains any of ``terms`` (lowercased alnum-only
         special terms) as a case-insensitive substring — answered from
         the build's unit-postings files (index/build.py UNIT_PREFIX), no
         corpus read. Per segment: a trigram-pruned (or, fallback, full)
         pass over the unit vocabulary (_matching_units), then a
-        term-pruned parquet read of just the matching units' payloads."""
+        term-pruned parquet read of just the matching units' payloads.
+
+        ``ctx_sets`` (only passed for units_cased indexes): the queries'
+        special-term tokenization contexts. Units are case-preserved raw
+        tokens there, so ``_expand_token(unit, ctx) != default`` decides
+        EXACTLY whether docs holding the unit can re-tokenize under a
+        context — substring-matched units whose expansion is identical
+        under every context are dropped before any payload/doc read
+        (e.g. an excluded term that tokenizes to itself whole matches
+        thousands of docs as a substring but changes none of them)."""
+        changed_cache: dict[str, bool] = {}
+
+        def changes(u: str) -> bool:
+            hit = changed_cache.get(u)
+            if hit is None:
+                from probe_ray.tokenize.tokenizer import (
+                    _expand_token,
+                    _expand_token_default,
+                )
+
+                d = _expand_token_default(u)
+                hit = changed_cache[u] = any(
+                    _expand_token(u, cs) != d for cs in ctx_sets
+                )
+            return hit
+
         out_repo: list[str] = []
         out_path: list[str] = []
         out_dlen: list[int] = []
         for w, s in self.parts:
             matched = self._matching_units(w, s, terms)
+            if matched and ctx_sets is not None:
+                matched = [u for u in matched if changes(u)]
             if not matched:
                 continue
             got = pq.read_table(
@@ -795,14 +826,29 @@ class IndexReader:
             )
         return self._has_units
 
-    def special_candidate_keys(self, terms: list[str]) -> pa.Table:
+    @property
+    def units_cased(self) -> bool:
+        """True iff every wave's unit postings are case-preserved (engine
+        v6+ builds) — the precondition for the exact per-unit
+        tokenization-change filter in unit_candidates."""
+        return bool(self.manifest.get("units_cased"))
+
+    def special_candidate_keys(
+        self,
+        terms: list[str],
+        ctx_sets: list[frozenset] | None = None,
+    ) -> pa.Table:
         """Distinct (repo, path) docs whose content/path contains any of
         the given lowercased special terms — from the unit postings via
-        the persistent actor pool (requires ``has_units``)."""
+        the persistent actor pool (requires ``has_units``). With
+        ``ctx_sets`` on a units_cased index, only docs whose tokenization
+        can actually CHANGE under some context are returned (exact
+        per-unit filter; see SegmentWorker.unit_candidates)."""
         import ray
 
         self._ensure_workers()
-        futs = [w.unit_candidates.remote(terms) for w in self._workers]
+        cs = ctx_sets if self.units_cased else None
+        futs = [w.unit_candidates.remote(terms, cs) for w in self._workers]
         return pa.concat_tables(ray.get(futs))
 
     def candidate_stage_fanout(

@@ -405,3 +405,43 @@ def test_unit_vocab_trigram_pruning_sublinear(ray_session, tmp_path_factory):
     assert w._matching_units(0, 0, ["x01"]) == sorted(
         f"uniqtok{i:04d}x01" for i in range(n)
     )
+
+
+def test_exact_change_filter_drops_inert_units(edge_index):
+    """On a units_cased index, special_candidate_keys with ctx_sets keeps
+    only docs whose tokenization can actually change. 'stream' tokenizes
+    to itself whole in every casing present ('stream' lowercase runs),
+    so registering it as a special term changes nothing — zero
+    candidates — while 'whitelist' has camel-part occurrences
+    (MyWhitelistThing, WhiteList, Whitelist) whose expansion flips."""
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        assert rd.units_cased
+        # substring-matched (no ctx filter): every doc containing "stream"
+        raw = rd.special_candidate_keys(["stream"])
+        assert raw.num_rows > 0
+        # exact filter: "stream" is inert (expands to itself whole)
+        got = rd.special_candidate_keys(
+            ["stream"], [frozenset({"stream"})]
+        )
+        assert got.num_rows == 0
+        # "whitelist" is a STATIC special-case word — dynamic
+        # registration changes nothing anywhere: globally inert
+        assert (
+            rd.special_candidate_keys(
+                ["whitelist"], [frozenset({"whitelist"})]
+            ).num_rows
+            == 0
+        )
+        # "whitelists": the unit 'whitelists' expands (whitelist, s) by
+        # default but stays whole under the ctx — exactly the doc that
+        # holds it is a candidate; substring-matching docs that only
+        # contain 'whitelist' (no plural unit) drop
+        wl = rd.special_candidate_keys(
+            ["whitelists"], [frozenset({"whitelists"})]
+        )
+        assert set(wl.column("path").to_pylist()) == {"c/many.py"}
+    finally:
+        rd.close()
