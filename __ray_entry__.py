@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
     q["fts_search_blocks_reranked"] = fts.fts_search_blocks_reranked
     q["fts_search_blocks_balanced"] = fts.fts_search_blocks_balanced
+    q["fts_search_blocks_merged"] = fts.fts_search_blocks_merged
 
     # The driver verifies only the FIRST 50 entries (dict order). Pin that
     # window to an explicit, all-oracle-bearing slice covering every

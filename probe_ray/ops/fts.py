@@ -232,6 +232,26 @@ def fts_search_blocks(sf_dir: str, name: str, k: int = 10) -> pa.Table:
     return t.drop_columns(["code"])  # stable, compact driver surface
 
 
+def fts_search_blocks_merged(sf_dir: str, k: int = 10) -> pa.Table:
+    """Block search with the reference's post-rank merge pass
+    (block_merging.rs:18-168 — search/blocks.py merge_ranked_blocks):
+    overlapping / within-threshold blocks of the same file collapse with
+    score = max and gap fill from the file content. Rows-only; merge
+    semantics pinned by tests/test_block_merging.py."""
+    import glob as _glob
+
+    from probe_ray.search.blocks import search_blocks
+
+    idx = ensure_code_index(sf_dir)
+    corpus = code_corpus_parquet(sf_dir)
+    files = sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+    t = search_blocks(
+        _reader(idx), files, BLOCK_QUERIES["blocks_and"], k=k,
+        merge_threshold=5,
+    )
+    return t.drop_columns(["code"])
+
+
 def fts_search_blocks_balanced(sf_dir: str, k: int = 10) -> pa.Table:
     """Block search with opt-in balanced node extents (the AST-path
     approximation — search/blocks.py _balanced_extent): matched windows
