@@ -248,6 +248,12 @@ def run_headline(
             lambda: search_blocks(rd, cfiles, "error AND handling", k=10),
             reps=3, stat="median",
         )
+        qtimes["fts_blocks_merged"], _ = _timed(
+            lambda: search_blocks(
+                rd, cfiles, "error AND handling", k=10, merge_threshold=5
+            ),
+            reps=3, stat="median",
+        )
         p0 = bt.column("path").to_pylist()[0] if bt.num_rows else "none"
         qtimes["extract_range"], _ = _timed(
             lambda: extract_specs(cfiles, [f"{p0}:1-5"], context_lines=0),
