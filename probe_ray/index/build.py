@@ -657,6 +657,21 @@ def build_index(
     files = list_fragments(input_paths)
     if not files:
         raise ValueError(f"no parquet fragments under {input_paths}")
+    # Fail fast with a usable message when pointed at a non-corpus table
+    # (footer-only read of the first fragment; the full read happens
+    # per-wave inside the Dataset job where the error would be buried in
+    # a worker traceback).
+    import pyarrow.parquet as _pq
+
+    _need = {"repo", "path", "commit", "lang", "content"}
+    _have = set(_pq.ParquetFile(files[0]).schema_arrow.names)
+    if not _need <= _have:
+        raise ValueError(
+            f"{files[0]} is not a corpus table: missing columns "
+            f"{sorted(_need - _have)} (need repo/path/commit/lang/content; "
+            "see probe_ray.ops.fts.corpus_parquet to derive a corpus from "
+            "a documents table)"
+        )
     os.makedirs(out_dir, exist_ok=True)
     waves = _plan_waves(files, out_dir, cfg)
     global _T0

@@ -32,15 +32,25 @@ Multi-metavariable extent (balanced, counted — not line-local regex):
   - otherwise: shortest extent such that the rest of the pattern
     matches (lazy), as before.
 
+String/comment masking: each scanned file gets a per-extension lexical
+mask of string-literal and comment spans (one regex pass). Matches may
+not START inside a masked span, and balanced-delimiter counting and
+multi-metavariable extent scans SKIP masked spans — so
+``foo($$$ARGS)`` matches ``foo(a, ")", b)`` whole, and ``$A + $B``
+does not fire on commented-out code, matching what an AST matcher
+sees. The mask is lexical: exotic syntaxes (Rust raw strings, Python
+f-string nesting, heredocs, nested block comments) degrade to the
+plain-quote rules.
+
+``$_``-prefixed metavariables (``$_``, ``$_FOO``) are wildcards, like
+ast-grep: each matches one identifier independently, with no capture
+and no backreference linking.
+
 REMAINING DIVERGENCES from real AST matching (the documented set):
-  1. raw text matching — can match inside strings/comments;
-  2. delimiter counting does not skip delimiters inside string
-     literals of the scanned source;
-  3. a pattern is matched wherever its first token occurs, not only at
+  1. a pattern is matched wherever its first token occurs, not only at
      AST node boundaries (e.g. ``$A + $B`` can match a slice of a
      larger expression);
-  4. unnamed ``$_``-style wildcards and ast-grep's ``$$`` (non-greedy
-     single-node) are not supported.
+  2. ast-grep's ``$$`` (non-greedy single-node) is not supported.
 
 Output mirrors AstMatch (query.rs:13-20): one row per match with
 (repo, path, line_start, line_end, column_start, column_end,
@@ -79,6 +89,75 @@ LANG_EXTENSIONS: dict[str, list[str]] = {
 }
 
 _META = re.compile(r"\$\$\$[A-Z_][A-Z0-9_]*|\$\$\$|\$[A-Z_][A-Z0-9_]*")
+
+# -- lexical string/comment mask ------------------------------------------
+
+_STR_DQ = r'"(?:\\.|[^"\\\n])*"'
+_STR_SQ = r"'(?:\\.|[^'\\\n])*'"
+_STR_BT = r"`(?:\\.|[^`\\])*`"
+_CMT_LINE = r"//[^\n]*"
+_CMT_BLOCK = r"/\*(?:.|\n)*?\*/"
+_CMT_HASH = r"#[^\n]*"
+# One alternation per language family; the regex engine's leftmost-first
+# scan gives the right precedence for free (a comment opened first hides
+# the quote inside it, a string opened first hides the // inside it).
+_MASK_RES: dict[str, re.Pattern] = {}
+
+
+def _mask_re(ext: str) -> re.Pattern:
+    fam = {
+        "py": "py", "rb": "hash", "sh": "hash", "yaml": "hash", "yml": "hash",
+        "php": "php",
+        "js": "bt", "jsx": "bt", "mjs": "bt", "ts": "bt", "tsx": "bt",
+        "go": "bt",
+    }.get(ext, "c")
+    pat = _MASK_RES.get(fam)
+    if pat is None:
+        if fam == "py":
+            alts = [_CMT_HASH, "'''(?:.|\n)*?'''", '"""(?:.|\n)*?"""',
+                    _STR_DQ, _STR_SQ]
+        elif fam == "hash":
+            alts = [_CMT_HASH, _STR_DQ, _STR_SQ]
+        elif fam == "php":
+            alts = [_CMT_LINE, _CMT_HASH, _CMT_BLOCK, _STR_DQ, _STR_SQ]
+        elif fam == "bt":
+            alts = [_CMT_LINE, _CMT_BLOCK, _STR_DQ, _STR_SQ, _STR_BT]
+        else:  # C family (rs, c, cpp, java, swift, cs, ...)
+            alts = [_CMT_LINE, _CMT_BLOCK, _STR_DQ, _STR_SQ]
+        pat = _MASK_RES[fam] = re.compile("|".join(alts))
+    return pat
+
+
+class Mask:
+    """Sorted string/comment spans with O(log n) point queries."""
+
+    __slots__ = ("starts", "ends")
+
+    def __init__(self, spans: list[tuple[int, int]]):
+        self.starts = [s for s, _ in spans]
+        self.ends = [e for _, e in spans]
+
+    def covers(self, i: int) -> bool:
+        import bisect
+
+        j = bisect.bisect_right(self.starts, i) - 1
+        return j >= 0 and i < self.ends[j]
+
+    def skip(self, i: int) -> int:
+        """First index >= i outside every span."""
+        import bisect
+
+        j = bisect.bisect_right(self.starts, i) - 1
+        return self.ends[j] if j >= 0 and i < self.ends[j] else i
+
+
+_EMPTY_MASK = Mask([])
+
+
+def code_mask(content: str, ext: str) -> Mask:
+    """Mask of string-literal and comment spans for one file (one regex
+    pass; see module docstring for the per-extension rules)."""
+    return Mask([m.span() for m in _mask_re(ext).finditer(content)])
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 _IDENT_RE = re.compile(_IDENT)
 _OPEN_FOR = {")": "(", "]": "[", "}": "{"}
@@ -172,8 +251,10 @@ class CompiledPattern:
 
     # -- matching ---------------------------------------------------------
 
-    def finditer(self, content: str):
-        """Leftmost, non-overlapping matches (re.finditer semantics)."""
+    def finditer(self, content: str, mask: Mask | None = None):
+        """Leftmost, non-overlapping matches (re.finditer semantics).
+        A match may not START inside a ``mask`` span (string/comment)."""
+        mask = mask if mask is not None else _EMPTY_MASK
         pos = 0
         n = len(content)
         while pos <= n:
@@ -184,7 +265,10 @@ class CompiledPattern:
                 start = anchor.start()
             else:
                 start = pos
-            got = self._match_from(0, content, start, {})
+            if mask.covers(start):
+                pos = mask.skip(start)
+                continue
+            got = self._match_from(0, content, start, {}, mask)
             if got is not None:
                 end, caps = got
                 if end > start:
@@ -194,7 +278,7 @@ class CompiledPattern:
             pos = start + 1
 
     def _match_from(
-        self, ti: int, content: str, pos: int, caps: dict[str, str]
+        self, ti: int, content: str, pos: int, caps: dict[str, str], mask: Mask
     ):
         if ti == len(self.tokens):
             return pos, caps
@@ -203,20 +287,24 @@ class CompiledPattern:
             m = self._lit_re[ti].match(content, pos)
             if m is None:
                 return None
-            return self._match_from(ti + 1, content, m.end(), caps)
+            return self._match_from(ti + 1, content, m.end(), caps, mask)
         if isinstance(tok, _Var):
             m = _IDENT_RE.match(content, _skip_ws(content, pos))
             if m is None:
                 return None
+            if tok.name.startswith("_"):
+                # $_ / $_FOO wildcard: matches, never captures or links
+                return self._match_from(ti + 1, content, m.end(), caps, mask)
             if tok.name in caps and caps[tok.name] != m.group(0):
                 return None
             return self._match_from(
-                ti + 1, content, m.end(), {**caps, tok.name: m.group(0)}
+                ti + 1, content, m.end(), {**caps, tok.name: m.group(0)}, mask
             )
-        return self._match_multi(ti, tok, content, pos, caps)
+        return self._match_multi(ti, tok, content, pos, caps, mask)
 
     def _match_multi(
-        self, ti: int, tok: _Multi, content: str, pos: int, caps: dict[str, str]
+        self, ti: int, tok: _Multi, content: str, pos: int,
+        caps: dict[str, str], mask: Mask,
     ):
         pos = _skip_ws(content, pos)
 
@@ -228,7 +316,7 @@ class CompiledPattern:
                 new = {**caps, tok.name: text}
             else:
                 new = caps
-            return self._match_from(ti + 1, content, cont, new)
+            return self._match_from(ti + 1, content, cont, new, mask)
 
         nxt = self.tokens[ti + 1] if ti + 1 < len(self.tokens) else None
 
@@ -240,7 +328,7 @@ class CompiledPattern:
                 prev.text.rstrip()[-1:] if isinstance(prev, _Lit) else ""
             )
             if closer in _OPEN_FOR and _OPEN_FOR[closer] == opener:
-                end = _balanced_end(content, pos, opener, closer)
+                end = _balanced_end(content, pos, opener, closer, mask)
                 if end is None:
                     return None
                 return bind_and_continue(end, end)
@@ -248,10 +336,10 @@ class CompiledPattern:
         # trailing: through the first balanced {...} block opening before
         # any ';', else through the next ';', else to end of line
         if nxt is None:
-            brace = content.find("{", pos)
-            semi = content.find(";", pos)
+            brace = _find_unmasked(content, "{", pos, mask)
+            semi = _find_unmasked(content, ";", pos, mask)
             if brace != -1 and (semi == -1 or brace < semi):
-                close = _balanced_end(content, brace + 1, "{", "}")
+                close = _balanced_end(content, brace + 1, "{", "}", mask)
                 if close is not None:
                     return bind_and_continue(close + 1, close + 1)
             if semi != -1:
@@ -268,6 +356,9 @@ class CompiledPattern:
                 m = scan.search(content, cur)
                 if m is None:
                     return None
+                if mask.covers(m.start()):
+                    cur = mask.skip(m.start())
+                    continue
                 got = bind_and_continue(m.start(), m.start())
                 if got is not None:
                     return got
@@ -287,12 +378,26 @@ def _skip_ws(content: str, pos: int) -> int:
     return pos
 
 
-def _balanced_end(content: str, pos: int, opener: str, closer: str):
+def _find_unmasked(content: str, ch: str, pos: int, mask: Mask) -> int:
+    i = content.find(ch, pos)
+    while i != -1 and mask.covers(i):
+        i = content.find(ch, mask.skip(i))
+    return i
+
+
+def _balanced_end(
+    content: str, pos: int, opener: str, closer: str, mask: Mask = _EMPTY_MASK
+):
     """Index of the closer matching an already-open ``opener`` (depth 1
-    at ``pos``), counting nesting; None if unbalanced. Does not skip
-    string literals (documented divergence #2)."""
+    at ``pos``), counting nesting; delimiters inside ``mask`` spans
+    (string literals / comments) do not count. None if unbalanced."""
+    i = pos
     depth = 1
-    for i in range(pos, len(content)):
+    n = len(content)
+    while i < n:
+        if mask.covers(i):
+            i = mask.skip(i)
+            continue
         c = content[i]
         if c == opener:
             depth += 1
@@ -300,6 +405,7 @@ def _balanced_end(content: str, pos: int, opener: str, closer: str):
             depth -= 1
             if depth == 0:
                 return i
+        i += 1
     return None
 
 
@@ -309,10 +415,11 @@ def compile_pattern(pattern: str) -> CompiledPattern:
 
 
 def match_content(
-    pattern: re.Pattern, content: str
+    pattern: re.Pattern, content: str, ext: str = ""
 ) -> list[tuple[int, int, int, int, str, dict[str, str]]]:
     """(line_start, line_end, col_start, col_end, text, captures) per
-    match; lines and columns 1-based."""
+    match; lines and columns 1-based. ``ext`` picks the string/comment
+    mask rules (empty -> C-family defaults)."""
     # line-start offsets for offset -> (line, col)
     starts = [0]
     for i, ch in enumerate(content):
@@ -326,7 +433,7 @@ def match_content(
         return li + 1, off - starts[li] + 1
 
     out = []
-    for m in pattern.finditer(content):
+    for m in pattern.finditer(content, code_mask(content, ext)):
         if m.start() == m.end():
             continue
         ls, cs = linecol(m.start())
@@ -372,12 +479,13 @@ def query_pattern(
         ):
             if not allow_tests and is_test_file(path):
                 continue
-            if exts is not None:
-                base = path.rsplit("/", 1)[-1]
-                ext = base.rsplit(".", 1)[-1] if "." in base else ""
-                if ext not in exts:
-                    continue
-            for ls, le, cs, ce, text, caps in match_content(compiled, content):
+            base = path.rsplit("/", 1)[-1]
+            ext = base.rsplit(".", 1)[-1] if "." in base else ""
+            if exts is not None and ext not in exts:
+                continue
+            for ls, le, cs, ce, text, caps in match_content(
+                compiled, content, ext
+            ):
                 out["repo"].append(repo)
                 out["path"].append(path)
                 out["line_start"].append(ls)

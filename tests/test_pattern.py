@@ -181,3 +181,56 @@ def test_balanced_multi_spans_nested_delimiters():
     got2 = match_content(p2, src)
     assert len(got2) == 1
     assert got2[0][4] == src
+
+
+# -- string/comment mask + wildcards (round 4: divergence closures) -------
+
+
+def test_balanced_extent_skips_string_delimiters():
+    # old divergence #2: a ")" inside a string literal must not close
+    # the counted extent
+    p = compile_pattern("foo($$$ARGS)")
+    got = match_content(p, 'foo(a, ")", b); bar()\n', "rs")
+    assert len(got) == 1 and got[0][5]["ARGS"] == 'a, ")", b'
+
+
+def test_no_match_starting_in_comment_or_string():
+    # old divergence #1: commented-out / quoted code is not matched
+    src = '// foo(x)\nlet s = "foo(y)";\nfoo(z)\n'
+    got = match_content(compile_pattern("foo($A)"), src, "rs")
+    assert [m[5] for m in got] == [{"A": "z"}]
+
+
+def test_mask_rules_are_per_extension():
+    src = "# foo(q)\nfoo(r)\n"
+    # '#' is a comment in python but plain text in rust (e.g. attrs)
+    assert len(match_content(compile_pattern("foo($A)"), src, "py")) == 1
+    assert len(match_content(compile_pattern("foo($A)"), src, "rs")) == 2
+
+
+def test_block_comment_masked_across_lines():
+    src = "/* foo(dead)\n   foo(dead2) */ foo(live)\n"
+    got = match_content(compile_pattern("foo($A)"), src, "c")
+    assert [m[5] for m in got] == [{"A": "live"}]
+
+
+def test_python_triple_quote_masked():
+    src = '"""foo(doc)"""\nfoo(real)\n'
+    got = match_content(compile_pattern("foo($A)"), src, "py")
+    assert [m[5] for m in got] == [{"A": "real"}]
+
+
+def test_underscore_wildcard_no_capture_no_link():
+    src = "add(a, b)\nadd(c, c)\n"
+    got = match_content(compile_pattern("add($_, $_)"), src, "rs")
+    assert len(got) == 2 and all(m[5] == {} for m in got)
+    # named vars still enforce linking on the same source
+    linked = match_content(compile_pattern("add($A, $A)"), src, "rs")
+    assert len(linked) == 1 and linked[0][0] == 2
+
+
+def test_string_containing_comment_marker_stays_string():
+    # a // inside a string must not hide the rest of the line
+    src = 'let u = "http://x"; foo(a)\n'
+    got = match_content(compile_pattern("foo($A)"), src, "rs")
+    assert [m[5] for m in got] == [{"A": "a"}]
