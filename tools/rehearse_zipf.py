@@ -145,9 +145,13 @@ def main() -> None:
         st = rd.prune_stats(reset=True)
         tot = st["hot_blocks_total"]
         dec = st["hot_blocks_decoded"]
+        ts = sorted(times)
         out[name] = {
             "query": q,
             "p50_ms": round(1000 * statistics.median(times), 1),
+            "p99_ms": round(
+                1000 * ts[min(len(ts) - 1, int(0.99 * len(ts)))], 1
+            ),
             "hot_terms": st["hot_terms"] // args.reps,
             "blocks_total": tot // args.reps,
             "blocks_decoded": dec // args.reps,
