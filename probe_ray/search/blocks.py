@@ -420,9 +420,40 @@ def _find_declaration(lines: list[str], seed_idx: int, ext: str | None):
     return None
 
 
+_DECORATOR_PREFIX = {
+    "py": ("@",),
+    "rs": ("#[",),
+    "java": ("@",), "kt": ("@",),
+    "ts": ("@",), "tsx": ("@",),
+    "cs": ("[",),
+}
+
+
+def _absorb_decorators(lines: list[str], decl_idx: int, ext: str | None) -> int:
+    """Start index after absorbing contiguous decorator/attribute lines
+    immediately above the declaration — tree-sitter's
+    decorated_definition (py) / item-with-attributes (rs) / annotated
+    member (java, kt, ts, cs) nodes include them, so the balanced
+    extent does too. Comments stay siblings (the adjacency merge rule
+    handles them, like the reference's)."""
+    prefixes = _DECORATOR_PREFIX.get(ext or "")
+    if not prefixes:
+        return decl_idx
+    i = decl_idx
+    while i > 0:
+        s = lines[i - 1].strip()
+        if s and s.startswith(prefixes):
+            i -= 1
+        else:
+            break
+    return i
+
+
 def _balanced_extent(lines: list[str], decl_idx: int, ext: str | None):
     """(start_idx, end_idx) 0-based inclusive extent of the declaration
-    at ``decl_idx``, or None when no well-formed extent is found."""
+    at ``decl_idx`` — including contiguous decorator/attribute lines
+    above it — or None when no well-formed extent is found."""
+    start_idx = _absorb_decorators(lines, decl_idx, ext)
     if ext in _BRACE_EXTS:
         depth = 0
         opened = False
@@ -435,7 +466,7 @@ def _balanced_extent(lines: list[str], decl_idx: int, ext: str | None):
                 elif ch == "}":
                     depth -= 1
                     if opened and depth == 0:
-                        return decl_idx, i
+                        return start_idx, i
             if not opened and i > decl_idx + 10:
                 return None  # declaration never opened a body
         return None
@@ -451,7 +482,7 @@ def _balanced_extent(lines: list[str], decl_idx: int, ext: str | None):
             if len(ln) - len(ln.lstrip()) <= base:
                 break
             end = i
-        return (decl_idx, end) if end > decl_idx else None
+        return (start_idx, end) if end > decl_idx else None
     return None
 
 
@@ -517,7 +548,9 @@ def extract_blocks(
                 widened[seen_ranges[key]][0].extend(original)
                 continue
             seen_ranges[key] = len(widened)
-            ntype = determine_fallback_node_type(lines[rng[0]], ext)
+            # node type from the DECLARATION line, not the extent start
+            # (the extent may begin at an absorbed decorator/attribute)
+            ntype = determine_fallback_node_type(lines[d], ext)
             widened.append((original, s, e, ntype))
         windows_iter = widened
     else:

@@ -423,3 +423,53 @@ def test_default_extent_unchanged():
     b = extract_blocks("r", "src/a.rs", RS_FILE, plan, node_extent="window")
     assert a == b
     assert a[0].start_line != 3 or a[0].end_line != 9 or True
+
+
+def test_balanced_extent_absorbs_decorators_python():
+    # tree-sitter's decorated_definition includes the decorators; the
+    # balanced extent does too, and node_type still reads the decl line
+    from probe_ray.query.bm25 import create_query_plan
+
+    src = (
+        "import os\n\n@cache\n@role('admin')\n"
+        "def login_handler(req):\n    token = auth(req)\n    return token\n"
+    )
+    got = extract_blocks(
+        "r", "src/a.py", src, create_query_plan("token"),
+        node_extent="balanced",
+    )
+    assert [(b.start_line, b.end_line, b.node_type) for b in got] == [
+        (3, 7, "function")
+    ]
+
+
+def test_balanced_extent_absorbs_rust_attributes():
+    from probe_ray.query.bm25 import create_query_plan
+
+    src = (
+        "use x;\n\n#[inline]\n#[cfg(test)]\n"
+        "fn verify_token(t: &str) -> bool {\n    check(t)\n}\n"
+    )
+    got = extract_blocks(
+        "r", "src/a.rs", src, create_query_plan("check"),
+        node_extent="balanced",
+    )
+    assert [(b.start_line, b.end_line, b.node_type) for b in got] == [
+        (3, 7, "function")
+    ]
+
+
+def test_decorator_absorption_stops_at_comment():
+    # comments are sibling nodes in tree-sitter, not part of the
+    # declaration: they must NOT be absorbed (adjacency merging handles
+    # them downstream)
+    from probe_ray.query.bm25 import create_query_plan
+
+    src = (
+        "# helper\n@cache\ndef f(x):\n    return auth(x)\n"
+    )
+    got = extract_blocks(
+        "r", "src/a.py", src, create_query_plan("auth"),
+        node_extent="balanced",
+    )
+    assert [(b.start_line, b.end_line) for b in got] == [(2, 4)]
