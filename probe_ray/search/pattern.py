@@ -46,11 +46,21 @@ plain-quote rules.
 ast-grep: each matches one identifier independently, with no capture
 and no backreference linking.
 
-REMAINING DIVERGENCES from real AST matching (the documented set):
+``$$`` / ``$$NAME`` match exactly ONE node, including unnamed nodes
+(ast-grep's single-node-any form). In this text approximation one
+"node" is a base token — a balanced ``(...)`` / ``[...]`` / ``{...}``
+group (whole), a string literal (the full masked span), an identifier
+or number token, or one maximal operator token (``==``, ``->``, ...)
+— optionally extended by postfix call/index groups and ``.``/``::``
+member steps (``bar(x, y)`` and ``cfg.items()`` are each one
+expression node); the matcher takes the shortest extent that lets the
+rest of the pattern match. ``$$NAME`` captures and
+backreference-links like ``$NAME``; bare ``$$`` matches anonymously.
+
+REMAINING DIVERGENCE from real AST matching (the documented set):
   1. a pattern is matched wherever its first token occurs, not only at
      AST node boundaries (e.g. ``$A + $B`` can match a slice of a
-     larger expression);
-  2. ast-grep's ``$$`` (non-greedy single-node) is not supported.
+     larger expression).
 
 Output mirrors AstMatch (query.rs:13-20): one row per match with
 (repo, path, line_start, line_end, column_start, column_end,
@@ -88,7 +98,11 @@ LANG_EXTENSIONS: dict[str, list[str]] = {
     "csharp": ["cs"],
 }
 
-_META = re.compile(r"\$\$\$[A-Z_][A-Z0-9_]*|\$\$\$|\$[A-Z_][A-Z0-9_]*")
+_META = re.compile(
+    r"\$\$\$[A-Z_][A-Z0-9_]*|\$\$\$"
+    r"|\$\$[A-Z_][A-Z0-9_]*|\$\$"
+    r"|\$[A-Z_][A-Z0-9_]*"
+)
 
 # -- lexical string/comment mask ------------------------------------------
 
@@ -180,6 +194,11 @@ class _Multi:
     name: str | None  # None for anonymous $$$
 
 
+@dataclass(frozen=True)
+class _Node:
+    name: str | None  # None for anonymous $$
+
+
 class _Match:
     """re.Match-alike over the custom matcher's result."""
 
@@ -208,7 +227,7 @@ class CompiledPattern:
 
     def __init__(self, pattern: str):
         self.pattern = pattern
-        self.tokens: list[_Lit | _Var | _Multi] = []
+        self.tokens: list[_Lit | _Var | _Multi | _Node] = []
         pos = 0
         for m in _META.finditer(pattern):
             if m.start() > pos:
@@ -216,6 +235,8 @@ class CompiledPattern:
             tok = m.group(0)
             if tok.startswith("$$$"):
                 self.tokens.append(_Multi(tok[3:] or None))
+            elif tok.startswith("$$"):
+                self.tokens.append(_Node(tok[2:] or None))
             else:
                 self.tokens.append(_Var(tok[1:]))
             pos = m.end()
@@ -300,6 +321,29 @@ class CompiledPattern:
             return self._match_from(
                 ti + 1, content, m.end(), {**caps, tok.name: m.group(0)}, mask
             )
+        if isinstance(tok, _Node):
+            p = _skip_ws(content, pos)
+            # comments are invisible to an AST matcher: hop masked spans
+            # that do not open a string literal
+            while (
+                p < len(content)
+                and mask.covers(p)
+                and content[p] not in "\"'`"
+            ):
+                p = _skip_ws(content, mask.skip(p))
+            for end in _node_candidates(content, p, mask):
+                if tok.name is None or tok.name.startswith("_"):
+                    got = self._match_from(ti + 1, content, end, caps, mask)
+                else:
+                    text = content[p:end]
+                    if tok.name in caps and caps[tok.name] != text:
+                        continue
+                    got = self._match_from(
+                        ti + 1, content, end, {**caps, tok.name: text}, mask
+                    )
+                if got is not None:
+                    return got
+            return None
         return self._match_multi(ti, tok, content, pos, caps, mask)
 
     def _match_multi(
@@ -370,6 +414,63 @@ class CompiledPattern:
             if got is not None:
                 return got
         return None
+
+
+_NUM_RE = re.compile(r"[0-9][0-9A-Za-z_.]*")
+_OP_RE = re.compile(r"[!%&*+\-./:<=>?@^|~]+")
+
+
+def _node_end(content: str, pos: int, mask: Mask):
+    """End offset of exactly ONE node-ish unit starting at ``pos`` (the
+    ``$$`` single-node approximation — see module docstring): a whole
+    balanced delimiter group, a string literal (full masked span), an
+    identifier/number, or one maximal operator token. None if ``pos``
+    starts none of these (e.g. at a ``,`` / ``;`` separator or EOF)."""
+    if pos >= len(content):
+        return None
+    c = content[pos]
+    if c in _CLOSE_FOR:  # an opener: the balanced group is one node
+        end = _balanced_end(content, pos + 1, c, _CLOSE_FOR[c], mask)
+        return None if end is None else end + 1
+    if mask.covers(pos):  # string literal (comments were hopped upstream)
+        return mask.skip(pos)
+    m = _IDENT_RE.match(content, pos) or _NUM_RE.match(content, pos)
+    if m is not None:
+        return m.end()
+    m = _OP_RE.match(content, pos)
+    return m.end() if m is not None else None
+
+
+def _node_candidates(content: str, pos: int, mask: Mask):
+    """Candidate end offsets for ONE node at ``pos``, shortest first:
+    the base token (see _node_end), then each postfix extension — a
+    call/index balanced group or a ``.``/``::`` member step — since at
+    text level ``bar(x, y)`` or ``cfg.items()`` is one expression node.
+    The matcher backtracks through these lazily."""
+    end = _node_end(content, pos, mask)
+    if end is None:
+        return
+    yield end
+    while True:
+        p = _skip_ws(content, end)
+        if p < len(content) and content[p] in "([":
+            nxt = _balanced_end(
+                content, p + 1, content[p], _CLOSE_FOR[content[p]], mask
+            )
+            if nxt is None:
+                return
+            end = nxt + 1
+        elif p < len(content) and (
+            content[p] == "." or content.startswith("::", p)
+        ):
+            q = p + (2 if content.startswith("::", p) else 1)
+            m = _IDENT_RE.match(content, _skip_ws(content, q))
+            if m is None:
+                return
+            end = m.end()
+        else:
+            return
+        yield end
 
 
 def _skip_ws(content: str, pos: int) -> int:

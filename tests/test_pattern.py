@@ -234,3 +234,58 @@ def test_string_containing_comment_marker_stays_string():
     src = 'let u = "http://x"; foo(a)\n'
     got = match_content(compile_pattern("foo($A)"), src, "rs")
     assert [m[5] for m in got] == [{"A": "a"}]
+
+
+def test_single_node_metavar_identifier_and_call():
+    # $$X matches exactly one node: an identifier, or a balanced group
+    src = "let a = foo;\nlet b = bar(x, y);\n"
+    p = compile_pattern("let $N = $$V;")
+    got = match_content(p, src, "rs")
+    assert [m[5]["N"] for m in got] == ["a", "b"]
+    # one node each: a bare identifier, and — via the postfix-extension
+    # backtrack — the whole call expression (one node in a real AST)
+    assert [m[5]["V"] for m in got] == ["foo", "bar(x, y)"]
+
+
+def test_single_node_metavar_balanced_group():
+    src = "check((a + b));\ncheck(c);\n"
+    p = compile_pattern("check($$ARG);")
+    got = match_content(p, src, "rs")
+    assert [m[5]["ARG"] for m in got] == ["(a + b)", "c"]
+
+
+def test_single_node_metavar_operator_and_backref():
+    src = "x == x; y != z; w == v;"
+    p = compile_pattern("$A $$OP $B;")
+    got = match_content(p, src, "rs")
+    assert [(m[5]["A"], m[5]["OP"], m[5]["B"]) for m in got] == [
+        ("x", "==", "x"),
+        ("y", "!=", "z"),
+        ("w", "==", "v"),
+    ]
+    # backreference: repeated $$OP must bind the same text
+    src2 = "a == b == c; a == b != c;"
+    p2 = compile_pattern("$_ $$OP $_ $$OP $_;")
+    got2 = match_content(p2, src2, "rs")
+    assert [m[4] for m in got2] == ["a == b == c;"]
+
+
+def test_single_node_metavar_string_literal_node():
+    src = 'log("hello, world");\nlog(name);\n'
+    p = compile_pattern("log($$MSG);")
+    got = match_content(p, src, "rs")
+    assert [m[5]["MSG"] for m in got] == ['"hello, world"', "name"]
+
+
+def test_single_node_does_not_cross_separator():
+    # $$ is ONE node: it cannot swallow "x, y" (the , is a separator)
+    src = "f(x, y);\n"
+    p = compile_pattern("f($$A);")
+    assert match_content(p, src, "rs") == []
+
+
+def test_anonymous_single_node_no_capture():
+    src = "take(alpha);"
+    p = compile_pattern("take($$);")
+    got = match_content(p, src, "rs")
+    assert len(got) == 1 and got[0][5] == {}
