@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dedup_spans": text.dedup_spans,
         "text_quality_percentile_filter": text.quality_percentile_filter,
         "text_quality_percentile_by_lang": text.quality_percentile_filter_by_lang,
+        "text_dsir_weights": text.dsir_importance_weights,
         "export_pack_sequences": export.pack_sequences,
         "export_curated_pack": export.curated_pack,
         "export_seq_stats": export.seq_stats,
@@ -905,6 +906,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(tf.tf * length(bin(t.total // c.c))) AS BIGINT) "
             "AS surprisal_bits "
             "FROM tf JOIN c USING (term) CROSS JOIN t "
+            "GROUP BY tf.doc_id ORDER BY doc_id"
+        ),
+        # DSIR-style importance weights (arXiv:2302.03169 analog): target
+        # = lang='en' slice, raw = whole corpus, per-doc bigram weight in
+        # exact integer bits (same bit_length = length(bin(...)) identity
+        # as unigram_surprisal); absent-from-target grams clamp to c_t=1
+        "text_dsir_weights": (
+            "WITH w AS (SELECT doc_id, lang, string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, lang, unnest(list_transform("
+            "range(len(ws) - 1), i -> array_to_string("
+            "list_slice(ws, i + 1, i + 2), ' '))) AS gram "
+            "FROM w WHERE len(ws) >= 2), "
+            "tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf, "
+            "bool_or(lang = 'en') AS is_t FROM g GROUP BY doc_id, gram), "
+            "c AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS c_raw, "
+            "CAST(coalesce(sum(CASE WHEN is_t THEN tf END), 0) AS BIGINT) "
+            "AS c_t FROM tf GROUP BY gram), "
+            "t AS (SELECT CAST(sum(tf) AS BIGINT) AS t_raw, "
+            "CAST(coalesce(sum(CASE WHEN is_t THEN tf END), 0) AS BIGINT) "
+            "AS t_t FROM tf) "
+            "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_grams, "
+            "CAST(sum(tf.tf * (length(bin(greatest(t.t_raw, 1) // "
+            "greatest(c.c_raw, 1))) - length(bin(greatest(t.t_t, 1) // "
+            "greatest(c.c_t, 1))))) AS BIGINT) AS weight_bits "
+            "FROM tf JOIN c USING (gram) CROSS JOIN t "
             "GROUP BY tf.doc_id ORDER BY doc_id"
         ),
         # GPT-style sequence packing: concat all docs' whitespace tokens in

@@ -353,6 +353,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("distinctive_terms", lambda: _nrows(text.distinctive_terms(SF_DIR))),
             ("hll_distinct", lambda: _nrows(text.hll_distinct_tokens(SF_DIR))),
             ("unigram_surprisal", lambda: _nrows(text.unigram_surprisal(SF_DIR))),
+            ("dsir_weights", lambda: _nrows(text.dsir_importance_weights(SF_DIR))),
             ("pack_sequences", lambda: _nrows(export.pack_sequences(SF_DIR))),
             ("curated_pack", lambda: _nrows(export.curated_pack(SF_DIR))),
             ("seq_stats", lambda: _nrows(export.seq_stats(SF_DIR))),

@@ -2239,3 +2239,179 @@ def lang_id_confusion(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow").sort(
         ["lang", "lang_guess"]
     )
+
+
+def dsir_importance_weights(sf_dir: str, target_lang: str = "en", n: int = 2):
+    """DSIR-style data-selection importance weights (Data Selection via
+    Importance Resampling, arXiv:2302.03169) with exact integer
+    arithmetic: the target distribution is the corpus slice
+    ``lang == target_lang``, the raw distribution is the whole corpus,
+    and a document's weight is its hashed-n-gram log importance ratio
+    in bits —
+
+        weight_bits(d) = sum_g tf_d(g) * (s_raw(g) - s_target(g)),
+        s_X(g) = bit_length(max(T_X, 1) // max(c_X(g), 1))
+
+    i.e. the same integer surprisal stand-in for -log2 p(g) that
+    unigram_surprisal uses (bit-identical in DuckDB as
+    ``length(bin(...))``), so the oracle hash is exact. Positive weight
+    = the doc's n-grams are more probable under the target than under
+    the raw corpus — DSIR keeps the top-weight docs. Grams absent from
+    the target slice clamp to c_t=1 (maximally surprising), the paper's
+    smoothing role. Output (doc_id, n_grams, weight_bits); docs with
+    < n words have no grams and are omitted, mirroring the oracle.
+
+    Scale shape (the shared_ngram_counts skeleton): stage 1 emits ONE
+    row per distinct (doc, gram) — blake2b word hashes + a rolling
+    polynomial combine, lexsort run-length for per-doc tf — so the
+    shuffle moves O(distinct (doc,gram)) rows, never the token stream;
+    gram identity is a 63-bit hash (collision odds ~ grams^2 / 2^64,
+    same accepted identity as shared_ngram_counts). Stage 2 groups by
+    gram-hash partition (bounded count, hot grams stay one group's
+    problem) and computes per-gram (c_raw, c_target) with run-length
+    sums, then folds per-doc PARTIAL (n_grams, weight_bits) sums —
+    O(docs) rows out per partition. Stage 3 is one doc-keyed regroup.
+    Global totals (T_raw, T_target) come from two Dataset sums over the
+    once-materialized stage-1 rows, not a second tokenize pass.
+    NOTE: stage-1 rows + totals materialize at CALL time (eager);
+    scoring stays lazy."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def grams_stage(batch: pa.Table) -> pa.Table:
+        """(part, gh, doc_id, tf, tf_t): per-(doc, gram) occurrence
+        counts, tf_t = tf when the doc is in the target slice else 0.
+        Each doc's words live in one input row, so each (gh, doc_id)
+        pair is emitted exactly once globally — stage 2 relies on it."""
+        _, _, doc_idx, codes, words = _split_words(batch)
+        dids = batch.column("doc_id").to_numpy()
+        is_t = pc.equal(
+            batch.column("lang"), pa.scalar(target_lang)
+        ).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "gh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "tf_t": pa.array([], pa.int64()),
+            }
+        )
+        if codes.size < n:
+            return empty
+        dict_hashes = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                for w in words.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        wh = dict_hashes[codes]
+        m = wh.size - n + 1
+        valid = doc_idx[:m] == doc_idx[n - 1 :]
+        gh = np.zeros(m, np.uint64)
+        prime = np.uint64(1099511628211)
+        for k in range(n):
+            gh = gh * prime + wh[k : m + k]
+        gd = doc_idx[:m][valid]
+        gh = (gh[valid] & np.uint64((1 << 63) - 1)).astype(np.int64)
+        if gd.size == 0:
+            return empty
+        order = np.lexsort((gh, gd))
+        d, h = gd[order], gh[order]
+        new = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, d.size]).astype(np.int64)
+        out_doc_idx = d[starts]
+        tf_t = np.where(is_t[out_doc_idx], tf, 0)
+        out_gh = h[starts]
+        return pa.table(
+            {
+                "part": pa.array(out_gh % SHARED_GRAM_PARTITIONS),
+                "gh": pa.array(out_gh),
+                "doc_id": pa.array(dids[out_doc_idx], pa.int64()),
+                "tf": pa.array(tf),
+                "tf_t": pa.array(tf_t),
+            }
+        )
+
+    rows = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(grams_stage, batch_format="pyarrow")
+        .materialize()
+    )
+    t_raw = int(rows.sum("tf") or 0)
+    t_t = int(rows.sum("tf_t") or 0)
+    if t_raw == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "weight_bits": pa.array([], pa.int64()),
+            }
+        )
+
+    def bits_partials(group: pa.Table) -> pa.Table:
+        """Per gram-hash partition: per-gram (c_raw, c_t) by run-length
+        sums, then per-doc partial (n_grams, weight_bits)."""
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("gh", "ascending")])
+        )
+        gh = g.column("gh").to_numpy()
+        tf = g.column("tf").to_numpy()
+        tf_t = g.column("tf_t").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        new = np.r_[True, gh[1:] != gh[:-1]]
+        gid = np.cumsum(new) - 1
+        n_grams_p = np.max(gid) + 1
+        c_raw = np.zeros(n_grams_p, np.int64)
+        c_t = np.zeros(n_grams_p, np.int64)
+        np.add.at(c_raw, gid, tf)
+        np.add.at(c_t, gid, tf_t)
+        s_raw = _bit_length64(
+            (max(t_raw, 1) // np.maximum(c_raw, 1)).astype(np.uint64)
+        )
+        s_t = _bit_length64(
+            (max(t_t, 1) // np.maximum(c_t, 1)).astype(np.uint64)
+        )
+        delta = (s_raw.astype(np.int64) - s_t.astype(np.int64))[gid]
+        uniq, inv = np.unique(doc, return_inverse=True)
+        ng = np.zeros(uniq.size, np.int64)
+        wb = np.zeros(uniq.size, np.int64)
+        np.add.at(ng, inv, tf)
+        np.add.at(wb, inv, tf * delta)
+        return pa.table(
+            {
+                "part2": pa.array((uniq % TERM_PARTITIONS).astype(np.int64)),
+                "doc_id": pa.array(uniq),
+                "n_grams": pa.array(ng),
+                "weight_bits": pa.array(wb),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy()
+        uniq, inv = np.unique(did, return_inverse=True)
+        ng = np.zeros(uniq.size, np.int64)
+        wb = np.zeros(uniq.size, np.int64)
+        np.add.at(ng, inv, group.column("n_grams").to_numpy())
+        np.add.at(wb, inv, group.column("weight_bits").to_numpy())
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq),
+                "n_grams": pa.array(ng),
+                "weight_bits": pa.array(wb),
+            }
+        )
+
+    return (
+        rows.groupby("part")
+        .map_groups(bits_partials, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -85,6 +85,7 @@ CASES = [
     "text_group_sample",
     "text_distinctive_terms",
     "text_unigram_surprisal",
+    "text_dsir_weights",
     "export_pack_sequences",
     "export_curated_pack",
     "export_seq_stats",

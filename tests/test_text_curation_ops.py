@@ -310,3 +310,86 @@ def test_dedup_spans_matches_scalar_reference(ray_session):
     finally:
         textmod.SPAN_BROADCAST_MAX_GRAMS = orig
     assert t.equals(t2)
+
+
+def test_dsir_weights_edges_and_absent_target(ray_session, tmp_path):
+    """DSIR importance weights: empty/one-word docs are omitted (no
+    bigrams); an absent target language clamps every gram to c_t=1 /
+    T_t=1 so weight_bits = sum tf * (s_raw - 1); engine-to-oracle pin on
+    the synthetic edge corpus."""
+    from probe_ray.ops.text import dsir_importance_weights
+
+    docs = [
+        (0, "", "en", "web"),
+        (1, "solo", "en", "web"),
+        (2, "a b a b a b", "en", "web"),
+        (3, "a b c d", "de", "web"),
+        (4, "x y x y", "de", "web"),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in docs], pa.int64()
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    t = dsir_importance_weights(d)
+    t = t if isinstance(t, pa.Table) else pa.table(t.to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    ref = con.execute(entrymod.oracle_sql()["text_dsir_weights"]).arrow()
+    assert t.cast(ref.schema).equals(ref)
+    # docs 0 (empty) and 1 (one word) have no bigrams -> omitted
+    assert t.column("doc_id").to_pylist() == [2, 3, 4]
+    # target slice = en: doc 2's grams are all in-target, weights skew
+    # positive vs the out-of-target docs
+    w = dict(
+        zip(t.column("doc_id").to_pylist(), t.column("weight_bits").to_pylist())
+    )
+    assert w[2] > w[3]
+
+    # absent target language: every gram clamps to c_t = 1, T_t = 1
+    t2 = dsir_importance_weights(d, target_lang="zz")
+    t2 = t2 if isinstance(t2, pa.Table) else pa.table(t2.to_pandas())
+    import numpy as np
+
+    # scalar recompute of the clamp form
+    import re as _re
+    from collections import Counter
+
+    craw = Counter()
+    per_doc = {}
+    for did, tx, lang, _ in docs:
+        ws = _re.split(r"\s+", tx.strip()) if tx.strip() else [""]
+        tf = Counter(
+            ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
+        )
+        if tf:
+            per_doc[did] = tf
+            for g, c in tf.items():
+                craw[g] += c
+    T = sum(craw.values())
+    exp = {
+        did: sum(
+            c * ((T // craw[g]).bit_length() - 1) for g, c in tf.items()
+        )
+        for did, tf in per_doc.items()
+    }
+    got = dict(
+        zip(
+            t2.column("doc_id").to_pylist(),
+            t2.column("weight_bits").to_pylist(),
+        )
+    )
+    assert got == exp
