@@ -464,14 +464,51 @@ def _normalized_embeddings(sf_dir: str):
     )
 
 
+#: vectors at or under this count train the Lloyd loop on the driver —
+#: at 64 f64 dims this caps the driver matrix at ~128 MB. Each
+#: distributed iteration costs a full pipeline launch, which at small N
+#: dwarfs the math (sf0.1 = 2000 vectors: 4 launches ~ 3.5 s for ~1 ms
+#: of matmul); above the cap the per-batch partial-sum exchange runs.
+KMEANS_DRIVER_MAX_ROWS = 262_144
+
+
 def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
     """Train the (k x dim) cosine k-means centroids (ann_kmeans'
     distributed Lloyd loop, factored out so semantic_dedup shares it).
-    Iterates over the once-materialized normalized table."""
+    Size-aware crossover on the parquet footer row count (zero data
+    read): small corpora run the same Lloyd updates on a driver-local
+    matrix (one pushed-down read, no per-iteration pipeline launch);
+    large ones iterate over the once-materialized normalized table with
+    per-batch partial sums. Branches differ only in f64 summation
+    order; the crossover-identity test pins the rounded outputs equal."""
     import ray
 
     cent = _ivf_centroids(sf_dir)[:k]  # deterministic seeded init
     dim = cent.shape[1]
+
+    if table_rows(sf_dir, "embeddings") <= KMEANS_DRIVER_MAX_ROWS:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["embedding"]
+        )
+        m = _list_matrix(t.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for _ in range(iters):
+            assign = np.argmax(mn @ cent.T, axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, assign, mn)
+            counts = np.bincount(assign, minlength=k)
+            new_cent = cent.copy()
+            for c_i in range(k):
+                if counts[c_i]:
+                    v = sums[c_i] / counts[c_i]
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        new_cent[c_i] = v / nv
+            cent = new_cent
+        return cent
+
     emb_n = _normalized_embeddings(sf_dir)
 
     for _ in range(iters):

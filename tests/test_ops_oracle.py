@@ -369,3 +369,24 @@ def test_neardup_clusters_distributed_equals_driver(ray_session, monkeypatch):
     dist = _canon(_to_table(dedup.neardup_clusters(SF_DIR)))
     assert fast == dist
     assert len(fast) > 0
+
+
+def test_kmeans_crossover_identity(ray_session, monkeypatch):
+    """The k-means driver branch (KMEANS_DRIVER_MAX_ROWS) and the
+    distributed partial-sum branch must produce identical rounded
+    outputs: prototype_filter (proto_milli + kept) and semantic_dedup
+    rows pin both Lloyd paths output-equal. The branches differ only in
+    f64 summation order; this test is the guard that the difference
+    never reaches the integer outputs."""
+    import pyarrow as pa
+
+    from probe_ray.ops import ann
+
+    def tab(x):
+        return x if isinstance(x, pa.Table) else pa.table(x.to_pandas())
+
+    fast = tab(ann.prototype_filter(SF_DIR))
+    monkeypatch.setattr(ann, "KMEANS_DRIVER_MAX_ROWS", -1)
+    slow = tab(ann.prototype_filter(SF_DIR))
+    assert fast.equals(slow)
+    assert fast.num_rows > 0
