@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q18_large_orders": relational.large_order_customers,
         "rel_q19_bracket_revenue": relational.discounted_bracket_revenue,
         "rel_q22_rich_inactive": relational.rich_inactive_customers,
+        "rel_q17_small_qty_revenue": relational.small_quantity_revenue,
+        "rel_q21_sole_late_supplier": relational.sole_late_supplier_counts,
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
@@ -506,6 +508,44 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '1998-06-01') "
             "GROUP BY c.c_nationkey ORDER BY nationkey"
+        ),
+        # TPC-H Q17 shape: revenue of small-quantity lineitems (< 20% of
+        # the part's average quantity) for one brand; milli-integer
+        # arithmetic (quantities are milli-exact in this corpus)
+        "rel_q17_small_qty_revenue": (
+            "WITH li AS (SELECT l_partkey, "
+            "CAST(round(l_quantity * 1000) AS BIGINT) AS qm, "
+            "CAST(round(l_extendedprice * 1000) AS BIGINT) AS pm "
+            "FROM lineitem), "
+            "bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'), "
+            "st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(qm) AS BIGINT) AS sq FROM li "
+            "JOIN bp ON l_partkey = p_partkey GROUP BY l_partkey) "
+            "SELECT CAST(coalesce(sum(li.pm), 0) AS BIGINT) AS revenue_milli, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM li JOIN st USING (l_partkey) "
+            "WHERE 5 * li.qm * st.cnt < st.sq"
+        ),
+        # TPC-H Q21 shape: sole-late-supplier credit on multi-supplier
+        # finished orders; late = max ship date > order date + 30 days
+        "rel_q21_sole_late_supplier": (
+            "WITH ls AS (SELECT l_orderkey AS okey, l_suppkey AS sk, "
+            "max(epoch_us(l_shipdate)) AS ms FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT o_orderkey AS okey, epoch_us(o_orderdate) AS od "
+            "FROM orders WHERE o_orderstatus = 'F'), "
+            "j AS (SELECT ls.okey, ls.sk, "
+            "(ls.ms > o.od + 30 * 86400000000) AS late "
+            "FROM ls JOIN o USING (okey)), "
+            "po AS (SELECT okey, CAST(count(*) AS BIGINT) AS ns, "
+            "CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS nl "
+            "FROM j GROUP BY okey), "
+            "w AS (SELECT j.sk FROM j JOIN po USING (okey) "
+            "WHERE j.late AND po.nl = 1 AND po.ns >= 2), "
+            "cnts AS (SELECT sk, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM w GROUP BY sk) "
+            "SELECT s.s_name, CAST(c.sk AS BIGINT) AS suppkey, c.numwait "
+            "FROM cnts c JOIN supplier s ON s.s_suppkey = c.sk "
+            "ORDER BY numwait DESC, suppkey ASC LIMIT 10"
         ),
         "rel_event_funnel": (
             "WITH ev AS (SELECT * FROM events "

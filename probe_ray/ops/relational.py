@@ -3815,3 +3815,296 @@ def rolling_active_users(sf_dir: str, window_days: int = 7):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow").sort("day_us")
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#1"):
+    """TPC-H-Q17-shaped small-quantity-order revenue: total extended
+    price (milli-integer) of lineitems for parts of ``brand`` whose
+    quantity is under 20% of that part's average lineitem quantity.
+    One-row output (revenue_milli, n_items).
+
+    The correlated-avg subquery becomes ONE pkey % P exchange: the
+    brand's partkeys arrive as side-0 rows (predicate-pushdown read of
+    2 part columns), the projected lineitem rows as side-1; inside a
+    partition each part's (count, qty-sum) is a bincount over its own
+    rows (every row of a pkey lives in exactly one partition, so the
+    average — and the 5*qty*cnt < sum integer bracket test, exact in
+    milli units because the synthetic quantities are milli-exact — is
+    computed once, locally). Per-partition (revenue, items) partials
+    are a bounded P-row driver fold."""
+    import pyarrow.compute as pc
+
+    parts = SEMIJOIN_PARTITIONS
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("p_brand"), pa.scalar(brand))
+        pk = batch.filter(mask).column("p_partkey").to_numpy().astype(np.int64)
+        n = len(pk)
+        return pa.table(
+            {
+                "part": pa.array(pk % parts),
+                "pkey": pa.array(pk, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "qm": pa.array(np.zeros(n, dtype=np.int64)),
+                "pm": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(pk % parts),
+                "pkey": pa.array(pk, pa.int64()),
+                "side": pa.array(np.ones(len(pk), dtype=np.int64)),
+                "qm": pa.array(_milli(batch.column("l_quantity").to_numpy())),
+                "pm": pa.array(
+                    _milli(batch.column("l_extendedprice").to_numpy())
+                ),
+            }
+        )
+
+    def meet(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        pkey = group.column("pkey").to_numpy()
+        bkeys = np.unique(pkey[side == 0])
+        lidx = np.flatnonzero(side == 1)
+        if bkeys.size == 0 or lidx.size == 0:
+            return pa.table(
+                {
+                    "revenue_milli": pa.array([0], pa.int64()),
+                    "n_items": pa.array([0], pa.int64()),
+                }
+            )
+        lk = pkey[lidx]
+        pos = np.minimum(np.searchsorted(bkeys, lk), bkeys.size - 1)
+        hit = bkeys[pos] == lk
+        qm = group.column("qm").to_numpy()[lidx]
+        pm = group.column("pm").to_numpy()[lidx]
+        cnt = np.zeros(bkeys.size, np.int64)
+        sq = np.zeros(bkeys.size, np.int64)
+        np.add.at(cnt, pos[hit], 1)
+        np.add.at(sq, pos[hit], qm[hit])
+        live = hit & (5 * qm * cnt[pos] < sq[pos])
+        return pa.table(
+            {
+                "revenue_milli": pa.array([int(pm[live].sum())], pa.int64()),
+                "n_items": pa.array([int(live.sum())], pa.int64()),
+            }
+        )
+
+    p = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        part_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    est = table_rows(sf_dir, "lineitem") * 40
+    partials = (
+        p.union(li)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "revenue_milli": pa.array(
+                [sum(int(r["revenue_milli"]) for r in partials)], pa.int64()
+            ),
+            "n_items": pa.array(
+                [sum(int(r["n_items"]) for r in partials)], pa.int64()
+            ),
+        }
+    )
+
+
+def sole_late_supplier_counts(
+    sf_dir: str, late_days: int = 30, k: int = 10
+):
+    """TPC-H-Q21-shaped waiting-supplier ranking (this corpus has no
+    commit/receipt dates, so "late" = the supplier's latest ship date
+    on the order is more than ``late_days`` days past the order date):
+    for finished orders (o_orderstatus='F') involving >= 2 distinct
+    suppliers where EXACTLY ONE supplier shipped late, credit that
+    supplier; output the top-k (s_name, suppkey, numwait) by
+    (numwait desc, suppkey asc) — the tie-break is the KEY, not the
+    name, so the k-boundary is deterministic independent of the name
+    format (TPC-H's s_name order and key order coincide only when the
+    numeric suffix is zero-padded).
+
+    The EXISTS / NOT-EXISTS pair collapses into ONE okey % P exchange:
+    the lineitem side pre-aggregates per-batch (okey, suppkey) ->
+    max(shipdate) partials (max of maxes is exact across batches), the
+    orders side ships (okey, orderdate) for 'F' orders; inside a
+    partition each order's supplier set, late set, and the
+    sole-late-supplier test are run-length math over one lexsort. The
+    per-supplier credits then fold through a bounded suppkey groupby
+    (O(suppliers) rows, never O(lineitems)), and the final top-k
+    attaches s_name with a k-row pushed-down supplier read."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    parts = SEMIJOIN_PARTITIONS
+    late_us = int(late_days) * 86_400_000_000
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderstatus"), pa.scalar("F"))
+        sel = batch.filter(mask)
+        ok = sel.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(np.zeros(len(ok), dtype=np.int64)),
+                "sk": pa.array(np.zeros(len(ok), dtype=np.int64)),
+                "ts": pa.array(
+                    sel.column("o_orderdate").to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "sk": batch.column("l_suppkey").cast(pa.int64()),
+                "ms": pa.array(
+                    batch.column("l_shipdate").to_numpy().astype(np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["okey", "sk"]).aggregate([("ms", "max")])
+        ok = g.column("okey").to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(len(ok), dtype=np.int64)),
+                "sk": g.column("sk"),
+                "ts": g.column("ms_max").cast(pa.int64()),
+            }
+        )
+
+    def meet(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        empty = pa.table(
+            {
+                "suppkey": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        oidx = np.flatnonzero(side == 0)
+        lidx = np.flatnonzero(side == 1)
+        if oidx.size == 0 or lidx.size == 0:
+            return empty
+        okeys = okey[oidx]
+        oorder = np.argsort(okeys, kind="stable")
+        okeys_s = okeys[oorder]
+        odate_s = group.column("ts").to_numpy()[oidx][oorder]
+        lk = okey[lidx]
+        pos = np.minimum(np.searchsorted(okeys_s, lk), okeys_s.size - 1)
+        hit = okeys_s[pos] == lk  # F-order lineitems only
+        if not hit.any():
+            return empty
+        lk = lk[hit]
+        sk = group.column("sk").to_numpy()[lidx][hit]
+        ms = group.column("ts").to_numpy()[lidx][hit]
+        cutoff = odate_s[pos[hit]] + late_us
+        # fold duplicate (okey, suppkey) partials: max of maxes
+        order2 = np.lexsort((sk, lk))
+        lk, sk, ms, cutoff = (
+            lk[order2], sk[order2], ms[order2], cutoff[order2],
+        )
+        new_pair = np.r_[
+            True, (lk[1:] != lk[:-1]) | (sk[1:] != sk[:-1])
+        ]
+        pid = np.cumsum(new_pair) - 1
+        n_pairs = pid[-1] + 1
+        pair_ms = np.zeros(n_pairs, np.int64)
+        np.maximum.at(pair_ms, pid, ms)
+        starts = np.flatnonzero(new_pair)
+        p_ok, p_sk, p_cut = lk[starts], sk[starts], cutoff[starts]
+        p_late = pair_ms > p_cut
+        # per order: supplier count and late count (pairs sorted by okey)
+        new_o = np.r_[True, p_ok[1:] != p_ok[:-1]]
+        oid = np.cumsum(new_o) - 1
+        n_o = oid[-1] + 1
+        ns = np.bincount(oid, minlength=n_o)
+        nl = np.bincount(oid, weights=p_late, minlength=n_o).astype(np.int64)
+        win = p_late & (nl[oid] == 1) & (ns[oid] >= 2)
+        if not win.any():
+            return empty
+        wsk = p_sk[win]
+        uniq, inv = np.unique(wsk, return_inverse=True)
+        c = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {"suppkey": pa.array(uniq, pa.int64()), "c": pa.array(c)}
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    est = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 40
+    counts = (
+        orders.union(lines)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(meet, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("c"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "suppkey": batch.column("suppkey"),
+                "numwait": batch.column("sum(c)").cast(pa.int64()),
+            }
+        )
+
+    top = (
+        _dataset_topk(
+            counts.map_batches(rename, batch_format="pyarrow"),
+            [("numwait", "descending"), ("suppkey", "ascending")],
+            k,
+        )
+        .take_all()
+    )
+    if not top:
+        return pa.table(
+            {
+                "s_name": pa.array([], pa.string()),
+                "suppkey": pa.array([], pa.int64()),
+                "numwait": pa.array([], pa.int64()),
+            }
+        )
+    sks = [int(r["suppkey"]) for r in top]
+    names = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(sks),
+    )
+    nm = dict(
+        zip(
+            names.column("s_suppkey").to_pylist(),
+            names.column("s_name").to_pylist(),
+        )
+    )
+    out = pa.table(
+        {
+            "s_name": pa.array([nm[s] for s in sks], pa.string()),
+            "suppkey": pa.array(sks, pa.int64()),
+            "numwait": pa.array([int(r["numwait"]) for r in top], pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("numwait", "descending"), ("suppkey", "ascending")],
+        )
+    )
