@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q22_rich_inactive": relational.rich_inactive_customers,
         "rel_q17_small_qty_revenue": relational.small_quantity_revenue,
         "rel_q21_sole_late_supplier": relational.sole_late_supplier_counts,
+        "rel_q15_top_supplier": relational.top_supplier_revenue,
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
@@ -546,6 +547,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.s_name, CAST(c.sk AS BIGINT) AS suppkey, c.numwait "
             "FROM cnts c JOIN supplier s ON s.s_suppkey = c.sk "
             "ORDER BY numwait DESC, suppkey ASC LIMIT 10"
+        ),
+        # TPC-H Q15 shape: supplier(s) achieving the max windowed revenue
+        # (view-max keeps ties); revenue in exact milli integers
+        "rel_q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey AS suppkey, CAST(sum("
+            f"{_MILLI.format(x='l_extendedprice * (1.0 - l_discount)')}"
+            ") AS BIGINT) AS total_revenue_milli FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+            "SELECT CAST(r.suppkey AS BIGINT) AS suppkey, s.s_name, "
+            "r.total_revenue_milli FROM r "
+            "JOIN supplier s ON s.s_suppkey = r.suppkey "
+            "WHERE r.total_revenue_milli = "
+            "(SELECT max(total_revenue_milli) FROM r) ORDER BY suppkey"
         ),
         "rel_event_funnel": (
             "WITH ev AS (SELECT * FROM events "

@@ -380,6 +380,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_q22_antijoin", lambda: _nrows(relational.rich_inactive_customers(SF_DIR))),
             ("rel_q17_small_qty", lambda: _nrows(relational.small_quantity_revenue(SF_DIR))),
             ("rel_q21_sole_late", lambda: _nrows(relational.sole_late_supplier_counts(SF_DIR))),
+            ("rel_q15_top_supplier", lambda: _nrows(relational.top_supplier_revenue(SF_DIR))),
             ("rel_event_funnel", lambda: _nrows(relational.event_funnel(SF_DIR))),
             ("rel_retention", lambda: _nrows(relational.retention_cohorts(SF_DIR))),
             ("rel_rolling_active", lambda: _nrows(relational.rolling_active_users(SF_DIR))),

@@ -4108,3 +4108,91 @@ def sole_late_supplier_counts(
             sort_keys=[("numwait", "descending"), ("suppkey", "ascending")],
         )
     )
+
+
+def top_supplier_revenue(
+    sf_dir: str, d0: str = "1997-01-01", d1: str = "1997-04-01"
+):
+    """TPC-H-Q15-shaped top supplier(s): per-supplier revenue
+    sum(extprice * (1 - discount)) over a ship-date window, returning
+    every supplier that achieves the MAXIMUM (the view-max form of Q15
+    keeps ties). Output (suppkey, s_name, total_revenue_milli) sorted
+    by suppkey.
+
+    The date window is pushed into the read (only matching row groups
+    leave storage); per-batch partials pre-aggregate (suppkey ->
+    revenue) so the groupby exchange moves O(batches x suppliers/batch)
+    rows, never lineitems; the max + tie filter is two bounded passes
+    over the O(suppliers) counts; names attach via a pushed-down
+    supplier read bounded by the winner count."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime.fromisoformat(d0)
+    hi = datetime.datetime.fromisoformat(d1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        rev = _milli(
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy())
+        )
+        uniq, inv = np.unique(sk, return_inverse=True)
+        r = np.zeros(uniq.size, np.int64)
+        np.add.at(r, inv, rev)
+        return pa.table(
+            {"suppkey": pa.array(uniq, pa.int64()), "rev": pa.array(r)}
+        )
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pads.field("l_shipdate") >= lo)
+            & (pads.field("l_shipdate") < hi),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("rev"))
+        .materialize()
+    )
+    mx = counts.max("sum(rev)")
+    if mx is None:
+        return pa.table(
+            {
+                "suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue_milli": pa.array([], pa.int64()),
+            }
+        )
+    def keep_max(batch: pa.Table) -> pa.Table:
+        m = batch.column("sum(rev)").to_numpy()
+        return batch.filter(pa.array(m == int(mx)))
+
+    winners = counts.map_batches(
+        keep_max, batch_format="pyarrow"
+    ).take_all()
+    sks = sorted(int(r["suppkey"]) for r in winners)
+    names = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(sks),
+    )
+    nm = dict(
+        zip(
+            names.column("s_suppkey").to_pylist(),
+            names.column("s_name").to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "suppkey": pa.array(sks, pa.int64()),
+            "s_name": pa.array([nm[s] for s in sks], pa.string()),
+            "total_revenue_milli": pa.array(
+                [int(mx)] * len(sks), pa.int64()
+            ),
+        }
+    )

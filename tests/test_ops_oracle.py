@@ -57,6 +57,7 @@ CASES = [
     "rel_q22_rich_inactive",
     "rel_q17_small_qty_revenue",
     "rel_q21_sole_late_supplier",
+    "rel_q15_top_supplier",
     "rel_event_funnel",
     "rel_retention_cohorts",
     "rel_event_transitions",
