@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dsir_weights": text.dsir_importance_weights,
         "export_pack_sequences": export.pack_sequences,
         "export_curated_pack": export.curated_pack,
+        "export_tar_shards": export.write_tar_shards,
         "export_seq_stats": export.seq_stats,
         "export_pack_by_lang": export.pack_sequences_by_lang,
         "export_shuffle_order": export.shuffle_export,
@@ -1010,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least((seq_id + 1) * 64, s + n) - greatest(s, seq_id * 64) "
             "AS BIGINT) AS n_toks "
             "FROM x ORDER BY doc_id, seq_id"
+        ),
+        # WebDataset-style tar shard manifest: the SQL-expressible slice
+        # of the layout (member assignment + payload byte totals)
+        "export_tar_shards": (
+            "SELECT CAST(doc_id % 8 AS BIGINT) AS shard, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes "
+            "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         # seeded deterministic shuffle: hv = 32-bit-safe affine mix (every
         # product fits HUGEINT/uint64 exactly), shard = hv % 16, pos = rank

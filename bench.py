@@ -356,6 +356,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("dsir_weights", lambda: _nrows(text.dsir_importance_weights(SF_DIR))),
             ("pack_sequences", lambda: _nrows(export.pack_sequences(SF_DIR))),
             ("curated_pack", lambda: _nrows(export.curated_pack(SF_DIR))),
+            ("tar_shards", lambda: _nrows(export.write_tar_shards(SF_DIR))),
             ("seq_stats", lambda: _nrows(export.seq_stats(SF_DIR))),
             ("pack_by_lang", lambda: _nrows(export.pack_sequences_by_lang(SF_DIR))),
             ("shuffle_order", lambda: _nrows(export.shuffle_export(SF_DIR))),

@@ -966,3 +966,119 @@ def pack_sequences_by_lang(
         key_col="key",
         label_col="lang",
     )
+
+
+def write_tar_shards(sf_dir: str, out_dir: str | None = None, n_shards: int = 8):
+    """WebDataset-style tar shard export of the documents table: each
+    doc becomes two members of its shard's tar — ``{doc_id:012d}.txt``
+    (the text payload) and ``{doc_id:012d}.json`` (lang/source
+    metadata, sort_keys) — with shard = doc_id % n_shards, members in
+    doc_id order and mtime pinned to 0, so every shard's tar is
+    BYTE-DETERMINISTIC (same corpus + params => same sha256, any
+    partitioning). Returns the manifest (shard, n_docs, n_bytes) sorted
+    by shard, n_bytes = UTF-8 payload bytes of the text members (the
+    SQL-oracle-able slice of the layout).
+
+    Scale shape: one doc-keyed groupby moves each doc to its shard's
+    writer task; each shard writes independently (size a shard count so
+    docs/n_shards fits a worker; shards scale out with the corpus).
+    Resume is PER SHARD: a ``.done`` sidecar (holding the tar's sha256)
+    commits each tar via tmp-file + atomic rename; a rerun skips
+    committed shards (mtimes untouched) and rebuilds only missing ones.
+    Writers assume a shared filesystem for ``out_dir`` (the standard
+    sink assumption; single-node /tmp here). When ``out_dir`` is None a
+    private temp dir is used and removed after the manifest is built —
+    the queries() form, which still exercises the real sink end to end."""
+    import hashlib
+    import io
+    import json as _json
+    import os
+    import shutil
+    import tarfile
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    own = out_dir is None
+    if own:
+        out_dir = tempfile.mkdtemp(prefix="probe_ray_tar_")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "shard": pa.array((did % n_shards).astype(np.int64)),
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
+            }
+        )
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        shard = int(group.column("shard")[0].as_py())
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        )
+        dids = g.column("doc_id").to_pylist()
+        texts = g.column("text").to_pylist()
+        langs = g.column("lang").to_pylist()
+        srcs = g.column("source").to_pylist()
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        done = path + ".done"
+        if not os.path.exists(done):
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with tarfile.open(tmp, "w") as tf:
+                for did, tx, la, so in zip(dids, texts, langs, srcs):
+                    data = tx.encode()
+                    ti = tarfile.TarInfo(name=f"{did:012d}.txt")
+                    ti.size, ti.mtime = len(data), 0
+                    tf.addfile(ti, io.BytesIO(data))
+                    meta = _json.dumps(
+                        {"doc_id": did, "lang": la, "source": so},
+                        sort_keys=True,
+                    ).encode()
+                    tj = tarfile.TarInfo(name=f"{did:012d}.json")
+                    tj.size, tj.mtime = len(meta), 0
+                    tf.addfile(tj, io.BytesIO(meta))
+            os.replace(tmp, path)
+            with open(path, "rb") as fh:
+                sha = hashlib.sha256(fh.read()).hexdigest()
+            with open(done + ".tmp", "w") as fh:
+                fh.write(sha)
+            os.replace(done + ".tmp", done)
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "n_docs": pa.array([len(dids)], pa.int64()),
+                "n_bytes": pa.array(
+                    [sum(len(t.encode()) for t in texts)], pa.int64()
+                ),
+            }
+        )
+
+    import ray.data
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        )
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    out = pa.table(
+        {
+            "shard": pa.array([int(r["shard"]) for r in rows], pa.int64()),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+            "n_bytes": pa.array(
+                [int(r["n_bytes"]) for r in rows], pa.int64()
+            ),
+        }
+    ).sort_by([("shard", "ascending")])
+    if own:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out

@@ -252,3 +252,44 @@ def test_pack_by_lang_sparse_doc_ids(ray_session, tmp_path):
     key = lambda r: (r["lang"], r["seq_id"], r["doc_id"])
     assert sorted(sp, key=key) == sorted(de, key=key)
     assert len(de) > 0
+
+
+def test_tar_shards_resume_and_byte_determinism(ray_session, tmp_path):
+    """write_tar_shards: per-shard resume (a committed shard's tar is
+    not rewritten; a deleted shard is rebuilt byte-identically) and
+    byte-determinism (mtime=0, doc_id member order => stable sha256)."""
+    import glob
+    import os
+
+    from probe_ray.ops.export import write_tar_shards
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tars")
+    m1 = write_tar_shards(sf, out_dir=out, n_shards=4)
+    tars = sorted(glob.glob(os.path.join(out, "shard-*.tar")))
+    assert len(tars) == 4 and m1.num_rows == 4
+    shas = {p: open(p + ".done").read() for p in tars}
+    mtimes = {p: os.stat(p).st_mtime_ns for p in tars}
+
+    # delete one shard; rerun rebuilds ONLY it, byte-identical
+    victim = tars[1]
+    os.remove(victim)
+    os.remove(victim + ".done")
+    m2 = write_tar_shards(sf, out_dir=out, n_shards=4)
+    assert m2.equals(m1)
+    for p in tars:
+        if p == victim:
+            assert open(p + ".done").read() == shas[p]  # same bytes
+        else:
+            assert os.stat(p).st_mtime_ns == mtimes[p]  # untouched
+
+    # tar members pair .txt/.json per doc, in doc_id order
+    import tarfile
+
+    with tarfile.open(tars[0]) as tf:
+        names = tf.getnames()
+    # per doc: .txt then .json, docs in ascending doc_id order
+    keys = [n.rsplit(".", 1)[0] for n in names]
+    assert keys[0::2] == keys[1::2] == sorted(set(keys))
+    assert all(n.endswith(".txt") for n in names[0::2])
+    assert all(n.endswith(".json") for n in names[1::2])

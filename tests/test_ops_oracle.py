@@ -104,6 +104,7 @@ CASES = [
     "ann_knn_classify",
     "io_jsonl_roundtrip",
     "io_csv_roundtrip",
+    "export_tar_shards",
 ]
 
 
