@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": ann.ann_brute_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "ann_ivf_recall": ann.ann_recall,
         "ann_lsh_buckets": ann.ann_lsh_buckets,
         "ann_kmeans": ann.ann_kmeans,
         "ann_ivf_persisted": ann.ann_ivf_persisted,

@@ -340,6 +340,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("text_stats", lambda: _nrows(text.text_stats(SF_DIR))),
             ("ann_brute_topk", lambda: _nrows(ann.ann_brute_topk(SF_DIR))),
             ("ann_ivf_topk", lambda: _nrows(ann.ann_ivf_topk(SF_DIR))),
+            ("ann_ivf_recall", lambda: _nrows(ann.ann_recall(SF_DIR))),
             ("minhash_pairs", lambda: _nrows(dedup.minhash_lsh_pairs(SF_DIR))),
             ("minhash_verified", lambda: _nrows(dedup.minhash_verified_pairs(SF_DIR))),
             ("simhash", lambda: _nrows(dedup.simhash(SF_DIR))),

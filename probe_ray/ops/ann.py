@@ -973,3 +973,101 @@ def prototype_filter(
         return batch.append_column("kept", pa.array(p > thr))
 
     return scored.map_batches(flag, batch_format="pyarrow").sort("vec_id")
+
+
+def ann_recall(sf_dir: str, k: int = 10, nq: int = 8):
+    """Recall@k of the IVF approximate path against exact brute-force
+    cosine top-k, per nprobe in {1, 2, 4, 8, ..., N_CENTROIDS}: the
+    quantitative evidence for the IVF scale path (at 100 TB the probe
+    count is THE accuracy/cost dial — each query reads only nprobe of
+    the hive-partitioned inverted lists). Output
+    (nprobe, recall_milli, n_hits, n_truth) — recall_milli =
+    floor(1000 * |ivf ∩ brute| / |brute| + 0.5), integer so the table
+    is exactly deterministic.
+
+    One corpus pass computes EVERYTHING: per batch, every query scores
+    the batch's vectors once; per (query, nprobe) the batch's rows that
+    fall inside the probe set contribute candidate (sim, vec_id) pairs;
+    exact top-k per query comes from the same scores unmasked. Driver
+    folds bounded (queries x nprobe-levels x k) partials."""
+    q, q_ids = _query_matrix(sf_dir, nq)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cent = _ivf_centroids(sf_dir)
+    levels = []
+    p = 1
+    while p <= len(cent):
+        levels.append(p)
+        p *= 2
+    # per query: centroid ids in probe-preference order
+    pref = np.argsort(-(qn @ cent.T), axis=1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _list_matrix(batch.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(mn @ cent.T, axis=1)
+        sims = qn @ mn.T  # (nq, rows)
+        out = {"qi": [], "lvl": [], "sim": [], "vid": []}
+        for qi in range(len(q_ids)):
+            s = sims[qi]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            # lvl = 0 encodes the exact (unmasked) candidates
+            out["qi"].extend([qi] * len(top))
+            out["lvl"].extend([0] * len(top))
+            out["sim"].extend(s[top].tolist())
+            out["vid"].extend(vec_ids[top].tolist())
+            for lvl in levels:
+                mask = np.isin(assign, pref[qi, :lvl])
+                if not mask.any():
+                    continue
+                sm, vm = s[mask], vec_ids[mask]
+                kk = min(k, len(sm))
+                top = (
+                    np.argpartition(-sm, kk - 1)[:kk]
+                    if len(sm) > kk
+                    else np.arange(len(sm))
+                )
+                out["qi"].extend([qi] * len(top))
+                out["lvl"].extend([lvl] * len(top))
+                out["sim"].extend(sm[top].tolist())
+                out["vid"].extend(vm[top].tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out["qi"], pa.int64()),
+                "lvl": pa.array(out["lvl"], pa.int64()),
+                "sim": pa.array(out["sim"], pa.float64()),
+                "vid": pa.array(out["vid"], pa.int64()),
+            }
+        )
+
+    rows = _read_embeddings(sf_dir).map_batches(fn, batch_format="pyarrow").take_all()
+    by: dict[tuple, list] = {}
+    for r in rows:
+        by.setdefault((int(r["qi"]), int(r["lvl"])), []).append(
+            (float(r["sim"]), int(r["vid"]))
+        )
+    def topset(qi, lvl):
+        c = by.get((qi, lvl), [])
+        return {v for _, v in sorted(c, key=lambda p: (-p[0], p[1]))[:k]}
+    out = {"nprobe": [], "recall_milli": [], "n_hits": [], "n_truth": []}
+    for lvl in levels:
+        hits = truth = 0
+        for qi in range(len(q_ids)):
+            t = topset(qi, 0)
+            truth += len(t)
+            hits += len(t & topset(qi, lvl))
+        out["nprobe"].append(lvl)
+        out["recall_milli"].append(
+            int(np.floor(1000.0 * hits / truth + 0.5)) if truth else 0
+        )
+        out["n_hits"].append(hits)
+        out["n_truth"].append(truth)
+    return pa.table(
+        {
+            "nprobe": pa.array(out["nprobe"], pa.int64()),
+            "recall_milli": pa.array(out["recall_milli"], pa.int64()),
+            "n_hits": pa.array(out["n_hits"], pa.int64()),
+            "n_truth": pa.array(out["n_truth"], pa.int64()),
+        }
+    )

@@ -65,3 +65,22 @@ def test_chain_matches_scalar_and_is_nonvacuous(ray_session):
     # determinism
     got2 = _collect(text_embed_neardup_pairs(SF))
     assert got.equals(got2)
+
+
+def test_ann_recall_monotone_and_exact_at_full_probe(ray_session):
+    """ann_recall: recall@k is non-decreasing in nprobe, and probing all
+    centroids IS the exact search (recall_milli == 1000). Also pins the
+    truth-set size: n_truth == nq * k at every level."""
+    import pyarrow as pa
+
+    from probe_ray.ops.ann import N_CENTROIDS, ann_recall
+
+    t = ann_recall("/root/testdata/sf0.001", k=10, nq=8)
+    assert isinstance(t, pa.Table)
+    nprobe = t.column("nprobe").to_pylist()
+    rec = t.column("recall_milli").to_pylist()
+    truth = t.column("n_truth").to_pylist()
+    assert nprobe[-1] == N_CENTROIDS
+    assert rec == sorted(rec), "recall must be monotone in nprobe"
+    assert rec[-1] == 1000, "full probe must equal exact search"
+    assert all(x == 8 * 10 for x in truth)
