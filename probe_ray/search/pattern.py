@@ -274,7 +274,12 @@ class CompiledPattern:
 
     def finditer(self, content: str, mask: Mask | None = None):
         """Leftmost, non-overlapping matches (re.finditer semantics).
-        A match may not START inside a ``mask`` span (string/comment)."""
+        A match may not START inside a ``mask`` span (string/comment),
+        nor start or end MID-IDENTIFIER: when the match's first/last
+        character is a word character, the adjacent content character
+        must not be one (an AST matcher's tokens are whole — ``foo(``
+        must not fire inside ``myfoo(``, nor a trailing literal ``foo``
+        on the prefix of ``foobar``)."""
         mask = mask if mask is not None else _EMPTY_MASK
         pos = 0
         n = len(content)
@@ -289,10 +294,22 @@ class CompiledPattern:
             if mask.covers(start):
                 pos = mask.skip(start)
                 continue
+            if (
+                start > 0
+                and start < n
+                and _is_word(content[start])
+                and _is_word(content[start - 1])
+            ):
+                pos = start + 1
+                continue
             got = self._match_from(0, content, start, {}, mask)
             if got is not None:
                 end, caps = got
-                if end > start:
+                if end > start and not (
+                    end < n
+                    and _is_word(content[end - 1])
+                    and _is_word(content[end])
+                ):
                     yield _Match(start, end, content[start:end], caps)
                     pos = end
                     continue
@@ -471,6 +488,10 @@ def _node_candidates(content: str, pos: int, mask: Mask):
         else:
             return
         yield end
+
+
+def _is_word(c: str) -> bool:
+    return c.isalnum() or c == "_"
 
 
 def _skip_ws(content: str, pos: int) -> int:

@@ -289,3 +289,14 @@ def test_anonymous_single_node_no_capture():
     p = compile_pattern("take($$);")
     got = match_content(p, src, "rs")
     assert len(got) == 1 and got[0][5] == {}
+
+
+def test_word_boundary_guards():
+    # a word-leading pattern must not fire mid-identifier, and a
+    # word-trailing pattern must not stop on an identifier prefix
+    src = "myfoo(a); foo(b); foobar = c; call(foo);\n"
+    p = compile_pattern("foo($A)")
+    got = match_content(p, src, "rs")
+    assert [(m[5]["A"]) for m in got] == ["b"]
+    p2 = compile_pattern("call(foo)")
+    assert len(match_content(p2, src, "rs")) == 1
