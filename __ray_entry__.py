@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q17_small_qty_revenue": relational.small_quantity_revenue,
         "rel_q21_sole_late_supplier": relational.sole_late_supplier_counts,
         "rel_q15_top_supplier": relational.top_supplier_revenue,
+        "rel_q7_volume_shipping": relational.volume_shipping_regions,
+        "rel_q11_important_parts": relational.important_parts_by_region,
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
@@ -563,6 +565,43 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier s ON s.s_suppkey = r.suppkey "
             "WHERE r.total_revenue_milli = "
             "(SELECT max(total_revenue_milli) FROM r) ORDER BY suppkey"
+        ),
+        # TPC-H Q7 shape over region pairs (supplier nations are too
+        # sparse per nation at small SF for the classic pair): revenue
+        # between ASIA-supplied and EUROPE-ordered lineitems (and the
+        # reverse), by nation pair and ship year, exact milli integers
+        "rel_q7_volume_shipping": (
+            "WITH n AS (SELECT n_nationkey, n_name, r_name FROM nation "
+            "JOIN region ON r_regionkey = n_regionkey) "
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN n ns ON ns.n_nationkey = s.s_nationkey "
+            "JOIN n nc ON nc.n_nationkey = c.c_nationkey "
+            "WHERE ((ns.r_name = 'ASIA' AND nc.r_name = 'EUROPE') "
+            "OR (ns.r_name = 'EUROPE' AND nc.r_name = 'ASIA')) "
+            "AND l.l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # TPC-H Q11 shape (no partsupp in this corpus: value = summed
+        # milli extendedprice x quantity from the region's suppliers);
+        # global-threshold test in exact integer math
+        "rel_q11_important_parts": (
+            "WITH v AS (SELECT l.l_partkey AS p_partkey, CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * l.l_quantity')}"
+            ") AS BIGINT) AS value_milli "
+            "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "WHERE r.r_name = 'ASIA' GROUP BY 1) "
+            "SELECT * FROM v WHERE value_milli * 1000 > "
+            "(SELECT sum(value_milli) * 6 FROM v) "
+            "ORDER BY value_milli DESC, p_partkey"
         ),
         "rel_event_funnel": (
             "WITH ev AS (SELECT * FROM events "

@@ -4196,3 +4196,408 @@ def top_supplier_revenue(
             ),
         }
     )
+
+
+def _year_of_us(date_us: np.ndarray) -> np.ndarray:
+    """Vectorized calendar year from timestamp[us] int64 values."""
+    return (
+        date_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+        + 1970
+    )
+
+
+def volume_shipping_regions(
+    sf_dir: str,
+    region_a: str = "ASIA",
+    region_b: str = "EUROPE",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+):
+    """TPC-H-Q7-shaped volume shipping between two REGIONS (this
+    corpus's supplier table is too sparse per nation at small SF for the
+    classic nation pair to be non-vacuous; the region pair keeps Q7's
+    two-sided nation attribution — reference analog: probe's staged
+    candidate narrowing, SURVEY.md SS3.5). Revenue (milli-integer) per
+    (supp_nation, cust_nation, l_year) for lineitems shipped inside the
+    date window where the supplier sits in one region and the ordering
+    customer in the other, both directions. Sorted by
+    (supp_nation, cust_nation, l_year).
+
+    Same two-exchange shape as Q5 (`local_supplier_volume`):
+      1. custkey exchange (customer |><| orders) annotates surviving
+         orders with the customer nation;
+      2. okey exchange meets those survivors with per-batch
+         (okey, snat, year)->rev lineitem partials (supplier nation via
+         the size-aware driver-dict / distributed-join crossover).
+    Every exchange is bounded-partition; the final
+    (snat, cnat, year) aggregate is a constant-domain groupby
+    (<= 625 nation pairs x years)."""
+    keys_a, nation_names = _region_nation_maps(sf_dir, region_a)
+    keys_b, _ = _region_nation_maps(sf_dir, region_b)
+    both = np.union1d(keys_a, keys_b)
+    lo_us, hi_us = _us(date_lo), _us(date_hi)
+    parts = SEMIJOIN_PARTITIONS
+    n_supp = table_rows(sf_dir, "supplier")
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        m = np.isin(nk, both)
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)[m]
+        n = len(ck)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(z),
+                "okey": pa.array(z),
+                "nat": pa.array(nk[m]),
+                "yr": pa.array(z),
+                "rev": pa.array(z),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        n = len(ck)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(ok, pa.int64()),
+                "nat": pa.array(z),
+                "yr": pa.array(z),
+                "rev": pa.array(z),
+            }
+        )
+
+    def meet_cust(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        key = group.column("key").to_numpy()
+        dmask = side == 0
+        dkeys = key[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        dnat = group.column("nat").to_numpy()[dmask][order]
+        fidx = np.flatnonzero(~dmask)
+        nat, found = _sorted_lookup(dkeys[order], dnat, key[fidx])
+        sel = np.flatnonzero(found)
+        ok = group.column("okey").to_numpy()[fidx][sel]
+        n = len(sel)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(z),
+                "nat": pa.array(nat[sel]),
+                "yr": pa.array(z),
+                "rev": pa.array(z),
+            }
+        )
+
+    def _line_partial(ok, snat, yr, rev):
+        t = pa.table(
+            {
+                "okey": pa.array(ok),
+                "nat": pa.array(snat),
+                "yr": pa.array(yr),
+                "r": pa.array(rev),
+            }
+        )
+        g = t.group_by(["okey", "nat", "yr"]).aggregate([("r", "sum")])
+        ok2 = g.column("okey").to_numpy()
+        n = len(ok2)
+        return pa.table(
+            {
+                "part": pa.array(ok2 % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "nat": g.column("nat"),
+                "yr": g.column("yr"),
+                "rev": g.column("r_sum").cast(pa.int64()),
+            }
+        )
+
+    line_cols = [
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+    ]
+    if n_supp <= DICT_DRIVER_MAX_ROWS:
+        import pyarrow.parquet as pq
+
+        supp_t = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = supp_t.column("s_suppkey").to_numpy().astype(np.int64)
+        sv = supp_t.column("s_nationkey").to_numpy().astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, sv = sk[so], sv[so]
+
+        def line_side(batch: pa.Table) -> pa.Table:
+            date_us = batch.column("l_shipdate").to_numpy().astype(np.int64)
+            dm = (date_us >= lo_us) & (date_us < hi_us)
+            snat, found = _sorted_lookup(
+                sk, sv, batch.column("l_suppkey").to_numpy().astype(np.int64)
+            )
+            m = dm & found & np.isin(snat, both)
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()[m]
+                * (1.0 - batch.column("l_discount").to_numpy()[m])
+            )
+            return _line_partial(
+                batch.column("l_orderkey").to_numpy().astype(np.int64)[m],
+                snat[m],
+                _year_of_us(date_us[m]),
+                rev,
+            )
+
+        lines = _read(sf_dir, "lineitem", line_cols).map_batches(
+            line_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+
+        def partial_sk(batch: pa.Table) -> pa.Table:
+            date_us = batch.column("l_shipdate").to_numpy().astype(np.int64)
+            dm = (date_us >= lo_us) & (date_us < hi_us)
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()[dm]
+                * (1.0 - batch.column("l_discount").to_numpy()[dm])
+            )
+            t = pa.table(
+                {
+                    "sk": batch.column("l_suppkey").filter(pa.array(dm)),
+                    "okey": batch.column("l_orderkey").filter(pa.array(dm)),
+                    "yr": pa.array(_year_of_us(date_us[dm])),
+                    "rev": pa.array(rev),
+                }
+            )
+            return t.group_by(["sk", "okey", "yr"]).aggregate([("rev", "sum")])
+
+        fact = _read(sf_dir, "lineitem", line_cols).map_batches(
+            partial_sk, batch_format="pyarrow", zero_copy_batch=True
+        )
+        joined = _lookup_join_distributed(
+            fact,
+            "sk",
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "s_nationkey",
+            pa.int64(),
+            ["okey", "yr", "rev_sum"],
+            "snat",
+            est_bytes=(table_rows(sf_dir, "lineitem") + n_supp) * 56,
+        )
+
+        def reshape(batch: pa.Table) -> pa.Table:
+            snat_col = batch.column("snat")
+            snat = snat_col.to_numpy(zero_copy_only=False)
+            valid = np.asarray(pa.compute.is_valid(snat_col))
+            snat = np.where(valid, snat, -1).astype(np.int64)
+            m = np.isin(snat, both)
+            return _line_partial(
+                batch.column("okey").to_numpy().astype(np.int64)[m],
+                snat[m],
+                batch.column("yr").to_numpy().astype(np.int64)[m],
+                batch.column("rev_sum").to_numpy().astype(np.int64)[m],
+            )
+
+        lines = joined.map_batches(reshape, batch_format="pyarrow")
+
+    def meet_rev(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        dmask = side == 0
+        dkeys = okey[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        cnat = group.column("nat").to_numpy()[dmask][order]
+        fidx = np.flatnonzero(~dmask)
+        onat, found = _sorted_lookup(dkeys[order], cnat, okey[fidx])
+        snat = group.column("nat").to_numpy()[fidx]
+        a_mask = np.isin(snat, keys_a) & np.isin(onat, keys_b)
+        b_mask = np.isin(snat, keys_b) & np.isin(onat, keys_a)
+        m = found & (a_mask | b_mask)
+        t = pa.table(
+            {
+                "snat": pa.array(snat[m]),
+                "cnat": pa.array(onat[m]),
+                "yr": pa.array(group.column("yr").to_numpy()[fidx][m]),
+                "r": pa.array(group.column("rev").to_numpy()[fidx][m]),
+            }
+        )
+        return t.group_by(["snat", "cnat", "yr"]).aggregate([("r", "sum")])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    est1 = (table_rows(sf_dir, "customer") + table_rows(sf_dir, "orders")) * 56
+    surviving = (
+        cust.union(orders)
+        .repartition(shuffle_parts(est1))
+        .groupby("part")
+        .map_groups(meet_cust, batch_format="pyarrow")
+    )
+    est2 = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 56
+    per_part = (
+        surviving.union(lines)
+        .repartition(shuffle_parts(est2))
+        .groupby("part")
+        .map_groups(meet_rev, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = per_part.groupby(["snat", "cnat", "yr"]).aggregate(Sum("r_sum"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        sn = batch.column("snat").to_numpy().astype(np.int64)
+        cn = batch.column("cnat").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [nation_names[int(x)] for x in sn], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [nation_names[int(x)] for x in cn], pa.string()
+                ),
+                "l_year": batch.column("yr").cast(pa.int64()),
+                "revenue_milli": batch.column("sum(r_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def important_parts_by_region(
+    sf_dir: str,
+    region: str = "ASIA",
+    frac_num: int = 6,
+    frac_den: int = 1000,
+):
+    """TPC-H-Q11-shaped important stock (adapted: this corpus has no
+    partsupp, so a part's "value" is the summed milli-integer
+    extendedprice x quantity of its lineitems supplied by ``region``'s
+    suppliers). Emits every part whose value exceeds
+    ``frac_num/frac_den`` of the region's total, (p_partkey,
+    value_milli) sorted by (value_milli desc, p_partkey asc).
+
+    Q11's correlated global-threshold subquery becomes: per-batch
+    (partkey -> value) partials (supplier-region membership via the
+    size-aware driver-dict / distributed-join crossover), ONE
+    groupby(partkey) exchange, then a streamed Dataset sum for the
+    global total — the threshold test is exact integer math
+    (value * frac_den > total * frac_num), never a float share. The
+    per-part aggregate is O(parts) rows; nothing larger ever
+    materializes."""
+    region_keys, _ = _region_nation_maps(sf_dir, region)
+    n_supp = table_rows(sf_dir, "supplier")
+
+    def _partial(pk, val):
+        t = pa.table({"pkey": pa.array(pk), "v": pa.array(val)})
+        return t.group_by(["pkey"]).aggregate([("v", "sum")])
+
+    if n_supp <= DICT_DRIVER_MAX_ROWS:
+        import pyarrow.parquet as pq
+
+        supp_t = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = supp_t.column("s_suppkey").to_numpy().astype(np.int64)
+        sv = supp_t.column("s_nationkey").to_numpy().astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, sv = sk[so], sv[so]
+
+        def line_side(batch: pa.Table) -> pa.Table:
+            snat, found = _sorted_lookup(
+                sk, sv, batch.column("l_suppkey").to_numpy().astype(np.int64)
+            )
+            m = found & np.isin(snat, region_keys)
+            val = _milli(
+                batch.column("l_extendedprice").to_numpy()[m]
+                * batch.column("l_quantity").to_numpy()[m]
+            )
+            return _partial(
+                batch.column("l_partkey").to_numpy().astype(np.int64)[m], val
+            )
+
+        partials = _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+
+        def pre(batch: pa.Table) -> pa.Table:
+            val = _milli(
+                batch.column("l_extendedprice").to_numpy()
+                * batch.column("l_quantity").to_numpy()
+            )
+            t = pa.table(
+                {
+                    "sk": batch.column("l_suppkey"),
+                    "pkey": batch.column("l_partkey"),
+                    "v": pa.array(val),
+                }
+            )
+            return t.group_by(["sk", "pkey"]).aggregate([("v", "sum")])
+
+        fact = _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        ).map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        joined = _lookup_join_distributed(
+            fact,
+            "sk",
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "s_nationkey",
+            pa.int64(),
+            ["pkey", "v_sum"],
+            "snat",
+            est_bytes=(table_rows(sf_dir, "lineitem") + n_supp) * 48,
+        )
+
+        def reshape(batch: pa.Table) -> pa.Table:
+            snat_col = batch.column("snat")
+            snat = snat_col.to_numpy(zero_copy_only=False)
+            valid = np.asarray(pa.compute.is_valid(snat_col))
+            snat = np.where(valid, snat, -1).astype(np.int64)
+            m = np.isin(snat, region_keys)
+            return _partial(
+                batch.column("pkey").to_numpy().astype(np.int64)[m],
+                batch.column("v_sum").to_numpy().astype(np.int64)[m],
+            )
+
+        partials = joined.map_batches(reshape, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    per_part = partials.groupby("pkey").aggregate(Sum("v_sum")).materialize()
+    total = per_part.sum("sum(v_sum)") or 0
+    thresh_num = int(total) * frac_num
+
+    def select(batch: pa.Table) -> pa.Table:
+        v = batch.column("sum(v_sum)").to_numpy().astype(np.int64)
+        m = v * frac_den > thresh_num
+        return pa.table(
+            {
+                "p_partkey": batch.column("pkey").cast(pa.int64()).filter(
+                    pa.array(m)
+                ),
+                "value_milli": pa.array(v[m], pa.int64()),
+            }
+        )
+
+    return per_part.map_batches(select, batch_format="pyarrow").sort(
+        ["value_milli", "p_partkey"], descending=[True, False]
+    )

@@ -58,6 +58,8 @@ CASES = [
     "rel_q17_small_qty_revenue",
     "rel_q21_sole_late_supplier",
     "rel_q15_top_supplier",
+    "rel_q7_volume_shipping",
+    "rel_q11_important_parts",
     "rel_event_funnel",
     "rel_retention_cohorts",
     "rel_event_transitions",
@@ -394,3 +396,19 @@ def test_kmeans_crossover_identity(ray_session, monkeypatch):
     slow = tab(ann.prototype_filter(SF_DIR))
     assert fast.equals(slow)
     assert fast.num_rows > 0
+
+
+def test_q7_q11_supplier_crossover_identity(ray_session, monkeypatch):
+    """Q7 and Q11's supplier-nation join: forcing the distributed
+    bounded-partition branch (DICT_DRIVER_MAX_ROWS = -1) must produce
+    exactly the broadcast searchsorted-array result."""
+    from probe_ray.ops import relational
+
+    q7 = _canon(_to_table(relational.volume_shipping_regions(SF_DIR)))
+    q11 = _canon(_to_table(relational.important_parts_by_region(SF_DIR)))
+    assert len(q7) > 0 and len(q11) > 0
+    monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
+    assert _canon(_to_table(relational.volume_shipping_regions(SF_DIR))) == q7
+    assert (
+        _canon(_to_table(relational.important_parts_by_region(SF_DIR))) == q11
+    )
