@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q15_top_supplier": relational.top_supplier_revenue,
         "rel_q7_volume_shipping": relational.volume_shipping_regions,
         "rel_q11_important_parts": relational.important_parts_by_region,
+        "rel_q8_market_share": relational.nation_market_share,
+        "rel_q9_nation_revenue": relational.nation_keyword_revenue,
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
@@ -602,6 +604,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM v WHERE value_milli * 1000 > "
             "(SELECT sum(value_milli) * 6 FROM v) "
             "ORDER BY value_milli DESC, p_partkey"
+        ),
+        # TPC-H Q8 shape: per order-year revenue of PROMO-part lineitems
+        # ordered by ASIA customers, split into the target supplier
+        # nation's revenue vs total — integer millis, the share ratio is
+        # the reader's division (Q14 idiom)
+        "rel_q8_market_share": (
+            "SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CASE WHEN n2.n_name = 'NATION_8' THEN "
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            " ELSE 0 END) AS BIGINT) AS nation_rev_milli, CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS total_rev_milli "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO' "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n2 ON n2.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "AND o.o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON n1.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n1.n_regionkey "
+            "AND r.r_name = 'ASIA' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # TPC-H Q9 shape (no partsupp/supplycost in this corpus: profit
+        # = discounted revenue) for parts named like the keyword, by
+        # supplier nation and order year
+        "rel_q9_nation_revenue": (
+            "SELECT n.n_name AS supp_nation, "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "AND p.p_name LIKE '%widget%' "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "rel_event_funnel": (
             "WITH ev AS (SELECT * FROM events "

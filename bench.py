@@ -383,6 +383,10 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_q17_small_qty", lambda: _nrows(relational.small_quantity_revenue(SF_DIR))),
             ("rel_q21_sole_late", lambda: _nrows(relational.sole_late_supplier_counts(SF_DIR))),
             ("rel_q15_top_supplier", lambda: _nrows(relational.top_supplier_revenue(SF_DIR))),
+            ("rel_q7_volume_shipping", lambda: _nrows(relational.volume_shipping_regions(SF_DIR))),
+            ("rel_q11_important_parts", lambda: _nrows(relational.important_parts_by_region(SF_DIR))),
+            ("rel_q8_market_share", lambda: _nrows(relational.nation_market_share(SF_DIR))),
+            ("rel_q9_nation_revenue", lambda: _nrows(relational.nation_keyword_revenue(SF_DIR))),
             ("rel_event_funnel", lambda: _nrows(relational.event_funnel(SF_DIR))),
             ("rel_retention", lambda: _nrows(relational.retention_cohorts(SF_DIR))),
             ("rel_rolling_active", lambda: _nrows(relational.rolling_active_users(SF_DIR))),

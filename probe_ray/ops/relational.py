@@ -4601,3 +4601,513 @@ def important_parts_by_region(
     return per_part.map_batches(select, batch_format="pyarrow").sort(
         ["value_milli", "p_partkey"], descending=[True, False]
     )
+
+
+def _nation_key_by_name(sf_dir: str, name: str) -> int:
+    """nationkey of one n_name (nation is a constant 25 rows)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    for nk, nm in zip(
+        nation.column("n_nationkey").to_pylist(),
+        nation.column("n_name").to_pylist(),
+    ):
+        if nm == name:
+            return int(nk)
+    raise KeyError(name)
+
+
+def nation_market_share(
+    sf_dir: str,
+    nation: str = "NATION_8",
+    region: str = "ASIA",
+    ptype: str = "PROMO",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+):
+    """TPC-H-Q8-shaped market share: among lineitems of ``ptype`` parts
+    ordered by ``region`` customers inside the date window, the revenue
+    supplied by ``nation`` vs all revenue, per order year. Integer-milli
+    numerator/denominator per row — (o_year, nation_rev_milli,
+    total_rev_milli) sorted by o_year; the share itself is the caller's
+    division (Q14 idiom, keeps the oracle comparison exact).
+
+    Q8's six-way join becomes the Q7 two-exchange shape plus a part
+    filter folded into the line partials:
+      1. custkey exchange: region customers meet date-windowed orders;
+         survivors carry (okey, order year);
+      2. okey exchange: survivors meet per-batch
+         (okey, is-target-supplier) -> rev line partials (part-type and
+         supplier-nation lookups ride the size-aware driver-dict /
+         distributed-join crossover, chained joins in the distributed
+         branch).
+    The final fold is a bounded (partitions x years x 2)-row driver
+    reduction."""
+    region_keys, _ = _region_nation_maps(sf_dir, region)
+    target_key = _nation_key_by_name(sf_dir, nation)
+    lo_us, hi_us = _us(date_lo), _us(date_hi)
+    parts = SEMIJOIN_PARTITIONS
+    n_dim = max(table_rows(sf_dir, "supplier"), table_rows(sf_dir, "part"))
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        m = np.isin(nk, region_keys)
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)[m]
+        n = len(ck)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(z),
+                "okey": pa.array(z),
+                "yr": pa.array(z),
+                "tgt": pa.array(z),
+                "rev": pa.array(z),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").to_numpy().astype(np.int64)
+        m = (date_us >= lo_us) & (date_us < hi_us)
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)[m]
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        n = len(ck)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "key": pa.array(ck, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": pa.array(ok, pa.int64()),
+                "yr": pa.array(_year_of_us(date_us[m])),
+                "tgt": pa.array(z),
+                "rev": pa.array(z),
+            }
+        )
+
+    def meet_cust(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        key = group.column("key").to_numpy()
+        dmask = side == 0
+        dkeys = key[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        fidx = np.flatnonzero(~dmask)
+        _, found = _sorted_lookup(
+            dkeys[order], np.zeros(dmask.sum(), np.int64), key[fidx]
+        )
+        sel = np.flatnonzero(found)
+        ok = group.column("okey").to_numpy()[fidx][sel]
+        n = len(sel)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(z),
+                "yr": pa.array(group.column("yr").to_numpy()[fidx][sel]),
+                "tgt": pa.array(z),
+                "rev": pa.array(z),
+            }
+        )
+
+    def _line_partial(ok, tgt, rev):
+        t = pa.table(
+            {"okey": pa.array(ok), "tgt": pa.array(tgt), "r": pa.array(rev)}
+        )
+        g = t.group_by(["okey", "tgt"]).aggregate([("r", "sum")])
+        ok2 = g.column("okey").to_numpy()
+        n = len(ok2)
+        return pa.table(
+            {
+                "part": pa.array(ok2 % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "yr": pa.array(np.zeros(n, dtype=np.int64)),
+                "tgt": g.column("tgt"),
+                "rev": g.column("r_sum").cast(pa.int64()),
+            }
+        )
+
+    line_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        import pyarrow.parquet as pq
+
+        part_t = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
+        is_type = np.asarray(
+            pa.compute.equal(part_t.column("p_type"), ptype)
+        ).astype(np.int64)
+        po = np.argsort(pk, kind="stable")
+        pk, is_type = pk[po], is_type[po]
+        supp_t = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = supp_t.column("s_suppkey").to_numpy().astype(np.int64)
+        sv = supp_t.column("s_nationkey").to_numpy().astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, sv = sk[so], sv[so]
+
+        def line_side(batch: pa.Table) -> pa.Table:
+            isp, pfound = _sorted_lookup(
+                pk, is_type, batch.column("l_partkey").to_numpy().astype(np.int64)
+            )
+            snat, sfound = _sorted_lookup(
+                sk, sv, batch.column("l_suppkey").to_numpy().astype(np.int64)
+            )
+            m = pfound & (isp == 1) & sfound
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()[m]
+                * (1.0 - batch.column("l_discount").to_numpy()[m])
+            )
+            return _line_partial(
+                batch.column("l_orderkey").to_numpy().astype(np.int64)[m],
+                (snat[m] == target_key).astype(np.int64),
+                rev,
+            )
+
+        lines = _read(sf_dir, "lineitem", line_cols).map_batches(
+            line_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+
+        def pre(batch: pa.Table) -> pa.Table:
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())
+            )
+            t = pa.table(
+                {
+                    "pkc": batch.column("l_partkey"),
+                    "skc": batch.column("l_suppkey"),
+                    "okey": batch.column("l_orderkey"),
+                    "rev": pa.array(rev),
+                }
+            )
+            return t.group_by(["pkc", "skc", "okey"]).aggregate([("rev", "sum")])
+
+        fact = _read(sf_dir, "lineitem", line_cols).map_batches(
+            pre, batch_format="pyarrow", zero_copy_batch=True
+        )
+        est = (table_rows(sf_dir, "lineitem") + n_dim) * 56
+        with_type = _lookup_join_distributed(
+            fact,
+            "pkc",
+            _read(sf_dir, "part", ["p_partkey", "p_type"]),
+            "p_partkey",
+            "p_type",
+            pa.string(),
+            ["skc", "okey", "rev_sum"],
+            "p_type",
+            est_bytes=est,
+        )
+
+        def keep_type(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            m = _pc.fill_null(_pc.equal(batch.column("p_type"), ptype), False)
+            return batch.filter(m).select(["skc", "okey", "rev_sum"])
+
+        typed = with_type.map_batches(keep_type, batch_format="pyarrow")
+        with_nat = _lookup_join_distributed(
+            typed,
+            "skc",
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "s_nationkey",
+            pa.int64(),
+            ["okey", "rev_sum"],
+            "snat",
+            est_bytes=est,
+        )
+
+        def reshape(batch: pa.Table) -> pa.Table:
+            snat_col = batch.column("snat")
+            snat = snat_col.to_numpy(zero_copy_only=False)
+            valid = np.asarray(pa.compute.is_valid(snat_col))
+            snat = np.where(valid, snat, -1).astype(np.int64)
+            m = valid
+            return _line_partial(
+                batch.column("okey").to_numpy().astype(np.int64)[m],
+                (snat[m] == target_key).astype(np.int64),
+                batch.column("rev_sum").to_numpy().astype(np.int64)[m],
+            )
+
+        lines = with_nat.map_batches(reshape, batch_format="pyarrow")
+
+    def meet_rev(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        dmask = side == 0
+        dkeys = okey[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        dyr = group.column("yr").to_numpy()[dmask][order]
+        fidx = np.flatnonzero(~dmask)
+        yr, found = _sorted_lookup(dkeys[order], dyr, okey[fidx])
+        m = found
+        t = pa.table(
+            {
+                "yr": pa.array(yr[m]),
+                "tgt": pa.array(group.column("tgt").to_numpy()[fidx][m]),
+                "r": pa.array(group.column("rev").to_numpy()[fidx][m]),
+            }
+        )
+        return t.group_by(["yr", "tgt"]).aggregate([("r", "sum")])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    est1 = (table_rows(sf_dir, "customer") + table_rows(sf_dir, "orders")) * 56
+    surviving = (
+        cust.union(orders)
+        .repartition(shuffle_parts(est1))
+        .groupby("part")
+        .map_groups(meet_cust, batch_format="pyarrow")
+    )
+    est2 = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 56
+    per_part = (
+        surviving.union(lines)
+        .repartition(shuffle_parts(est2))
+        .groupby("part")
+        .map_groups(meet_rev, batch_format="pyarrow")
+    )
+    # bounded driver fold: <= partitions x years x 2 partial rows
+    sums: dict[int, list] = {}
+    for b in per_part.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for yr, tgt, r in zip(
+            t.column("yr").to_pylist(),
+            t.column("tgt").to_pylist(),
+            t.column("r_sum").to_pylist(),
+        ):
+            acc = sums.setdefault(int(yr), [0, 0])
+            acc[1] += int(r)
+            if tgt:
+                acc[0] += int(r)
+    years = sorted(sums)
+    return pa.table(
+        {
+            "o_year": pa.array(years, pa.int64()),
+            "nation_rev_milli": pa.array(
+                [sums[y][0] for y in years], pa.int64()
+            ),
+            "total_rev_milli": pa.array(
+                [sums[y][1] for y in years], pa.int64()
+            ),
+        }
+    )
+
+
+def nation_keyword_revenue(sf_dir: str, keyword: str = "widget"):
+    """TPC-H-Q9-shaped nation revenue (adapted: this corpus has no
+    partsupp/supplycost, so "profit" is the milli-integer discounted
+    revenue) for parts whose p_name contains ``keyword``, grouped by
+    (supplier nation, order year). (supp_nation, o_year, revenue_milli)
+    sorted by (supp_nation, o_year).
+
+    ONE okey exchange: per-batch (okey, supplier-nation) -> rev line
+    partials (keyword-part membership and supplier nation via the
+    size-aware crossover, chained joins in the distributed branch) meet
+    (okey -> order year) order rows; the final (nation, year) aggregate
+    is a constant-domain groupby (<= 25 x years rows)."""
+    _, nation_names = _region_nation_maps(sf_dir, "ASIA")
+    parts = SEMIJOIN_PARTITIONS
+    n_dim = max(table_rows(sf_dir, "supplier"), table_rows(sf_dir, "part"))
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        date_us = batch.column("o_orderdate").to_numpy().astype(np.int64)
+        n = len(ok)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ok % parts),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(z),
+                "nat": pa.array(z),
+                "yr": pa.array(_year_of_us(date_us)),
+                "rev": pa.array(z),
+            }
+        )
+
+    def _line_partial(ok, snat, rev):
+        t = pa.table(
+            {"okey": pa.array(ok), "nat": pa.array(snat), "r": pa.array(rev)}
+        )
+        g = t.group_by(["okey", "nat"]).aggregate([("r", "sum")])
+        ok2 = g.column("okey").to_numpy()
+        n = len(ok2)
+        return pa.table(
+            {
+                "part": pa.array(ok2 % parts),
+                "okey": g.column("okey"),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "nat": g.column("nat"),
+                "yr": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev": g.column("r_sum").cast(pa.int64()),
+            }
+        )
+
+    line_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        import pyarrow.parquet as pq
+
+        part_t = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        )
+        pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
+        has_kw = np.asarray(
+            pa.compute.match_substring(part_t.column("p_name"), keyword)
+        ).astype(np.int64)
+        po = np.argsort(pk, kind="stable")
+        pk, has_kw = pk[po], has_kw[po]
+        supp_t = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = supp_t.column("s_suppkey").to_numpy().astype(np.int64)
+        sv = supp_t.column("s_nationkey").to_numpy().astype(np.int64)
+        so = np.argsort(sk, kind="stable")
+        sk, sv = sk[so], sv[so]
+
+        def line_side(batch: pa.Table) -> pa.Table:
+            kw, pfound = _sorted_lookup(
+                pk, has_kw, batch.column("l_partkey").to_numpy().astype(np.int64)
+            )
+            snat, sfound = _sorted_lookup(
+                sk, sv, batch.column("l_suppkey").to_numpy().astype(np.int64)
+            )
+            m = pfound & (kw == 1) & sfound
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()[m]
+                * (1.0 - batch.column("l_discount").to_numpy()[m])
+            )
+            return _line_partial(
+                batch.column("l_orderkey").to_numpy().astype(np.int64)[m],
+                snat[m],
+                rev,
+            )
+
+        lines = _read(sf_dir, "lineitem", line_cols).map_batches(
+            line_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+
+        def pre(batch: pa.Table) -> pa.Table:
+            rev = _milli(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())
+            )
+            t = pa.table(
+                {
+                    "pkc": batch.column("l_partkey"),
+                    "skc": batch.column("l_suppkey"),
+                    "okey": batch.column("l_orderkey"),
+                    "rev": pa.array(rev),
+                }
+            )
+            return t.group_by(["pkc", "skc", "okey"]).aggregate([("rev", "sum")])
+
+        fact = _read(sf_dir, "lineitem", line_cols).map_batches(
+            pre, batch_format="pyarrow", zero_copy_batch=True
+        )
+        est = (table_rows(sf_dir, "lineitem") + n_dim) * 56
+        with_name = _lookup_join_distributed(
+            fact,
+            "pkc",
+            _read(sf_dir, "part", ["p_partkey", "p_name"]),
+            "p_partkey",
+            "p_name",
+            pa.string(),
+            ["skc", "okey", "rev_sum"],
+            "p_name",
+            est_bytes=est,
+        )
+
+        def keep_kw(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            m = _pc.fill_null(
+                _pc.match_substring(batch.column("p_name"), keyword), False
+            )
+            return batch.filter(m).select(["skc", "okey", "rev_sum"])
+
+        kept = with_name.map_batches(keep_kw, batch_format="pyarrow")
+        with_nat = _lookup_join_distributed(
+            kept,
+            "skc",
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "s_nationkey",
+            pa.int64(),
+            ["okey", "rev_sum"],
+            "snat",
+            est_bytes=est,
+        )
+
+        def reshape(batch: pa.Table) -> pa.Table:
+            snat_col = batch.column("snat")
+            snat = snat_col.to_numpy(zero_copy_only=False)
+            valid = np.asarray(pa.compute.is_valid(snat_col))
+            snat = np.where(valid, snat, -1).astype(np.int64)
+            return _line_partial(
+                batch.column("okey").to_numpy().astype(np.int64)[valid],
+                snat[valid],
+                batch.column("rev_sum").to_numpy().astype(np.int64)[valid],
+            )
+
+        lines = with_nat.map_batches(reshape, batch_format="pyarrow")
+
+    def meet_rev(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        okey = group.column("okey").to_numpy()
+        dmask = side == 0
+        dkeys = okey[dmask]
+        order = np.argsort(dkeys, kind="stable")
+        dyr = group.column("yr").to_numpy()[dmask][order]
+        fidx = np.flatnonzero(~dmask)
+        yr, found = _sorted_lookup(dkeys[order], dyr, okey[fidx])
+        t = pa.table(
+            {
+                "nat": pa.array(group.column("nat").to_numpy()[fidx][found]),
+                "yr": pa.array(yr[found]),
+                "r": pa.array(group.column("rev").to_numpy()[fidx][found]),
+            }
+        )
+        return t.group_by(["nat", "yr"]).aggregate([("r", "sum")])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    est2 = (table_rows(sf_dir, "orders") + table_rows(sf_dir, "lineitem")) * 56
+    per_part = (
+        orders.union(lines)
+        .repartition(shuffle_parts(est2))
+        .groupby("part")
+        .map_groups(meet_rev, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = per_part.groupby(["nat", "yr"]).aggregate(Sum("r_sum"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        nat = batch.column("nat").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [nation_names[int(x)] for x in nat], pa.string()
+                ),
+                "o_year": batch.column("yr").cast(pa.int64()),
+                "revenue_milli": batch.column("sum(r_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort(
+        ["supp_nation", "o_year"]
+    )

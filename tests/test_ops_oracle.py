@@ -60,6 +60,8 @@ CASES = [
     "rel_q15_top_supplier",
     "rel_q7_volume_shipping",
     "rel_q11_important_parts",
+    "rel_q8_market_share",
+    "rel_q9_nation_revenue",
     "rel_event_funnel",
     "rel_retention_cohorts",
     "rel_event_transitions",
@@ -412,3 +414,18 @@ def test_q7_q11_supplier_crossover_identity(ray_session, monkeypatch):
     assert (
         _canon(_to_table(relational.important_parts_by_region(SF_DIR))) == q11
     )
+
+
+def test_q8_q9_chained_dim_crossover_identity(ray_session, monkeypatch):
+    """Q8 and Q9 chain TWO dimension lookups (part, then supplier) on
+    the line side; the forced distributed branch (two
+    bounded-partition joins) must reproduce the broadcast
+    searchsorted result exactly."""
+    from probe_ray.ops import relational
+
+    q8 = _canon(_to_table(relational.nation_market_share(SF_DIR)))
+    q9 = _canon(_to_table(relational.nation_keyword_revenue(SF_DIR)))
+    assert len(q8) > 0 and len(q9) > 0
+    monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
+    assert _canon(_to_table(relational.nation_market_share(SF_DIR))) == q8
+    assert _canon(_to_table(relational.nation_keyword_revenue(SF_DIR))) == q9
