@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q11_important_parts": relational.important_parts_by_region,
         "rel_q8_market_share": relational.nation_market_share,
         "rel_q9_nation_revenue": relational.nation_keyword_revenue,
+        "rel_running_order_spend": relational.running_order_spend,
+        "rel_customer_rfm": relational.customer_rfm,
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
@@ -158,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_clusters": dedup.neardup_clusters,
         # --- similarity search -------------------------------------------
         "ann_brute_topk": ann.ann_brute_topk,
+        "ann_range_search": ann.ann_range_search,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_recall": ann.ann_recall,
@@ -173,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing -----------------------------------------
         "io_jsonl_roundtrip": io.jsonl_roundtrip,
         "io_csv_roundtrip": io.csv_roundtrip,
+        "io_hive_roundtrip": io.hive_partitioned_roundtrip,
         # --- multimodal plumbing -----------------------------------------
         "multimodal_payload_sizes": multimodal.payload_sizes,
         "multimodal_features": multimodal.multimodal_features,
@@ -592,7 +596,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # TPC-H Q11 shape (no partsupp in this corpus: value = summed
         # milli extendedprice x quantity from the region's suppliers);
-        # global-threshold test in exact integer math
+        # mean-relative global threshold (the classic 0.0001/SF fraction
+        # is scale-dependent) in exact integer math
         "rel_q11_important_parts": (
             "WITH v AS (SELECT l.l_partkey AS p_partkey, CAST(sum("
             f"{_MILLI.format(x='l.l_extendedprice * l.l_quantity')}"
@@ -601,8 +606,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON n.n_nationkey = s.s_nationkey "
             "JOIN region r ON r.r_regionkey = n.n_regionkey "
             "WHERE r.r_name = 'ASIA' GROUP BY 1) "
-            "SELECT * FROM v WHERE value_milli * 1000 > "
-            "(SELECT sum(value_milli) * 6 FROM v) "
+            "SELECT * FROM v WHERE value_milli * "
+            "(SELECT count(*) FROM v) * 10 > "
+            "(SELECT sum(value_milli) * 12 FROM v) "
             "ORDER BY value_milli DESC, p_partkey"
         ),
         # TPC-H Q8 shape: per order-year revenue of PROMO-part lineitems
@@ -644,6 +650,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON n.n_nationkey = s.s_nationkey "
             "JOIN orders o ON o.o_orderkey = l.l_orderkey "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # per-customer running spend BEFORE each order (strictly-earlier
+        # window, ordered by date then orderkey) — integer millis
+        "rel_running_order_spend": (
+            "SELECT o_orderkey, o_custkey, CAST(coalesce(sum("
+            f"{_MILLI.format(x='o_totalprice')}"
+            ") OVER (PARTITION BY o_custkey ORDER BY o_orderdate, "
+            "o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS BIGINT) AS cum_spend_milli "
+            "FROM orders ORDER BY o_orderkey"
+        ),
+        # recency (whole days to a fixed anchor) / frequency / monetary
+        # per ordering customer, all integers
+        "rel_customer_rfm": (
+            "SELECT o_custkey AS c_custkey, "
+            "CAST(date_diff('day', max(o_orderdate), "
+            "TIMESTAMP '2002-01-01') AS BIGINT) AS recency_days, "
+            "count(*) AS frequency, CAST(sum("
+            f"{_MILLI.format(x='o_totalprice')}"
+            ") AS BIGINT) AS monetary_milli "
+            "FROM orders GROUP BY 1 ORDER BY 1"
         ),
         "rel_event_funnel": (
             "WITH ev AS (SELECT * FROM events "
@@ -776,6 +803,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "io_csv_roundtrip": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        # hive-partitioned parquet sink + partition-schema read-back:
+        # same lossless-roundtrip rollup as the jsonl/csv oracles
+        "io_hive_roundtrip": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
             "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
@@ -1307,6 +1342,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5 "
             "ORDER BY query_id, rank"
+        ),
+        # cosine range search: all pairs reaching the threshold; tau is
+        # chosen away from any actual similarity (margin asserted in the
+        # suite) so f64-rounding differences between engines can't flip
+        # a boundary pair
+        "ann_range_search": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings ORDER BY vec_id LIMIT 4) "
+            "SELECT q.query_id, e.vec_id FROM embeddings e CROSS JOIN q "
+            "WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "q.qv) >= 0.3 ORDER BY query_id, vec_id"
         ),
         "multimodal_payload_sizes": (
             "SELECT doc_id, strlen(text) AS payload_bytes FROM documents"

@@ -1071,3 +1071,40 @@ def ann_recall(sf_dir: str, k: int = 10, nq: int = 8):
             "n_truth": pa.array(out["n_truth"], pa.int64()),
         }
     )
+
+
+def ann_range_search(sf_dir: str, tau: float = 0.3, nq: int = 4):
+    """Exact cosine RANGE search: every (query_id, vec_id) pair whose
+    similarity reaches ``tau``, for the first ``nq`` vectors as queries
+    — the radius-neighbor counterpart of ann_brute_topk, sorted by
+    (query_id, vec_id). Integer-only output (the float sim stays
+    internal) so the cross-engine hash is stable; ``tau`` must not sit
+    within float-rounding distance of an actual similarity (asserted
+    against both test SFs in the suite).
+
+    Same broadcast shape as brute top-k: the (nq, dim) normalized query
+    matrix rides the closure, each batch is one f64 matmul + threshold
+    mask — per-batch output is only the qualifying pairs, so the result
+    streams without a driver merge."""
+    q, q_ids = _query_matrix(sf_dir, nq)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qid_arr = np.asarray(q_ids, dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _list_matrix(batch.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn @ mn.T  # (nq, batch)
+        qi, vi = np.nonzero(sims >= tau)
+        return pa.table(
+            {
+                "query_id": pa.array(qid_arr[qi], pa.int64()),
+                "vec_id": pa.array(vec_ids[vi], pa.int64()),
+            }
+        )
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .sort(["query_id", "vec_id"])
+    )

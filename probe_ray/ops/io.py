@@ -122,3 +122,33 @@ def csv_roundtrip(sf_dir: str):
     """documents -> sharded CSV -> read_csv -> per-lang rollup (same
     lossless-roundtrip proof as jsonl_roundtrip)."""
     return _roundtrip(sf_dir, "csv")
+
+
+def hive_partitioned_roundtrip(sf_dir: str):
+    """documents -> lang-partitioned parquet (hive layout: one
+    ``lang=<v>/`` directory per language, the resumable key-range
+    layout the index sinks use) -> partition-pruned read-back ->
+    per-lang rollup. The read back passes the partition column's
+    values through the DIRECTORY NAMES, not the files (the column is
+    dropped from the row groups), so an oracle match proves both the
+    partitioned write and the hive-schema reconstruction are lossless.
+
+    Scale note: `partition_cols` shuffles nothing — each task writes
+    its own block's rows into per-value files under the value
+    directories, so the sink streams at any corpus size; readers prune
+    whole directories by partition filter."""
+    import ray.data
+
+    root = os.path.join(
+        _CACHE_ROOT, hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    )
+    os.makedirs(root, exist_ok=True)
+    out = tempfile.mkdtemp(prefix="hive-", dir=root)
+    docs = _read_documents(sf_dir)
+    try:
+        docs.write_parquet(out, partition_cols=["lang"])
+        back = ray.data.read_parquet(out)
+        rolled = _lang_rollup(back).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return rolled

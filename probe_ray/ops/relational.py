@@ -4480,24 +4480,27 @@ def volume_shipping_regions(
 def important_parts_by_region(
     sf_dir: str,
     region: str = "ASIA",
-    frac_num: int = 6,
-    frac_den: int = 1000,
+    mult_num: int = 12,
+    mult_den: int = 10,
 ):
     """TPC-H-Q11-shaped important stock (adapted: this corpus has no
     partsupp, so a part's "value" is the summed milli-integer
     extendedprice x quantity of its lineitems supplied by ``region``'s
     suppliers). Emits every part whose value exceeds
-    ``frac_num/frac_den`` of the region's total, (p_partkey,
-    value_milli) sorted by (value_milli desc, p_partkey asc).
+    ``mult_num/mult_den`` times the MEAN part value (the classic Q11
+    fraction is 0.0001/SF, i.e. scale-dependent by design — the
+    mean-relative form keeps the query non-vacuous at every corpus
+    size). (p_partkey, value_milli) sorted by
+    (value_milli desc, p_partkey asc).
 
     Q11's correlated global-threshold subquery becomes: per-batch
     (partkey -> value) partials (supplier-region membership via the
     size-aware driver-dict / distributed-join crossover), ONE
-    groupby(partkey) exchange, then a streamed Dataset sum for the
-    global total — the threshold test is exact integer math
-    (value * frac_den > total * frac_num), never a float share. The
-    per-part aggregate is O(parts) rows; nothing larger ever
-    materializes."""
+    groupby(partkey) exchange, then a streamed Dataset sum + count for
+    the global mean — the threshold test is exact integer math
+    (value * n_parts * mult_den > total * mult_num), never a float
+    share. The per-part aggregate is O(parts) rows; nothing larger
+    ever materializes."""
     region_keys, _ = _region_nation_maps(sf_dir, region)
     n_supp = table_rows(sf_dir, "supplier")
 
@@ -4584,11 +4587,12 @@ def important_parts_by_region(
 
     per_part = partials.groupby("pkey").aggregate(Sum("v_sum")).materialize()
     total = per_part.sum("sum(v_sum)") or 0
-    thresh_num = int(total) * frac_num
+    n_parts = per_part.count()
+    thresh_num = int(total) * mult_num
 
     def select(batch: pa.Table) -> pa.Table:
         v = batch.column("sum(v_sum)").to_numpy().astype(np.int64)
-        m = v * frac_den > thresh_num
+        m = v * n_parts * mult_den > thresh_num
         return pa.table(
             {
                 "p_partkey": batch.column("pkey").cast(pa.int64()).filter(
@@ -5111,3 +5115,140 @@ def nation_keyword_revenue(sf_dir: str, keyword: str = "widget"):
     return agg.map_batches(rename, batch_format="pyarrow").sort(
         ["supp_nation", "o_year"]
     )
+
+
+def running_order_spend(sf_dir: str):
+    """Per-customer running spend window: for every order, the sum of
+    the SAME customer's strictly-earlier order totals (ordered by
+    (o_orderdate, o_orderkey)) — SQL's
+    ``SUM(...) OVER (PARTITION BY custkey ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``. (o_orderkey, o_custkey,
+    cum_spend_milli) sorted by o_orderkey, integer millis.
+
+    ONE custkey-hash exchange; inside a partition one lexsort by
+    (custkey, date, orderkey) and a vectorized segment-reset prefix sum
+    (cumsum minus each segment's leading offset — no per-row Python).
+    Every customer lives in exactly one partition, so the prefix is
+    exact; partition count scales with the orders table, never with
+    customers."""
+    parts = SEMIJOIN_PARTITIONS
+
+    def key_stage(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "ck": pa.array(ck, pa.int64()),
+                "ok": batch.column("o_orderkey").cast(pa.int64()),
+                "dt": pa.array(
+                    batch.column("o_orderdate").to_numpy().astype(np.int64)
+                ),
+                "price": pa.array(
+                    _milli(batch.column("o_totalprice").to_numpy())
+                ),
+            }
+        )
+
+    def window(group: pa.Table) -> pa.Table:
+        ck = group.column("ck").to_numpy()
+        dt = group.column("dt").to_numpy()
+        ok = group.column("ok").to_numpy()
+        price = group.column("price").to_numpy()
+        order = np.lexsort((ok, dt, ck))
+        ck, ok, price = ck[order], ok[order], price[order]
+        n = len(ck)
+        if n == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "cum_spend_milli": pa.array([], pa.int64()),
+                }
+            )
+        cs = np.cumsum(price)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = ck[1:] != ck[:-1]
+        seg_id = np.cumsum(boundary) - 1
+        start_idx = np.flatnonzero(boundary)[seg_id]
+        seg_base = np.where(start_idx > 0, cs[start_idx - 1], 0)
+        cum_before = (cs - price) - seg_base
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "cum_spend_milli": pa.array(cum_before, pa.int64()),
+            }
+        )
+
+    est = table_rows(sf_dir, "orders") * 40
+    return (
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(window, batch_format="pyarrow")
+        .sort("o_orderkey")
+    )
+
+
+def customer_rfm(sf_dir: str, anchor: str = "2002-01-01"):
+    """Recency / frequency / monetary per ordering customer:
+    (c_custkey, recency_days, frequency, monetary_milli) sorted by
+    c_custkey — recency in whole days from the customer's LAST order
+    date to the fixed ``anchor``, all integers.
+
+    Per-batch (custkey -> max date, count, milli sum) partials, then one
+    groupby(custkey) exchange folding (max, sum, sum) — output is
+    O(ordering customers) rows and nothing larger materializes."""
+    from ray.data.aggregate import Max, Sum
+
+    anchor_us = _us(anchor)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ck": batch.column("o_custkey").cast(pa.int64()),
+                "dt": pa.array(
+                    batch.column("o_orderdate").to_numpy().astype(np.int64)
+                ),
+                "cnt": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "spend": pa.array(
+                    _milli(batch.column("o_totalprice").to_numpy())
+                ),
+            }
+        )
+        return t.group_by(["ck"]).aggregate(
+            [("dt", "max"), ("cnt", "sum"), ("spend", "sum")]
+        )
+
+    agg = (
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ck")
+        .aggregate(Max("dt_max"), Sum("cnt_sum"), Sum("spend_sum"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last_us = batch.column("max(dt_max)").to_numpy().astype(np.int64)
+        rec_days = (anchor_us - last_us) // 86_400_000_000
+        return pa.table(
+            {
+                "c_custkey": batch.column("ck").cast(pa.int64()),
+                "recency_days": pa.array(rec_days, pa.int64()),
+                "frequency": batch.column("sum(cnt_sum)").cast(pa.int64()),
+                "monetary_milli": batch.column("sum(spend_sum)").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("c_custkey")

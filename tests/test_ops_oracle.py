@@ -62,6 +62,9 @@ CASES = [
     "rel_q11_important_parts",
     "rel_q8_market_share",
     "rel_q9_nation_revenue",
+    "rel_running_order_spend",
+    "rel_customer_rfm",
+    "ann_range_search",
     "rel_event_funnel",
     "rel_retention_cohorts",
     "rel_event_transitions",
@@ -108,6 +111,7 @@ CASES = [
     "ann_knn_classify",
     "io_jsonl_roundtrip",
     "io_csv_roundtrip",
+    "io_hive_roundtrip",
     "export_tar_shards",
 ]
 
@@ -429,3 +433,27 @@ def test_q8_q9_chained_dim_crossover_identity(ray_session, monkeypatch):
     monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
     assert _canon(_to_table(relational.nation_market_share(SF_DIR))) == q8
     assert _canon(_to_table(relational.nation_keyword_revenue(SF_DIR))) == q9
+
+
+def test_range_search_tau_margin():
+    """ann_range_search's cross-engine hash is only stable if no actual
+    similarity sits within float-rounding distance of tau: numpy and
+    DuckDB both compute in f64 but with different summation orders, so a
+    pair at |sim - tau| ~ 1e-15 could flip. Assert a wide margin on both
+    test scale factors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from probe_ray.ops.ann import _list_matrix
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_by([("vec_id", "ascending")])
+        m = _list_matrix(t.column("embedding"))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn[:4] @ mn.T
+        assert np.abs(sims - 0.3).min() > 1e-6, sf_dir
+        # the threshold must also capture real (non-self) neighbors,
+        # or the range-search oracle is vacuous
+        assert int((sims >= 0.3).sum()) > 4, sf_dir
