@@ -302,6 +302,29 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_upsert(args) -> int:
+    ray, owns = _ray_init()
+    from probe_ray.index.build import IndexConfig
+    from probe_ray.index.upsert import upsert_segment
+
+    cfg = IndexConfig(num_waves=args.waves, subshards=args.subshards)
+    manifest = upsert_segment(args.members, args.fragment, args.delta, cfg)
+    print(
+        json.dumps(
+            {
+                "delta": args.delta,
+                "members": args.members,
+                "n_docs": manifest["n_docs"],
+                "search_with": "FederatedReader(members + [delta], "
+                "tombstone_scope='member')",
+            }
+        )
+    )
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     import json as _json
     import os
@@ -445,6 +468,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    u = sub.add_parser(
+        "upsert",
+        help="update/insert documents: tombstone the fragment's keys in "
+             "every member index and build a delta segment (search via "
+             "federated member-scope tombstones)",
+    )
+    u.add_argument("--members", nargs="+", required=True,
+                   help="existing index dirs (base + earlier deltas)")
+    u.add_argument("--fragment", required=True,
+                   help="corpus parquet fragment with the new doc versions")
+    u.add_argument("--delta", required=True, help="output dir for the delta index")
+    u.add_argument("--waves", type=int, default=1)
+    u.add_argument("--subshards", type=int, default=1)
+    u.set_defaults(fn=cmd_upsert)
 
     d = sub.add_parser(
         "delete",

@@ -1176,8 +1176,17 @@ class FederatedReader:
     uses (_QuerySpec.avgdl / min_dlen / idfs), so every shard's actors
     score with GLOBAL stats and the merged top-k is bit-identical to a
     single index built over the union corpus (pinned in
-    tests/test_federated.py). Tombstones are unioned across members
-    (a federated delete deletes everywhere).
+    tests/test_federated.py).
+
+    ``tombstone_scope`` controls delete visibility:
+    - "global" (default): tombstones are unioned across members — a
+      federated delete deletes everywhere (disjoint-shard layout).
+    - "member": each member's tombstones mask only ITS OWN results —
+      the Lucene-segment upsert layout (index/upsert.py): updating a
+      document tombstones the old version in the segment that holds it
+      and appends a fresh delta segment carrying the new version, so
+      the same (repo, path) may legitimately exist in two members with
+      exactly one visible.
 
     Scope: the full boolean/BM25 surface incl. field filters. Dynamic
     special-term queries (quoted/excluded keywords — the hybrid
@@ -1187,9 +1196,20 @@ class FederatedReader:
     sets (a sharded corpus); overlapping (repo, path) keys would appear
     once per owning member."""
 
-    def __init__(self, index_dirs: list[str], num_workers: int | None = None):
+    def __init__(
+        self,
+        index_dirs: list[str],
+        num_workers: int | None = None,
+        tombstone_scope: str = "global",
+    ):
         if not index_dirs:
             raise ValueError("FederatedReader needs at least one index")
+        if tombstone_scope not in ("global", "member"):
+            raise ValueError(
+                f"tombstone_scope must be 'global' or 'member', "
+                f"got {tombstone_scope!r}"
+            )
+        self.tombstone_scope = tombstone_scope
         self.readers = [IndexReader(d, num_workers) for d in index_dirs]
         self.n_docs = sum(r.n_docs for r in self.readers)
         self.n_tokens = sum(
@@ -1236,20 +1256,29 @@ class FederatedReader:
             for t in plan.term_indices
             if df_global.get(t, 0) > 0
         }
-        spec = _QuerySpec(
-            name="q",
-            plan=plan,
-            idfs=idfs,
-            need_fill=is_only_excluded_terms(plan.ast),
-            filters=filters or {},
-            avgdl=self.avgdl,
-            min_dlen=self.min_dlen,
-            exclude_keys=self.tombstones or None,
-        )
+        def _spec(exclude: frozenset[str]) -> _QuerySpec:
+            return _QuerySpec(
+                name="q",
+                plan=plan,
+                idfs=idfs,
+                need_fill=is_only_excluded_terms(plan.ast),
+                filters=filters or {},
+                avgdl=self.avgdl,
+                min_dlen=self.min_dlen,
+                exclude_keys=exclude or None,
+            )
+
         futs = []
         for r in self.readers:
             r._ensure_workers()
-            specs_ref = ray.put([spec])
+            # member scope: each segment masks only its own deletes, so
+            # an upserted (repo, path) stays visible in the delta member
+            exclude = (
+                r.tombstones
+                if self.tombstone_scope == "member"
+                else self.tombstones
+            )
+            specs_ref = ray.put([_spec(exclude)])
             futs.extend(w.search.remote(specs_ref, k) for w in r._workers)
         merged = pa.concat_tables(ray.get(futs))
         idx = pc.sort_indices(
@@ -1280,6 +1309,7 @@ class FederatedReader:
             "n_docs": self.n_docs,
             "avgdl": self.avgdl,
             "tombstones": len(self.tombstones),
+            "tombstone_scope": self.tombstone_scope,
         }
         try:
             plan = create_query_plan(query)
