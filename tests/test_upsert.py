@@ -79,7 +79,9 @@ def test_upsert_round1_visibility(ray_session, upsert_env):
     assert m["n_docs"] == 3
     env["delta1"] = delta1
 
-    fed = FederatedReader([env["base"], delta1], tombstone_scope="member")
+    fed = FederatedReader(
+        [env["base"], delta1], num_workers=1, tombstone_scope="member"
+    )
     try:
         # exactly the three round-1 versions carry the marker
         got = fed.search(MARK1, k=10)
@@ -124,7 +126,7 @@ def test_global_scope_masks_upserts_everywhere(ray_session, upsert_env):
     from probe_ray.search.searcher import FederatedReader
 
     env = upsert_env
-    fed = FederatedReader([env["base"], env["delta1"]])
+    fed = FederatedReader([env["base"], env["delta1"]], num_workers=1)
     try:
         assert fed.tombstone_scope == "global"
         assert fed.search(MARK1, k=10).num_rows == 0
@@ -140,8 +142,16 @@ def test_upsert_round2_chains(ray_session, upsert_env):
     delta2 = os.path.join(env["root"], "delta2_idx")
     upsert_segment([env["base"], env["delta1"]], env["frag2"], delta2)
 
+    # num_workers=1 keeps the actor-CPU footprint small: the suite's
+    # shared 4-CPU session also hosts other fixtures' persistent query
+    # actors, and two concurrently-open 3-member federations at the
+    # default pool size exhaust the fractional reservations and deadlock
+    # actor creation. The two federations below are opened SEQUENTIALLY
+    # for the same reason.
     fed = FederatedReader(
-        [env["base"], env["delta1"], delta2], tombstone_scope="member"
+        [env["base"], env["delta1"], delta2],
+        num_workers=1,
+        tombstone_scope="member",
     )
     try:
         again = env["again"]
@@ -157,17 +167,19 @@ def test_upsert_round2_chains(ray_session, upsert_env):
         keys = {(r["repo"], r["path"]) for r in got1.to_pylist()}
         assert (again["repo"], again["path"]) not in keys
         assert len(keys) == 2
-        # determinism: a reopened federation returns the same tables
-        fed2 = FederatedReader(
-            [env["base"], env["delta1"], delta2], tombstone_scope="member"
-        )
-        try:
-            assert fed2.search(MARK2, k=10).equals(got)
-            assert fed2.search(MARK1, k=10).equals(got1)
-        finally:
-            fed2.close()
     finally:
         fed.close()
+    # determinism: a reopened federation returns the same tables
+    fed2 = FederatedReader(
+        [env["base"], env["delta1"], delta2],
+        num_workers=1,
+        tombstone_scope="member",
+    )
+    try:
+        assert fed2.search(MARK2, k=10).equals(got)
+        assert fed2.search(MARK1, k=10).equals(got1)
+    finally:
+        fed2.close()
 
 
 def test_bad_scope_rejected(ray_session, upsert_env):
