@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q9_nation_revenue": relational.nation_keyword_revenue,
         "rel_running_order_spend": relational.running_order_spend,
         "rel_customer_rfm": relational.customer_rfm,
+        "rel_top_parts_per_brand": relational.top_parts_per_brand,
+        "rel_customer_order_gaps": relational.customer_order_gaps,
         "rel_event_funnel": relational.event_funnel,
         "rel_retention_cohorts": relational.retention_cohorts,
         "rel_event_transitions": relational.event_transition_counts,
@@ -671,6 +673,33 @@ def oracle_sql() -> dict[str, str]:
             f"{_MILLI.format(x='o_totalprice')}"
             ") AS BIGINT) AS monetary_milli "
             "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        # top-n parts per brand with RANK() tie semantics (ties share a
+        # rank, so a brand may emit more than n rows)
+        "rel_top_parts_per_brand": (
+            "WITH v AS (SELECT p.p_brand, l.l_partkey AS p_partkey, "
+            "CAST(sum("
+            f"{_MILLI.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}"
+            ") AS BIGINT) AS revenue_milli "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "GROUP BY 1, 2) "
+            "SELECT p_brand, p_partkey, revenue_milli, "
+            "CAST(rank() OVER (PARTITION BY p_brand "
+            "ORDER BY revenue_milli DESC) AS BIGINT) AS rnk "
+            "FROM v QUALIFY rnk <= 3 ORDER BY p_brand, rnk, p_partkey"
+        ),
+        # inter-order gap statistics per repeat customer (LAG window)
+        "rel_customer_order_gaps": (
+            "WITH g AS (SELECT o_custkey, date_diff('day', "
+            "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap "
+            "FROM orders) "
+            "SELECT o_custkey AS c_custkey, "
+            "CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "CAST(sum(gap) AS BIGINT) AS sum_gap_days, "
+            "CAST(min(gap) AS BIGINT) AS min_gap_days, "
+            "CAST(max(gap) AS BIGINT) AS max_gap_days "
+            "FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1"
         ),
         "rel_event_funnel": (
             "WITH ev AS (SELECT * FROM events "

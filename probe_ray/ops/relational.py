@@ -5252,3 +5252,201 @@ def customer_rfm(sf_dir: str, anchor: str = "2002-01-01"):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
+def top_parts_per_brand(sf_dir: str, n: int = 3):
+    """Top-n parts per brand by lifetime revenue with RANK() tie
+    semantics (ties share a rank; every rank <= n row survives, so a
+    brand can emit more than n rows): (p_brand, p_partkey,
+    revenue_milli, rnk) sorted by (p_brand, rnk, p_partkey).
+
+    ONE groupby(partkey) exchange folds per-batch revenue partials
+    (brand attached through the size-aware part-dimension crossover);
+    the rank pass is a constant-domain per-brand map_groups — brands
+    are dictionary-small (25 in TPC-H), and the rank itself is one
+    descending sort + searchsorted per group, no per-row Python."""
+    from ray.data.aggregate import Sum
+
+    n_dim = table_rows(sf_dir, "part")
+    fact_cols = ["l_partkey", "l_extendedprice", "l_discount"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = _milli(
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy())
+        )
+        t = pa.table({"pkey": batch.column("l_partkey"), "rev": pa.array(rev)})
+        return t.group_by(["pkey"]).aggregate([("rev", "sum")])
+
+    per_part = (
+        _read(sf_dir, "lineitem", fact_cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .aggregate(Sum("rev_sum"))
+    )
+
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        import pyarrow.parquet as pq
+
+        part_t = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
+        po = np.argsort(pk, kind="stable")
+        pk_s = pk[po]
+        brands = part_t.column("p_brand").take(pa.array(po))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            keys = batch.column("pkey").to_numpy().astype(np.int64)
+            pos = np.minimum(np.searchsorted(pk_s, keys), len(pk_s) - 1)
+            found = pk_s[pos] == keys
+            sel = np.flatnonzero(found)
+            return pa.table(
+                {
+                    "brand": brands.take(pa.array(pos[sel])),
+                    "pkey": pa.array(keys[sel], pa.int64()),
+                    "rev": batch.column("sum(rev_sum)")
+                    .take(pa.array(sel))
+                    .cast(pa.int64()),
+                }
+            )
+
+        branded = per_part.map_batches(attach, batch_format="pyarrow")
+    else:
+
+        def reshape_in(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "pkey": batch.column("pkey").cast(pa.int64()),
+                    "rev": batch.column("sum(rev_sum)").cast(pa.int64()),
+                }
+            )
+
+        joined = _lookup_join_distributed(
+            per_part.map_batches(reshape_in, batch_format="pyarrow"),
+            "pkey",
+            _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+            "p_partkey",
+            "p_brand",
+            pa.string(),
+            ["pkey", "rev"],
+            "brand",
+            est_bytes=(n_dim + n_dim) * 48,
+        )
+
+        def drop_missing(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return batch.filter(_pc.is_valid(batch.column("brand")))
+
+        branded = joined.map_batches(drop_missing, batch_format="pyarrow")
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        rev = group.column("rev").to_numpy()
+        keys = group.column("pkey").to_numpy()
+        order = np.lexsort((keys, -rev))
+        rev_s, keys_s = rev[order], keys[order]
+        # RANK(): 1 + number of strictly greater revenues — one
+        # searchsorted against the descending-sorted array
+        rnk = np.searchsorted(-rev_s, -rev_s, side="left") + 1
+        m = rnk <= n
+        return pa.table(
+            {
+                "p_brand": group.column("brand")
+                .take(pa.array(order[m]))
+                .cast(pa.string()),
+                "p_partkey": pa.array(keys_s[m], pa.int64()),
+                "revenue_milli": pa.array(rev_s[m], pa.int64()),
+                "rnk": pa.array(rnk[m], pa.int64()),
+            }
+        )
+
+    return (
+        branded.groupby("brand")
+        .map_groups(rank_group, batch_format="pyarrow")
+        .sort(["p_brand", "rnk", "p_partkey"])
+    )
+
+
+def customer_order_gaps(sf_dir: str):
+    """Inter-order gap statistics per repeat customer — the LAG()
+    window shape: for customers with >= 2 orders, the number of gaps
+    and the sum/min/max gap in whole days between consecutive orders
+    (ordered by (o_orderdate, o_orderkey)). (c_custkey, n_gaps,
+    sum_gap_days, min_gap_days, max_gap_days) sorted by c_custkey,
+    all integers.
+
+    Same ONE custkey exchange as running_order_spend; inside a
+    partition one lexsort + shifted-difference per customer segment
+    (gaps never cross segment boundaries), folded with
+    np.minimum/maximum.reduceat — no per-row Python."""
+    parts = SEMIJOIN_PARTITIONS
+
+    def key_stage(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(ck % parts),
+                "ck": pa.array(ck, pa.int64()),
+                "ok": batch.column("o_orderkey").cast(pa.int64()),
+                "dt": pa.array(
+                    batch.column("o_orderdate").to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ck = group.column("ck").to_numpy()
+        dt = group.column("dt").to_numpy()
+        ok = group.column("ok").to_numpy()
+        order = np.lexsort((ok, dt, ck))
+        ck, dt = ck[order], dt[order]
+        n = len(ck)
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "sum_gap_days": pa.array([], pa.int64()),
+                "min_gap_days": pa.array([], pa.int64()),
+                "max_gap_days": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        same = np.empty(n, dtype=bool)
+        same[0] = False
+        same[1:] = ck[1:] == ck[:-1]
+        gidx = np.flatnonzero(same)  # rows that close a gap
+        if len(gidx) == 0:
+            return empty
+        gap_days = (dt[gidx] - dt[gidx - 1]) // 86_400_000_000
+        gck = ck[gidx]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gck[1:] != gck[:-1]))
+        )
+        counts = np.diff(np.append(starts, len(gck)))
+        return pa.table(
+            {
+                "c_custkey": pa.array(gck[starts], pa.int64()),
+                "n_gaps": pa.array(counts, pa.int64()),
+                "sum_gap_days": pa.array(
+                    np.add.reduceat(gap_days, starts), pa.int64()
+                ),
+                "min_gap_days": pa.array(
+                    np.minimum.reduceat(gap_days, starts), pa.int64()
+                ),
+                "max_gap_days": pa.array(
+                    np.maximum.reduceat(gap_days, starts), pa.int64()
+                ),
+            }
+        )
+
+    est = table_rows(sf_dir, "orders") * 32
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_parts(est))
+        .groupby("part")
+        .map_groups(gaps, batch_format="pyarrow")
+        .sort("c_custkey")
+    )

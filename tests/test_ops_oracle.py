@@ -64,6 +64,8 @@ CASES = [
     "rel_q9_nation_revenue",
     "rel_running_order_spend",
     "rel_customer_rfm",
+    "rel_top_parts_per_brand",
+    "rel_customer_order_gaps",
     "ann_range_search",
     "rel_event_funnel",
     "rel_retention_cohorts",
@@ -457,3 +459,15 @@ def test_range_search_tau_margin():
         # the threshold must also capture real (non-self) neighbors,
         # or the range-search oracle is vacuous
         assert int((sims >= 0.3).sum()) > 4, sf_dir
+
+
+def test_top_parts_brand_crossover_identity(ray_session, monkeypatch):
+    """top_parts_per_brand's brand attach: the forced distributed
+    bounded-partition branch must reproduce the broadcast searchsorted
+    result exactly, including RANK() ties."""
+    from probe_ray.ops import relational
+
+    fast = _canon(_to_table(relational.top_parts_per_brand(SF_DIR)))
+    assert len(fast) > 0
+    monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
+    assert _canon(_to_table(relational.top_parts_per_brand(SF_DIR))) == fast
