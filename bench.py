@@ -329,6 +329,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             relational,
             text,
         )
+        from probe_ray.ops import io as io_ops
 
         # same session warmup the build section uses: spawn the worker
         # pool on a trivial pipeline so the first timed op measures the
@@ -387,6 +388,12 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_q11_important_parts", lambda: _nrows(relational.important_parts_by_region(SF_DIR))),
             ("rel_q8_market_share", lambda: _nrows(relational.nation_market_share(SF_DIR))),
             ("rel_q9_nation_revenue", lambda: _nrows(relational.nation_keyword_revenue(SF_DIR))),
+            ("rel_running_order_spend", lambda: _nrows(relational.running_order_spend(SF_DIR))),
+            ("rel_customer_rfm", lambda: _nrows(relational.customer_rfm(SF_DIR))),
+            ("rel_top_parts_per_brand", lambda: _nrows(relational.top_parts_per_brand(SF_DIR))),
+            ("rel_customer_order_gaps", lambda: _nrows(relational.customer_order_gaps(SF_DIR))),
+            ("ann_range_search", lambda: _nrows(ann.ann_range_search(SF_DIR))),
+            ("io_hive_roundtrip", lambda: _nrows(io_ops.hive_partitioned_roundtrip(SF_DIR))),
             ("rel_event_funnel", lambda: _nrows(relational.event_funnel(SF_DIR))),
             ("rel_retention", lambda: _nrows(relational.retention_cohorts(SF_DIR))),
             ("rel_rolling_active", lambda: _nrows(relational.rolling_active_users(SF_DIR))),
