@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ngram_topk": text.ngram_topk,
         "text_repetition_stats": text.repetition_stats,
         "text_stratified_sample": text.stratified_sample,
+        "text_mixture_sample": text.mixture_sample,
         "text_shared_ngram_counts": text.shared_ngram_counts,
         "text_pii_scrub": text.pii_scrub,
         "text_group_sample": text.group_sample,
@@ -284,6 +285,34 @@ _N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_WS_TOKENS}) END"
 
 
 _MILLI = "CAST(floor({x} * 1000 + 0.5) AS BIGINT)"
+
+
+def _mixture_sql() -> str:
+    """Source-mixture oracle rendered from the SAME weight table the
+    Ray operator uses (probe_ray.ops.text.MIXTURE_WEIGHTS) — the two
+    engines cannot drift."""
+    import math
+
+    from probe_ray.ops.text import MIXTURE_DEFAULT_WEIGHT, MIXTURE_WEIGHTS
+
+    def cases(f) -> str:
+        body = " ".join(
+            f"WHEN '{s}' THEN {f(w)}" for s, w in MIXTURE_WEIGHTS.items()
+        )
+        return (
+            f"CASE source {body} ELSE {f(MIXTURE_DEFAULT_WEIGHT)} END"
+        )
+
+    base = cases(lambda w: int(math.floor(w)))
+    frac = cases(lambda w: int((w - math.floor(w)) * 2**32))
+    return (
+        "WITH d AS (SELECT doc_id, lang, source, "
+        f"({base}) + CASE WHEN (doc_id * 2654435761) % 4294967296 < "
+        f"({frac}) THEN 1 ELSE 0 END AS n FROM documents) "
+        "SELECT doc_id, lang, source, "
+        "CAST(unnest(range(n)) AS BIGINT) AS copy_idx "
+        "FROM d WHERE n > 0 ORDER BY doc_id, copy_idx"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1058,6 +1087,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'fr' THEN 1073741824 WHEN 'es' THEN 1073741824 "
             "WHEN 'zh' THEN 429496729 ELSE 0 END ORDER BY doc_id"
         ),
+        # deterministic source-mixture sampling (epochs per source:
+        # floor(w) copies + a hash-gated fractional copy)
+        "text_mixture_sample": _mixture_sql(),
         # per-doc count of word-4-gram occurrences shared with >= 2 docs
         "text_shared_ngram_counts": (
             "WITH w AS (SELECT doc_id, "

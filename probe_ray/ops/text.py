@@ -2415,3 +2415,83 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en", n: int = 2):
         .map_groups(fold, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+#: Default source-mixture weights (epochs per source): >1 upsamples by
+#: duplication, <1 downsamples deterministically. __ray_entry__ renders
+#: the oracle SQL from THIS dict so the two engines cannot drift.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "src0": 2.5,
+    "src1": 1.5,
+    "src2": 1.0,
+    "src3": 0.5,
+}
+MIXTURE_DEFAULT_WEIGHT = 0.25
+
+
+def mixture_sample(sf_dir: str, weights: dict[str, float] | None = None):
+    """Deterministic source-mixture sampling — the pretraining
+    data-mixing primitive (weights = epochs per source, a la the
+    LLaMA/GPT-3 mixture tables): each doc is emitted
+    ``floor(w) + (lcg(doc_id) < frac(w))`` times, so w=2.5 duplicates
+    every doc twice and a deterministic half of them a third time,
+    while w=0.25 keeps a quarter. Output (doc_id, lang, source,
+    copy_idx with copy_idx in [0, n)), sorted by (doc_id, copy_idx).
+
+    Pure per-batch map — no shuffle, no RNG state, resumable by
+    construction (the same doc always gets the same copy count); the
+    up-sampled copies materialize only in the OUTPUT stream, so the
+    operator streams at any corpus size."""
+    import pyarrow.compute as pc
+
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        with np.errstate(over="ignore"):
+            h = (did.astype(np.uint64) * np.uint64(_FIB_MULT)) % np.uint64(
+                2**32
+            )
+        enc = pc.dictionary_encode(batch.column("source").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = np.array(
+            [
+                weights.get(s, MIXTURE_DEFAULT_WEIGHT)
+                for s in enc.dictionary.to_pylist()
+            ],
+            np.float64,
+        )
+        base = np.floor(ws).astype(np.int64)[codes]
+        frac_cut = ((ws - np.floor(ws)) * 2**32).astype(np.int64)[codes]
+        n = base + (h.astype(np.int64) < frac_cut)
+        keep = n > 0
+        nk = n[keep]
+        total = int(nk.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "copy_idx": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.flatnonzero(keep)
+        rep = np.repeat(idx, nk)
+        ends = np.cumsum(nk)
+        copy_idx = np.arange(total) - np.repeat(ends - nk, nk)
+        sel = batch.take(pa.array(rep))
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id").cast(pa.int64()),
+                "lang": sel.column("lang"),
+                "source": sel.column("source"),
+                "copy_idx": pa.array(copy_idx, pa.int64()),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "lang", "source"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort(["doc_id", "copy_idx"])
+    )

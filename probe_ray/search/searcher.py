@@ -1297,6 +1297,95 @@ class FederatedReader:
             )
         return _finalize(top)
 
+    def search_many(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        filters: dict[str, dict[str, str]] | None = None,
+        max_total_tokens: int | None = None,
+    ) -> dict[str, pa.Table]:
+        """Batched federated search: every query's spec ships to every
+        member's actor pool in ONE ray round (one ray.put per member,
+        one task per worker), so an n-query batch pays the same number
+        of round trips as a single query. Same scope as search():
+        boolean/BM25 with field filters; special-term queries raise
+        (per-index machinery); per-query results are bit-identical to
+        calling search() per query."""
+        import ray
+
+        filters = filters or {}
+        results: dict[str, pa.Table] = {}
+        named_plans = {}
+        all_terms: set[str] = set()
+        for name, q in queries.items():
+            try:
+                plan = create_query_plan(q)
+            except Exception:
+                results[name] = _empty_result()
+                continue
+            if plan.special_terms:
+                raise ValueError(
+                    "special-term (quoted/excluded) queries are per-index "
+                    "candidate machinery; run them on a member IndexReader"
+                )
+            if len(plan.term_indices) > MAX_QUERY_TERMS:
+                results[name] = _empty_result()
+                continue
+            named_plans[name] = plan
+            all_terms |= set(plan.term_indices)
+        if not named_plans:
+            return results
+        df_global = self.df_lookup(sorted(all_terms))
+
+        def mkspec(name: str, plan, exclude) -> _QuerySpec:
+            idfs = {
+                t: idf_fn(self.n_docs, df_global[t])
+                for t in plan.term_indices
+                if df_global.get(t, 0) > 0
+            }
+            return _QuerySpec(
+                name=name,
+                plan=plan,
+                idfs=idfs,
+                need_fill=is_only_excluded_terms(plan.ast),
+                filters=filters.get(name) or {},
+                avgdl=self.avgdl,
+                min_dlen=self.min_dlen,
+                exclude_keys=exclude or None,
+            )
+
+        futs = []
+        for r in self.readers:
+            r._ensure_workers()
+            exclude = (
+                r.tombstones
+                if self.tombstone_scope == "member"
+                else self.tombstones
+            )
+            specs_ref = ray.put(
+                [mkspec(n, p, exclude) for n, p in named_plans.items()]
+            )
+            futs.extend(w.search.remote(specs_ref, k) for w in r._workers)
+        merged = pa.concat_tables(ray.get(futs))
+        for name in named_plans:
+            use = merged.filter(pc.equal(merged.column("query"), name))
+            idx = pc.sort_indices(
+                use,
+                sort_keys=[
+                    ("score", "descending"),
+                    ("repo", "ascending"),
+                    ("path", "ascending"),
+                ],
+            )[:k]
+            top = use.take(idx)
+            if max_total_tokens is not None:
+                cum = np.cumsum(top.column("doc_len").to_numpy())
+                top = top.slice(
+                    0, int(np.searchsorted(cum, max_total_tokens, "right"))
+                )
+            results[name] = _finalize(top)
+        return results
+
     def explain(self, query: str) -> dict:
         """Federation-level EXPLAIN: the GLOBAL statistics a federated
         search actually scores with (summed N/df, pooled avgdl), plus

@@ -109,3 +109,34 @@ def test_federated_parse_failure_degrades(ray_session, federation):
         assert e["federated_members"] == 2
     finally:
         fed.close()
+
+
+def test_federated_search_many_matches_per_query(ray_session, federation):
+    """Batched federated search must be bit-identical per query to both
+    the one-at-a-time federated path and the union-index batch path."""
+    from probe_ray.search.searcher import FederatedReader, IndexReader
+
+    (a, b), union_dir = federation
+    fed = FederatedReader([a, b])
+    union = IndexReader(union_dir)
+    try:
+        named = {f"q{i}": q for i, q in enumerate(QUERIES)}
+        batch = fed.search_many(named, k=10)
+        ubatch = union.search_many(named, k=10)
+        for name, q in named.items():
+            assert batch[name].equals(fed.search(q, k=10)), name
+            assert batch[name].equals(ubatch[name]), name
+        # per-query filters ride through
+        fb = fed.search_many(
+            {"f": "error"}, k=20, filters={"f": {"lang": "en"}}
+        )
+        assert fb["f"].equals(fed.search("error", k=20, filters={"lang": "en"}))
+        # special terms raise, parse failures degrade per query
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fed.search_many({"s": '"error"'}, k=5)
+        deg = fed.search_many({"bad": "(((", "ok": "error"}, k=5)
+        assert deg["bad"].num_rows == 0 and deg["ok"].num_rows > 0
+    finally:
+        fed.close()

@@ -92,6 +92,7 @@ CASES = [
     "text_ngram_topk",
     "text_repetition_stats",
     "text_stratified_sample",
+    "text_mixture_sample",
     "text_shared_ngram_counts",
     "text_pii_scrub",
     "text_group_sample",
