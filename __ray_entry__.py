@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "ann_brute_topk": ann.ann_brute_topk,
         "ann_range_search": ann.ann_range_search,
+        "ann_int8_quantize": ann.ann_int8_quantize,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_recall": ann.ann_recall,
@@ -1415,6 +1416,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, e.vec_id FROM embeddings e CROSS JOIN q "
             "WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "q.qv) >= 0.3 ORDER BY query_id, vec_id"
+        ),
+        # global-min/max int8 scalar quantization per dimension (the
+        # suite asserts every scaled value sits off the rounding grid)
+        "ann_int8_quantize": (
+            "WITH u AS (SELECT vec_id, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS val, "
+            "unnest(range(len(embedding))) AS d FROM embeddings), "
+            "st AS (SELECT d, min(val) AS lo, max(val) AS hi "
+            "FROM u GROUP BY d) "
+            "SELECT u.vec_id, u.d AS dim, CAST(floor((u.val - st.lo) / "
+            "(st.hi - st.lo) * 255 + 0.5) AS BIGINT) AS q "
+            "FROM u JOIN st ON st.d = u.d ORDER BY vec_id, dim"
         ),
         "multimodal_payload_sizes": (
             "SELECT doc_id, strlen(text) AS payload_bytes FROM documents"

@@ -1108,3 +1108,72 @@ def ann_range_search(sf_dir: str, tau: float = 0.3, nq: int = 4):
         .map_batches(fn, batch_format="pyarrow")
         .sort(["query_id", "vec_id"])
     )
+
+
+def ann_int8_quantize(sf_dir: str):
+    """Global-min/max int8 scalar quantization of the embedding column —
+    the storage-compression half of the ANN scale path (a 64-dim f32
+    vector becomes 64 bytes; IVF distance scans read a quarter of the
+    bytes). Two passes: (1) per-dimension min/max folded from per-batch
+    partials (a 2 x dim matrix per batch — bounded driver reduction),
+    (2) a pure quantize map. Output (vec_id, dim, q) with
+    q = floor((x - lo_d) / (hi_d - lo_d) * 255 + 0.5) — exact-integer
+    and oracle-comparable. The per-dim row explode is the ORACLE VIEW of
+    the artifact; at scale the same kernel would emit one fixed-width
+    binary column per vector (the tested math is identical), not 64
+    rows. The suite asserts every scaled value sits > 1e-6 from the
+    rounding grid at both test SFs, so cross-engine f64 ordering cannot
+    flip a code."""
+    ds = _read_embeddings(sf_dir)
+    lo = None
+    hi = None
+
+    def stats(batch: pa.Table) -> pa.Table:
+        m = _list_matrix(batch.column("embedding"))
+        ndim = m.shape[1]
+        return pa.table(
+            {
+                # explicit dim key: downstream blocks may coalesce
+                # several tasks' partials into one batch, so the fold
+                # cannot assume one batch == one (dim-aligned) partial
+                "d": pa.array(np.arange(ndim, dtype=np.int64)),
+                "lo": pa.array(m.min(axis=0)),
+                "hi": pa.array(m.max(axis=0)),
+            }
+        )
+
+    for b in ds.map_batches(stats, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        blo = t.column("lo").to_numpy(zero_copy_only=False)
+        bhi = t.column("hi").to_numpy(zero_copy_only=False)
+        ndim = int(d.max()) + 1
+        if lo is None:
+            lo = np.full(ndim, np.inf)
+            hi = np.full(ndim, -np.inf)
+        np.minimum.at(lo, d, blo)
+        np.maximum.at(hi, d, bhi)
+
+    lo_f, hi_f = lo.copy(), hi.copy()
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        m = _list_matrix(batch.column("embedding"))
+        nvec, ndim = m.shape
+        q = np.floor((m - lo_f) / (hi_f - lo_f) * 255 + 0.5).astype(np.int64)
+        vid = np.repeat(
+            batch.column("vec_id").to_numpy().astype(np.int64), ndim
+        )
+        dim = np.tile(np.arange(ndim, dtype=np.int64), nvec)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "q": pa.array(q.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow").sort(
+        ["vec_id", "dim"]
+    )

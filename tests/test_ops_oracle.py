@@ -67,6 +67,7 @@ CASES = [
     "rel_top_parts_per_brand",
     "rel_customer_order_gaps",
     "ann_range_search",
+    "ann_int8_quantize",
     "rel_event_funnel",
     "rel_retention_cohorts",
     "rel_event_transitions",
@@ -472,3 +473,23 @@ def test_top_parts_brand_crossover_identity(ray_session, monkeypatch):
     assert len(fast) > 0
     monkeypatch.setattr(relational, "DICT_DRIVER_MAX_ROWS", -1)
     assert _canon(_to_table(relational.top_parts_per_brand(SF_DIR))) == fast
+
+
+def test_quantize_grid_margin():
+    """ann_int8_quantize is cross-engine exact only if no scaled value
+    sits at float-rounding distance from the x.5 rounding grid (numpy
+    and DuckDB order their f64 ops differently). Assert the margin on
+    both test SFs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from probe_ray.ops.ann import _list_matrix
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        m = _list_matrix(t.column("embedding"))
+        lo, hi = m.min(axis=0), m.max(axis=0)
+        scaled = (m - lo) / (hi - lo) * 255 + 0.5
+        assert np.abs(scaled - np.round(scaled)).min() > 1e-6, sf_dir
