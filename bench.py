@@ -393,6 +393,8 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_top_parts_per_brand", lambda: _nrows(relational.top_parts_per_brand(SF_DIR))),
             ("rel_customer_order_gaps", lambda: _nrows(relational.customer_order_gaps(SF_DIR))),
             ("ann_range_search", lambda: _nrows(ann.ann_range_search(SF_DIR))),
+            ("ann_int8_quantize", lambda: _nrows(ann.ann_int8_quantize(SF_DIR))),
+            ("text_mixture_sample", lambda: _nrows(text.mixture_sample(SF_DIR))),
             ("io_hive_roundtrip", lambda: _nrows(io_ops.hive_partitioned_roundtrip(SF_DIR))),
             ("rel_event_funnel", lambda: _nrows(relational.event_funnel(SF_DIR))),
             ("rel_retention", lambda: _nrows(relational.retention_cohorts(SF_DIR))),
