@@ -5361,6 +5361,49 @@ def top_parts_per_brand(sf_dir: str, n: int = 3):
             }
         )
 
+    if n_dim <= DICT_DRIVER_MAX_ROWS:
+        # the branded per-part table is O(parts) rows — below the same
+        # crossover bound the dimension reads use, ranking it on the
+        # driver replaces TWO more all-to-alls (groupby(brand) + sort)
+        # with one bounded collect; above the bound the distributed
+        # per-brand map_groups path below takes over
+        tabs = [
+            pa.table(b)
+            for b in branded.iter_batches(batch_format="pyarrow")
+        ]
+        whole = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.table(
+                {
+                    "brand": pa.array([], pa.string()),
+                    "pkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        )
+        brand_np = np.asarray(whole.column("brand").cast(pa.string()))
+        parts_out = []
+        for bname in np.unique(brand_np):
+            grp = whole.filter(pa.array(brand_np == bname))
+            parts_out.append(rank_group(grp))
+        out = (
+            pa.concat_tables(parts_out)
+            if parts_out
+            else rank_group(whole.rename_columns(["brand", "pkey", "rev"]))
+        )
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[
+                ("p_brand", "ascending"),
+                ("rnk", "ascending"),
+                ("p_partkey", "ascending"),
+            ],
+        )
+        return out.take(idx)
+
     return (
         branded.groupby("brand")
         .map_groups(rank_group, batch_format="pyarrow")
