@@ -532,28 +532,71 @@ def main():
     total = head["build_seconds"] + sum(ops.values()) + sum(
         head["query_seconds"].values()
     )
-    print(
-        json.dumps(
-            {
-                "metric": "index build + reference query set + doc ops wall time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "num_cpus": NUM_CPUS,
-                "build_seconds": head["build_seconds"],
-                "build_docs_per_sec": head["docs_per_sec"],
-                "build_mb_per_sec": head["mb_per_sec"],
-                "query_p50": head["query_p50"],
-                "corpus_rows": head["rows"],
-                # host-capacity probe at run time: requested num_cpus vs
-                # the parallelism the sandbox actually delivered — the
-                # validity context for every number above (the hypervisor
-                # intermittently caps this VM; see BASELINE.md)
-                "effective_parallelism": head.get("effective_parallelism"),
-            }
-        )
+    full = {
+        "metric": "index build + reference query set + doc ops wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "build_seconds": head["build_seconds"],
+        "build_docs_per_sec": head["docs_per_sec"],
+        "build_mb_per_sec": head["mb_per_sec"],
+        "query_p50": head["query_p50"],
+        "corpus_rows": head["rows"],
+        # host-capacity probe at run time: requested num_cpus vs
+        # the parallelism the sandbox actually delivered — the
+        # validity context for every number above (the hypervisor
+        # intermittently caps this VM; see BASELINE.md)
+        "effective_parallelism": head.get("effective_parallelism"),
+    }
+    # Full per-op map goes to a sidecar file (80+ rows make the JSON
+    # line several KB — round-3/4 driver captures truncated it and
+    # recorded parsed:null). Humans and history read the sidecar.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_ops.json"), "w",
+        ) as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout below still carries everything
+    print(json.dumps(full))
+    # The FINAL stdout line is a short headline the driver can always
+    # parse, even from a truncating tail window. Must stay < 1 KB
+    # (tests/test_bench_headline.py pins this).
+    print(json.dumps(headline_line(full)))
+
+
+def headline_line(full: dict) -> dict:
+    """Compact driver-parseable summary of a full bench payload.
+
+    Keeps the spec shape (metric/value/unit/queries/sf/num_cpus) but
+    bounds "queries" to the slowest HEADLINE_MAX_QUERIES ops so the
+    serialized line stays well under 1 KB regardless of how many op
+    rows the full map grows to.
+    """
+    qs = full.get("queries") or {}
+    top = dict(
+        sorted(qs.items(), key=lambda kv: -kv[1])[:HEADLINE_MAX_QUERIES]
     )
+    return {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": top,
+        "sf": full["sf"],
+        "num_cpus": full["num_cpus"],
+        "build_seconds": full["build_seconds"],
+        "build_docs_per_sec": full["build_docs_per_sec"],
+        "query_p50": full["query_p50"],
+        "n_ops": len(qs),
+        "ops_file": "bench_ops.json",
+        "effective_parallelism": full.get("effective_parallelism"),
+    }
+
+
+HEADLINE_MAX_QUERIES = 8
 
 
 if __name__ == "__main__":
