@@ -1426,7 +1426,8 @@ def oracle_sql() -> dict[str, str]:
             "st AS (SELECT d, min(val) AS lo, max(val) AS hi "
             "FROM u GROUP BY d) "
             "SELECT u.vec_id, u.d AS dim, CAST(floor((u.val - st.lo) / "
-            "(st.hi - st.lo) * 255 + 0.5) AS BIGINT) AS q "
+            "(CASE WHEN st.hi > st.lo THEN st.hi - st.lo ELSE 1 END) "
+            "* 255 + 0.5) AS BIGINT) AS q "
             "FROM u JOIN st ON st.d = u.d ORDER BY vec_id, dim"
         ),
         "multimodal_payload_sizes": (

@@ -7,10 +7,11 @@ segment-based engines solve with per-segment deletes plus fresh
 segments. ``upsert_segment`` composes the repo's existing primitives
 that way:
 
-1. tombstone the fragment's (repo, path) keys in EVERY existing member
-   index (masks the old versions; O(changed docs), touches no postings),
-2. build a fresh delta index over just the fragment
+1. build a fresh delta index over just the fragment
    (O(changed docs), the same resumable wave build as any index),
+2. then tombstone the fragment's (repo, path) keys in EVERY existing
+   member index (masks the old versions; O(changed docs), touches no
+   postings),
 3. search through ``FederatedReader(members + [delta],
    tombstone_scope="member")`` — each member masks only its own
    deletes, so the delta's new versions stay visible while the old
@@ -69,10 +70,20 @@ def upsert_segment(
     rewritten. Keys that are brand-new (inserts) get tombstoned in
     members that never held them — a no-op by construction (tombstones
     mask result keys; absent keys match nothing).
+
+    Crash-safety ordering: the delta index is built FIRST, tombstones
+    second. A crash after the delta build but before (or mid-way
+    through) tombstoning leaves some old versions still visible next to
+    the new ones — transient duplicates, never invisible documents. The
+    reverse order had a window where a failed delta build masked the old
+    versions with nothing to replace them. Either way a failed upsert is
+    converged by re-running with the same fragment: build_index resumes
+    finished waves and add_tombstones is idempotent (key sets union).
     """
     keys = fragment_keys(fragment)
-    for d in member_dirs:
-        add_tombstones(d, keys)
-    return build_index(
+    manifest = build_index(
         [fragment], delta_dir, cfg or IndexConfig(num_waves=1, subshards=1)
     )
+    for d in member_dirs:
+        add_tombstones(d, keys)
+    return manifest

@@ -988,8 +988,11 @@ def ann_recall(sf_dir: str, k: int = 10, nq: int = 8):
     One corpus pass computes EVERYTHING: per batch, every query scores
     the batch's vectors once; per (query, nprobe) the batch's rows that
     fall inside the probe set contribute candidate (sim, vec_id) pairs;
-    exact top-k per query comes from the same scores unmasked. Driver
-    folds bounded (queries x nprobe-levels x k) partials."""
+    exact top-k per query comes from the same scores unmasked. Per-batch
+    partials are folded to top-k per (query, level) by a keyed
+    ``groupby().map_groups`` (a tiny exchange: nq x (levels+1) groups),
+    so the driver reads exactly nq x (levels+1) x k rows — independent
+    of corpus batch count."""
     q, q_ids = _query_matrix(sf_dir, nq)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     cent = _ivf_centroids(sf_dir)
@@ -1041,7 +1044,20 @@ def ann_recall(sf_dir: str, k: int = 10, nq: int = 8):
             }
         )
 
-    rows = _read_embeddings(sf_dir).map_batches(fn, batch_format="pyarrow").take_all()
+    def combine(group: pa.Table) -> pa.Table:
+        # exact top-k of this (qi, lvl) group, ties broken by vec_id —
+        # same order the driver's topset uses, so the fold is lossless
+        sim = group.column("sim").to_numpy()
+        vid = group.column("vid").to_numpy()
+        return group.take(np.lexsort((vid, -sim))[:k])
+
+    rows = (
+        _read_embeddings(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby(["qi", "lvl"])
+        .map_groups(combine, batch_format="pyarrow")
+        .take_all()
+    )
     by: dict[tuple, list] = {}
     for r in rows:
         by.setdefault((int(r["qi"]), int(r["lvl"])), []).append(
@@ -1158,10 +1174,16 @@ def ann_int8_quantize(sf_dir: str):
 
     lo_f, hi_f = lo.copy(), hi.copy()
 
+    # A dimension constant across the corpus has hi == lo; dividing by
+    # zero would turn into NaN/inf and then garbage int codes silently.
+    # Such dims carry no information — emit q = 0 (x - lo is 0, so any
+    # positive denominator maps them there). Mirrored in the oracle SQL.
+    denom = np.where(hi_f > lo_f, hi_f - lo_f, 1.0)
+
     def quantize(batch: pa.Table) -> pa.Table:
         m = _list_matrix(batch.column("embedding"))
         nvec, ndim = m.shape
-        q = np.floor((m - lo_f) / (hi_f - lo_f) * 255 + 0.5).astype(np.int64)
+        q = np.floor((m - lo_f) / denom * 255 + 0.5).astype(np.int64)
         vid = np.repeat(
             batch.column("vec_id").to_numpy().astype(np.int64), ndim
         )

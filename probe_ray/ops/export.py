@@ -982,9 +982,11 @@ def write_tar_shards(sf_dir: str, out_dir: str | None = None, n_shards: int = 8)
     Scale shape: one doc-keyed groupby moves each doc to its shard's
     writer task; each shard writes independently (size a shard count so
     docs/n_shards fits a worker; shards scale out with the corpus).
-    Resume is PER SHARD: a ``.done`` sidecar (holding the tar's sha256)
-    commits each tar via tmp-file + atomic rename; a rerun skips
-    committed shards (mtimes untouched) and rebuilds only missing ones.
+    Resume is PER SHARD: a ``.done`` sidecar (JSON with the tar's sha256
+    and a fingerprint of the shard's params + keys + payload bytes)
+    commits each tar via tmp-file + atomic rename; a rerun skips shards
+    whose fingerprint still matches (mtimes untouched) and rebuilds
+    missing or stale ones (corpus or n_shards changed).
     Writers assume a shared filesystem for ``out_dir`` (the standard
     sink assumption; single-node /tmp here). When ``out_dir`` is None a
     private temp dir is used and removed after the manifest is built —
@@ -1027,7 +1029,26 @@ def write_tar_shards(sf_dir: str, out_dir: str | None = None, n_shards: int = 8)
         srcs = g.column("source").to_pylist()
         path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
         done = path + ".done"
-        if not os.path.exists(done):
+        # Fingerprint of exactly what this shard's tar would contain
+        # (params + keys + payload bytes). Resume trusts a .done sidecar
+        # only when its fingerprint matches the CURRENT group — a rerun
+        # into the same out_dir after the corpus or n_shards changed
+        # rebuilds the shard instead of returning a manifest that
+        # disagrees with stale tar bytes (ADVICE r4).
+        fp = hashlib.sha256(f"{n_shards}|{len(dids)}".encode())
+        for did, tx, la, so in zip(dids, texts, langs, srcs):
+            fp.update(f"{did}|{la}|{so}|".encode())
+            fp.update(tx.encode())
+        fingerprint = fp.hexdigest()
+        fresh = True
+        if os.path.exists(done):
+            try:
+                with open(done) as fh:
+                    side = _json.loads(fh.read())
+                fresh = side.get("fingerprint") != fingerprint
+            except (ValueError, OSError):
+                fresh = True  # pre-fingerprint or corrupt sidecar
+        if fresh:
             tmp = f"{path}.tmp.{os.getpid()}"
             with tarfile.open(tmp, "w") as tf:
                 for did, tx, la, so in zip(dids, texts, langs, srcs):
@@ -1046,7 +1067,9 @@ def write_tar_shards(sf_dir: str, out_dir: str | None = None, n_shards: int = 8)
             with open(path, "rb") as fh:
                 sha = hashlib.sha256(fh.read()).hexdigest()
             with open(done + ".tmp", "w") as fh:
-                fh.write(sha)
+                fh.write(_json.dumps(
+                    {"sha256": sha, "fingerprint": fingerprint}
+                ))
             os.replace(done + ".tmp", done)
         return pa.table(
             {

@@ -293,3 +293,39 @@ def test_tar_shards_resume_and_byte_determinism(ray_session, tmp_path):
     assert keys[0::2] == keys[1::2] == sorted(set(keys))
     assert all(n.endswith(".txt") for n in names[0::2])
     assert all(n.endswith(".json") for n in names[1::2])
+
+
+def test_tar_shards_stale_sidecar_rebuilds(ray_session, tmp_path):
+    """Resume must validate the .done fingerprint against the CURRENT
+    group: rerunning into the same out_dir with different params (or a
+    pre-fingerprint/corrupt sidecar) rebuilds the shard instead of
+    keeping stale tar bytes under a fresh manifest (ADVICE r4)."""
+    import json as _json
+    import os
+    import tarfile
+
+    from probe_ray.ops.export import write_tar_shards
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tars")
+    write_tar_shards(sf, out_dir=out, n_shards=4)
+    s0 = os.path.join(out, "shard-00000.tar")
+    old_mtime = os.stat(s0).st_mtime_ns
+    side = _json.loads(open(s0 + ".done").read())
+    assert {"sha256", "fingerprint"} <= set(side)
+
+    # params changed: shard 0 now holds doc_id % 2 == 0 docs — the old
+    # tar must be replaced, and the manifest must match the new bytes
+    m2 = write_tar_shards(sf, out_dir=out, n_shards=2)
+    assert os.stat(s0).st_mtime_ns != old_mtime
+    with tarfile.open(s0) as tf:
+        n_txt = sum(1 for n in tf.getnames() if n.endswith(".txt"))
+    got = {int(r["shard"]): int(r["n_docs"]) for r in m2.to_pylist()}
+    assert n_txt == got[0]
+
+    # legacy bare-hex sidecar (pre-fingerprint) is treated as stale
+    with open(s0 + ".done", "w") as fh:
+        fh.write(side["sha256"] if isinstance(side, dict) else "deadbeef")
+    m3 = write_tar_shards(sf, out_dir=out, n_shards=2)
+    assert m3.equals(m2)
+    assert _json.loads(open(s0 + ".done").read())["fingerprint"]

@@ -493,3 +493,38 @@ def test_quantize_grid_margin():
         lo, hi = m.min(axis=0), m.max(axis=0)
         scaled = (m - lo) / (hi - lo) * 255 + 0.5
         assert np.abs(scaled - np.round(scaled)).min() > 1e-6, sf_dir
+
+
+def test_quantize_constant_dim_guard(ray_session, tmp_path):
+    """A dimension constant across the corpus (hi == lo) must quantize
+    to q = 0 everywhere — not NaN/inf cast to garbage (ADVICE r4). The
+    oracle SQL carries the same CASE guard."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray.ops.ann import ann_int8_quantize
+
+    rng = np.random.default_rng(7)
+    n, ndim = 40, 6
+    m = rng.normal(size=(n, ndim))
+    m[:, 2] = 1.25  # constant dim
+    m[:, 5] = 0.0   # constant-at-zero dim
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = ann_int8_quantize(str(tmp_path)).to_arrow_refs()
+    import ray
+
+    t = pa.concat_tables([ray.get(r) for r in out])
+    q = t.column("q").to_numpy()
+    d = t.column("dim").to_numpy()
+    assert t.num_rows == n * ndim
+    assert (q[d == 2] == 0).all() and (q[d == 5] == 0).all()
+    assert q.min() >= 0 and q.max() <= 255

@@ -187,3 +187,27 @@ def test_bad_scope_rejected(ray_session, upsert_env):
 
     with pytest.raises(ValueError, match="tombstone_scope"):
         FederatedReader([upsert_env["base"]], tombstone_scope="segment")
+
+
+def test_failed_delta_build_leaves_members_untombstoned(
+    upsert_env, tmp_path, monkeypatch
+):
+    """Crash-safety ordering (ADVICE r4): the delta index builds BEFORE
+    members are tombstoned, so a failed build leaves every old version
+    visible (no tombstones written) instead of masking documents that
+    have no replacement yet."""
+    import probe_ray.index.upsert as upsert_mod
+    from probe_ray.index.tombstones import load_tombstones
+
+    member = tmp_path / "member_idx"
+    member.mkdir()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected delta build failure")
+
+    monkeypatch.setattr(upsert_mod, "build_index", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_mod.upsert_segment(
+            [str(member)], upsert_env["frag1"], str(tmp_path / "delta_idx")
+        )
+    assert load_tombstones(str(member)) == frozenset()
