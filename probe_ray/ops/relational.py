@@ -40,6 +40,17 @@ SESSION_PARTITIONS = 64
 SEMIJOIN_PARTITIONS = 64
 
 
+def _maybe_sort(ds, keys, ordered: bool):
+    """Presentation-only global ordering, OFF by default. The keyed
+    exchange these operators already perform is the semantic work and
+    each partition's output is internally sorted by its kernel; a
+    trailing global ``Dataset.sort`` is a second all-to-all of the full
+    O(rows) output purely for row order, which the oracle harness (and
+    any downstream keyed consumer) doesn't need. Pass ``ordered=True``
+    for human-facing output in canonical order (VERDICT r4 item 2)."""
+    return ds.sort(keys) if ordered else ds
+
+
 def _lookup_join_distributed(
     fact,
     fact_key: str,
@@ -413,7 +424,7 @@ def events_sliding_window_counts(sf_dir: str):
     )
 
 
-def top_event_per_user(sf_dir: str):
+def top_event_per_user(sf_dir: str, ordered: bool = False):
     """Per-group top-k (k=1): each user's highest-value event.
     Bounded-partition groupby (user_id % 64) with one vectorized sort
     per group finding every user's max at once — never a group per
@@ -456,17 +467,17 @@ def top_event_per_user(sf_dir: str):
             }
         )
 
-    return (
+    ds = (
         _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
         .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(shuffle_parts(table_rows(sf_dir, "events") * 36))
         .groupby("part")
         .map_groups(tops, batch_format="pyarrow")
-        .sort("user_id")
     )
+    return _maybe_sort(ds, "user_id", ordered)
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+def sessionize_events(sf_dir: str, gap_minutes: int = 30, ordered: bool = False):
     """Windowed aggregate: split each user's event stream into sessions at
     inactivity gaps > gap_minutes; one row per session
     (user_id, session_idx, n_events, start_us, end_us).
@@ -536,14 +547,14 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
             }
         )
 
-    return (
+    ds = (
         _read(sf_dir, "events", ["user_id", "ts"])
         .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(shuffle_parts(table_rows(sf_dir, "events") * 24))
         .groupby("part")
         .map_groups(sessions, batch_format="pyarrow")
-        .sort(["user_id", "session_idx"])
     )
+    return _maybe_sort(ds, ["user_id", "session_idx"], ordered)
 
 
 def q6_revenue_filter(sf_dir: str):
@@ -1012,7 +1023,10 @@ def _asof_band_kernel(group: pa.Table, window_us: int | None):
 
 
 def events_asof_last_click(
-    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    ordered: bool = False,
 ):
     """As-of join: for each `left_type` event, the gap (microseconds) to
     the same user's most recent strictly-earlier `right_type` event;
@@ -1022,11 +1036,10 @@ def events_asof_last_click(
     def kern(group: pa.Table) -> pa.Table:
         return _asof_band_kernel(group, None)
 
-    return (
-        _two_sided_events(sf_dir, left_type, right_type)
-        .map_groups(kern, batch_format="pyarrow")
-        .sort("event_id")
+    ds = _two_sided_events(sf_dir, left_type, right_type).map_groups(
+        kern, batch_format="pyarrow"
     )
+    return _maybe_sort(ds, "event_id", ordered)
 
 
 def events_band_join_counts(
@@ -1034,6 +1047,7 @@ def events_band_join_counts(
     window_hours: int = 24,
     left_type: str = "purchase",
     right_type: str = "click",
+    ordered: bool = False,
 ):
     """Band (range) join: per `left_type` event, how many of the same
     user's `right_type` events fall in the preceding window
@@ -1043,11 +1057,10 @@ def events_band_join_counts(
     def kern(group: pa.Table) -> pa.Table:
         return _asof_band_kernel(group, window_us)
 
-    return (
-        _two_sided_events(sf_dir, left_type, right_type)
-        .map_groups(kern, batch_format="pyarrow")
-        .sort("event_id")
+    ds = _two_sided_events(sf_dir, left_type, right_type).map_groups(
+        kern, batch_format="pyarrow"
     )
+    return _maybe_sort(ds, "event_id", ordered)
 
 
 # --------------------------------------------------------------------------
@@ -1512,6 +1525,7 @@ def events_band_join_counts_salted(
     bucket_hours: int = 24,
     left_type: str = "purchase",
     right_type: str = "click",
+    ordered: bool = False,
 ):
     """Skew-hardened band join: identical output to
     events_band_join_counts (pinned in tests) with partitions keyed by
@@ -1564,11 +1578,10 @@ def events_band_join_counts_salted(
             }
         )
 
-    return (
-        _salted_two_sided(sf_dir, left_type, right_type, bucket_us, True)
-        .map_groups(kern, batch_format="pyarrow")
-        .sort("event_id")
-    )
+    ds = _salted_two_sided(
+        sf_dir, left_type, right_type, bucket_us, True
+    ).map_groups(kern, batch_format="pyarrow")
+    return _maybe_sort(ds, "event_id", ordered)
 
 
 def events_asof_last_click_salted(
@@ -1576,6 +1589,7 @@ def events_asof_last_click_salted(
     bucket_hours: int = 168,
     left_type: str = "purchase",
     right_type: str = "click",
+    ordered: bool = False,
 ):
     """Skew-hardened as-of join: output identical to
     events_asof_last_click (pinned). Per-partition local matches, then a
@@ -1705,12 +1719,12 @@ def events_asof_last_click_salted(
             }
         )
 
-    return (
+    ds = (
         local.map_batches(add_upart, batch_format="pyarrow")
         .groupby("upart")
         .map_groups(resolve, batch_format="pyarrow")
-        .sort("event_id")
     )
+    return _maybe_sort(ds, "event_id", ordered)
 
 
 def events_json_kpis(sf_dir: str):

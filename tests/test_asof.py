@@ -110,7 +110,8 @@ def test_asof_e2e_matches_duckdb(ray_session):
     from probe_ray.ops.relational import events_asof_last_click
 
     sf = "/root/testdata/sf0.001"
-    got = events_asof_last_click(sf).to_pandas()
+    # ordered=True covers the opt-in presentation sort (default is off)
+    got = events_asof_last_click(sf, ordered=True).to_pandas()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
@@ -138,10 +139,15 @@ def test_asof_e2e_matches_duckdb(ray_session):
 
 
 def _pin_identical(plain_df, salted_df):
+    # value identity, not row order: these ops no longer pay a global
+    # presentation sort by default (ordered=False), so the two variants'
+    # partition interleavings legitimately differ
     import pandas as pd
 
+    cols = sorted(plain_df.columns)
     pd.testing.assert_frame_equal(
-        plain_df.reset_index(drop=True), salted_df.reset_index(drop=True)
+        plain_df[cols].sort_values(cols).reset_index(drop=True),
+        salted_df[cols].sort_values(cols).reset_index(drop=True),
     )
 
 
