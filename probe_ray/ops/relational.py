@@ -648,14 +648,21 @@ def order_priority_semijoin(sf_dir: str, min_discount_milli: int = 80):
         side = group.column("side").to_numpy()
         okey = group.column("okey").to_numpy()
         qualifying = np.unique(okey[side == 0])
-        omask = side == 1
-        hit = omask & np.isin(okey, qualifying)
-        prio = np.asarray(group.column("priority").to_pylist(), dtype=object)[hit]
-        vals, counts = np.unique(prio, return_counts=True)
+        hit = (side == 1) & np.isin(okey, qualifying)
+        # count hits per priority without pulling the string column
+        # through Python: dictionary codes + bincount (the
+        # event_transition_counts idiom)
+        prio = group.column("priority")
+        if isinstance(prio, pa.ChunkedArray):
+            prio = prio.combine_chunks()
+        enc = prio.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        cnt = np.bincount(codes[hit], minlength=len(enc.dictionary))
+        nz = np.flatnonzero(cnt)
         return pa.table(
             {
-                "o_orderpriority": pa.array(vals.tolist(), pa.string()),
-                "n": pa.array(counts, pa.int64()),
+                "o_orderpriority": enc.dictionary.take(pa.array(nz)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
             }
         )
 
@@ -1743,18 +1750,24 @@ def events_json_kpis(sf_dir: str):
     def extract(batch: pa.Table) -> pa.Table:
         props = batch.column("props").combine_chunks()
         m = pc.extract_regex(props, r'^\{"k":\s*(?P<k>-?\d+)\}$')
-        k = pc.struct_field(m, "k")
+        k = pc.struct_field(m, "k").cast(pa.int64())
         if k.null_count:
-            vals = k.to_pylist()
-            raw = props.to_pylist()
-            for i, v in enumerate(vals):
-                if v is None:
-                    vals[i] = str(int(json.loads(raw[i])["k"]))
-            k = pa.array(vals, pa.string())
+            # slow lane sized to the MISSES only: json.loads just the
+            # rows the fast regex didn't match (arbitrary JSON), scatter
+            # into the vectorized result — never to_pylist the batch
+            miss = np.flatnonzero(
+                pc.is_null(k).to_numpy(zero_copy_only=False)
+            )
+            vals = k.fill_null(0).to_numpy(zero_copy_only=False).copy()
+            vals[miss] = [
+                int(json.loads(s)["k"])
+                for s in props.take(pa.array(miss)).to_pylist()
+            ]
+            k = pa.array(vals, pa.int64())
         t = pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "k": k.cast(pa.int64()),
+                "k": k,
                 "one": pa.array(np.ones(len(k), dtype=np.int64)),
             }
         )
