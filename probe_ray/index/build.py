@@ -375,11 +375,18 @@ def _flat_binary(col) -> np.ndarray:
 
 
 def _merge_runs(
-    parts: pa.Table, terms: list[str], docmap: np.ndarray
+    parts: pa.Table,
+    terms: list[str],
+    docmap: np.ndarray,
+    perm: np.ndarray | None = None,
 ) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Ordered merge of term-sorted partial runs: returns (uniq_terms,
     term_lens, term_starts, local_ids_sorted, tfs_sorted) with postings
-    grouped by term and sorted by dense local id within each term."""
+    grouped by term and sorted by dense local id within each term.
+
+    ``perm`` maps hash-rank (position in the sorted ``docmap``) to the
+    dense local id — identity when docstats rows are hash-sorted, the
+    impact-order permutation when they are (doc_len, hash)-sorted."""
     ns = parts.column("n").to_numpy()
 
     # unique terms + per-row term ids (rows are term-sorted): vectorized
@@ -397,14 +404,15 @@ def _merge_runs(
     exploded_ids = _flat_binary(parts.column("ids")).view(np.uint64)
     exploded_tfs = _flat_binary(parts.column("tfs"))
     val_tid = np.repeat(row_tid, ns)
-    # doc_hash -> dense local id FIRST (docmap sorted => monotone map, so
-    # (tid, local) order == (tid, hash) order), then pack both into one
-    # int64 key: a single argsort halves the memory traffic of a two-pass
-    # lexsort — finalize tasks are memory-bandwidth-bound when all CPUs
-    # run one.
-    local_all = np.searchsorted(
-        docmap, exploded_ids.astype(np.int64)
-    ).astype(np.uint64)
+    # doc_hash -> dense local id FIRST (searchsorted on the sorted docmap,
+    # then the optional impact-order permutation), then pack (tid, local)
+    # into one int64 key: a single argsort halves the memory traffic of a
+    # two-pass lexsort — finalize tasks are memory-bandwidth-bound when
+    # all CPUs run one.
+    local_all = np.searchsorted(docmap, exploded_ids.astype(np.int64))
+    if perm is not None:
+        local_all = perm[local_all]
+    local_all = local_all.astype(np.uint64)
     shift = max(1, len(docmap)).bit_length()
     if nt <= 1 or (nt - 1).bit_length() + shift <= 63:
         key = (val_tid.astype(np.uint64) << np.uint64(shift)) | local_all
@@ -431,11 +439,23 @@ def finalize_subshard(
     docs = group.filter(pa.array(is_doc))
     parts = group.filter(pa.array(~is_doc))
 
-    # --- docstats: sorted by doc_hash; row position = dense local id ------
-    order = pc.sort_indices(docs, sort_keys=[("doc_hash", "ascending")])
+    # --- docstats: impact-ordered; row position = dense local id ----------
+    # Local ids are assigned by (doc_len asc, doc_hash asc), not hash
+    # order: posting blocks then hold length-adjacent docs, so the
+    # per-block MIN doc_len written alongside blk_maxtf carries real
+    # spread (impact() decreases in doc_len), and Phase-B block-max
+    # pruning can skip the long-doc tail of hot terms. With hash
+    # (i.e. random) ordering, min over a 128-doc block ~= the global
+    # min and the bound never tightens. Standard document-reordering /
+    # impact-sorted-index technique; ids stay deterministic (hash ties).
+    order = pc.sort_indices(
+        docs, sort_keys=[("doc_len", "ascending"), ("doc_hash", "ascending")]
+    )
     docs = docs.take(order)
     hashes = docs.column("doc_hash").to_numpy()
-    if len(np.unique(hashes)) != len(hashes):
+    hash_rank = np.argsort(hashes)  # kth-smallest hash -> its local id
+    docmap = hashes[hash_rank]  # sorted int64, for searchsorted
+    if len(np.unique(docmap)) != len(docmap):
         raise RuntimeError(
             f"doc_hash collision in wave {wave} subshard {sub}; "
             "widen the hash before indexing at this scale"
@@ -446,7 +466,6 @@ def finalize_subshard(
         ),
         _docstats_path(out_dir, wave, sub),
     )
-    docmap = hashes  # sorted int64
 
     # --- postings: ordered merge of partial runs per term -----------------
     # Fully vectorized across ALL terms of the subshard: explode the runs
@@ -463,7 +482,7 @@ def finalize_subshard(
     split = bisect.bisect_left(all_terms, "\x01")
     if split:
         u_terms, u_lens, _, u_local, _ = _merge_runs(
-            parts.slice(0, split), all_terms[:split], docmap
+            parts.slice(0, split), all_terms[:split], docmap, hash_rank
         )
         unit_strs = [t[len(UNIT_PREFIX):] for t in u_terms]
         unit_tbl = pa.table(
@@ -487,11 +506,17 @@ def finalize_subshard(
         all_terms = all_terms[split:]
 
     uniq_terms, term_lens, term_starts, local, sorted_tfs = _merge_runs(
-        parts, all_terms, docmap
+        parts, all_terms, docmap, hash_rank
     )
     nt = len(uniq_terms)
     payloads = encode_varint_deltas_multi(local, term_lens)
-    blasts, bmaxtfs = block_meta_multi(local, sorted_tfs, term_lens)
+    # per-block MIN doc_len rides along with the block metadata: local ids
+    # index docstats rows (docmap order == docstats row order), so one
+    # gather gives every posting its doc_len
+    dl = docs.column("doc_len").to_numpy()
+    blasts, bmaxtfs, bmindls = block_meta_multi(
+        local, sorted_tfs, term_lens, dl[local.astype(np.int64)]
+    )
     maxtf_per_term = (
         np.maximum.reduceat(sorted_tfs, term_starts).astype(np.int32)
         if len(sorted_tfs)
@@ -511,13 +536,13 @@ def finalize_subshard(
             "tf_bits": pa.array(tfbits, pa.binary()),
             "blk_last": pa.array(blasts, pa.binary()),
             "blk_maxtf": pa.array(bmaxtfs, pa.binary()),
+            "blk_mindl": pa.array(bmindls, pa.binary()),
         }
     )
     _write_atomic(
         posting_tbl, _postings_path(out_dir, wave, sub), POSTINGS_ROW_GROUP
     )
 
-    dl = docs.column("doc_len").to_numpy()
     return pa.table(
         {
             "subshard": pa.array([sub], pa.int32()),

@@ -166,13 +166,21 @@ def encode_varint_deltas_multi(
 
 
 def block_meta_multi(
-    vals: np.ndarray, tfs: np.ndarray, lens: np.ndarray
-) -> tuple[list[bytes], list[bytes]]:
-    """Vectorized multi-posting block_meta over the concatenation."""
+    vals: np.ndarray, tfs: np.ndarray, lens: np.ndarray, dls=None
+):
+    """Vectorized multi-posting block_meta over the concatenation.
+
+    With ``dls`` (per-posting doc_len, aligned with ``vals``) also emits
+    per-block MIN doc_len (uint32) — the block-bound tightener for hot
+    terms: TF is capped at 2 so per-block max-tf is uniform on hot
+    postings, but doc_len varies, and impact() is monotone decreasing in
+    it, so impact(blk_max_tf, blk_min_dlen) beats the segment-global
+    bound wherever a block holds only longer docs."""
     lens = np.asarray(lens, dtype=np.int64)
     n = len(vals)
     if n == 0:
-        return [b""] * len(lens), [b""] * len(lens)
+        empty = [b""] * len(lens)
+        return (empty, empty, list(empty)) if dls is not None else (empty, empty)
     vals = np.asarray(vals, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint8)
     starts = np.zeros(len(lens), dtype=np.int64)
@@ -194,7 +202,12 @@ def block_meta_multi(
     maxtf = maxtf.astype(np.uint8, copy=False)
     out_last = [last[a:b].tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])]
     out_maxtf = [maxtf[a:b].tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])]
-    return out_last, out_maxtf
+    if dls is None:
+        return out_last, out_maxtf
+    dls = np.asarray(dls)
+    mindl = np.minimum.reduceat(dls, blk_start).astype(np.uint32)
+    out_mindl = [mindl[a:b].tobytes() for a, b in zip(blk_b[:-1], blk_b[1:])]
+    return out_last, out_maxtf, out_mindl
 
 
 def pack_tf(tfs: np.ndarray) -> bytes:

@@ -65,6 +65,7 @@ from probe_ray.index.build import (
     _units_path,
 )
 from probe_ray.index.codec import (
+    BLOCK as CODEC_BLOCK,
     decode_selected_blocks,
     decode_varint_deltas,
     unpack_tf,
@@ -75,7 +76,7 @@ from probe_ray.query.parser import (
     necessary_keywords,
     walk_terms,
 )
-from probe_ray.search.scoring import eval_mask, max_impact, score_ast
+from probe_ray.search.scoring import eval_mask, impact, score_ast
 
 # Segment-local candidate count above which a term is treated as "hot"
 # (block-max pruned) when it is not required/excluded.
@@ -183,6 +184,13 @@ def score_segment(
     tf_bits = postings.column("tf_bits").to_pylist()
     blk_last = postings.column("blk_last").to_pylist()
     blk_maxtf = postings.column("blk_maxtf").to_pylist()
+    # per-block min doc_len (absent in pre-r5 segments -> None entries,
+    # which fall back to the segment-global min_dlen bound)
+    blk_mindl = (
+        postings.column("blk_mindl").to_pylist()
+        if "blk_mindl" in postings.column_names
+        else [None] * len(terms)
+    )
 
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -253,11 +261,14 @@ def score_segment(
             anchored = False
             if hot_terms and necessary:
                 anchor = min(necessary, key=lambda t: int(dfs[by_term[t]]))
-                cand = full_decode(anchor)[0]
-                if anchor in hot_terms:
-                    hot_terms = [t for t in hot_terms if t != anchor]
-                    rare_terms = rare_terms + [anchor]
-                anchored = True
+                if int(dfs[by_term[anchor]]) <= HOT_DF:
+                    # the anchor's postings bound the candidate set
+                    # cheaply only when the anchor is genuinely rare; a
+                    # hot anchor (e.g. `hot AND hot`) would full-decode
+                    # millions of postings that Phase B's seeded
+                    # block-max pruning skips almost entirely
+                    cand = full_decode(anchor)[0]
+                    anchored = True
             if not anchored:
                 cand_parts = [full_decode(t)[0] for t in rare_terms]
                 cand = (
@@ -362,26 +373,137 @@ def score_segment(
                     theta = np.partition(inc_scores, -k)[-k]
                 else:
                     theta = -np.inf
+                # Per-term block bounds: idf * impact(blk_max_tf,
+                # blk_min_dlen) when the per-block MIN doc_len sidecar is
+                # present (r5 indexes) — tighter than the segment-global
+                # min_dlen: TF is capped at 2 so blk_max_tf saturates on
+                # hot terms, leaving doc_len as the only lever, and
+                # impact() is monotone decreasing in it. Pre-r5 segments
+                # (blk_mindl None) fall back to the global bound. The
+                # "others" sum uses each term's max block bound, itself
+                # tighter than the old idf * impact(2, global_min).
+                blk_self: dict[str, np.ndarray] = {}
+                blk_lasts: dict[str, np.ndarray] = {}
+                for t in hot_terms:
+                    i = by_term[t]
+                    blk_lasts[t] = np.frombuffer(blk_last[i], dtype=np.uint64)
+                    maxtf_f = np.frombuffer(blk_maxtf[i], dtype=np.uint8)
+                    maxtf_f = maxtf_f.astype(np.float64)
+                    mdl = blk_mindl[i]
+                    if mdl:
+                        mindl_f = np.maximum(
+                            np.frombuffer(mdl, dtype=np.uint32), 1
+                        ).astype(np.float64)
+                    else:
+                        mindl_f = np.full(len(maxtf_f), float(s_min or 1))
+                    if s_avgdl <= 0:
+                        blk_self[t] = np.zeros(len(maxtf_f))
+                    else:
+                        blk_self[t] = spec.idfs.get(t, 0.0) * impact(
+                            maxtf_f, mindl_f, s_avgdl
+                        )
                 ub_global = {
-                    t: spec.idfs.get(t, 0.0)
-                    * max_impact(2.0, float(s_min or 1), s_avgdl)
-                    for t in hot_terms
+                    t: (float(b.max()) if len(b) else 0.0)
+                    for t, b in blk_self.items()
                 }
+
+                def _tf_from_blocks(
+                    t: str, blocks: np.ndarray, cand_arr: np.ndarray
+                ) -> np.ndarray:
+                    i2 = by_term[t]
+                    n2 = int(dfs[i2])
+                    ids_sel, pos_sel = decode_selected_blocks(
+                        payloads[i2], n2, blocks
+                    )
+                    tfs_sel = unpack_tf(tf_bits[i2], n2)[pos_sel]
+                    arr = np.zeros(len(cand_arr), dtype=np.int64)
+                    if len(ids_sel):
+                        pos = np.searchsorted(ids_sel, cand_arr)
+                        pos_c = np.minimum(pos, len(ids_sel) - 1)
+                        hit = ids_sel[pos_c] == cand_arr
+                        arr[hit] = tfs_sel[pos_c[hit]]
+                    return arr
+
+                if theta == -np.inf and k > 0:
+                    # WAND-style theta seeding for hot-only queries: no
+                    # rare/anchor candidates means no threshold, and
+                    # Phase B would decode every block of every hot
+                    # term. Instead, decode the best-BOUND blocks of one
+                    # hot term first, score those docs exactly (targeted
+                    # decodes for the other hot terms), and seed theta
+                    # with their gated kth score. With impact-ordered
+                    # local ids the best-bound blocks are the short-doc
+                    # prefix — where the final top-k lives — so the
+                    # seeded theta lands near the true kth score and the
+                    # long-doc tail of every hot term is skipped below.
+                    t0 = min(hot_terms, key=lambda u: len(blk_lasts[u]))
+                    i0 = by_term[t0]
+                    n0 = int(dfs[i0])
+                    nblk0 = len(blk_lasts[t0])
+                    others0 = sum(
+                        ub for u, ub in ub_global.items() if u != t0
+                    )
+                    order0 = np.argsort(
+                        -(blk_self[t0] + others0), kind="stable"
+                    )
+                    m = max(1, -(-4 * k // CODEC_BLOCK))
+                    taken = 0
+                    seed_blocks = np.empty(0, dtype=np.int64)
+                    while theta == -np.inf and taken < nblk0:
+                        seed_blocks = np.union1d(
+                            seed_blocks, order0[taken : taken + m]
+                        )
+                        taken += m
+                        m *= 2
+                        sids, spos = decode_selected_blocks(
+                            payloads[i0], n0, seed_blocks
+                        )
+                        if not len(sids):
+                            continue
+                        tf_seed = {
+                            t0: unpack_tf(tf_bits[i0], n0)[spos].astype(
+                                np.int64
+                            )
+                        }
+                        for t in hot_terms:
+                            if t == t0:
+                                continue
+                            lastt = blk_lasts[t]
+                            need2 = np.unique(
+                                np.searchsorted(lastt, sids)
+                            )
+                            need2 = need2[need2 < len(lastt)]
+                            hot_blocks_needed[t] = np.union1d(
+                                hot_blocks_needed[t], need2
+                            )
+                            tf_seed[t] = _tf_from_blocks(t, need2, sids)
+                        for t in rare_terms:
+                            tf_seed[t] = tf_for(t, sids)
+                        s3, inc3 = gate(
+                            tf_seed,
+                            *score_ast(
+                                plan.ast,
+                                tf_seed,
+                                doc_len_all[sids],
+                                s_avgdl,
+                                spec.idfs,
+                            ),
+                        )
+                        if fmask is not None:
+                            inc3 = inc3 & fmask[sids.astype(np.int64)]
+                        sc3 = s3[inc3]
+                        if len(sc3) >= k:
+                            theta = np.partition(sc3, -k)[-k]
+                    hot_blocks_needed[t0] = np.union1d(
+                        hot_blocks_needed[t0], seed_blocks
+                    )
                 extra_parts = []
                 for t in hot_terms:
                     i = by_term[t]
                     n = int(dfs[i])
-                    last = np.frombuffer(blk_last[i], dtype=np.uint64)
-                    maxtf = np.frombuffer(blk_maxtf[i], dtype=np.uint8)
+                    last = blk_lasts[t]
                     others = sum(ub for u, ub in ub_global.items() if u != t)
-                    ub_blocks = np.array(
-                        [
-                            spec.idfs.get(t, 0.0)
-                            * max_impact(float(m), float(s_min or 1), s_avgdl)
-                            + others
-                            for m in maxtf
-                        ]
-                    )
+                    ub_blocks = blk_self[t] + others
                     keep = (
                         np.flatnonzero(ub_blocks >= theta)
                         if theta > -np.inf
@@ -1133,6 +1255,7 @@ def _empty_postings() -> pa.Table:
             "tf_bits": pa.array([], pa.binary()),
             "blk_last": pa.array([], pa.binary()),
             "blk_maxtf": pa.array([], pa.binary()),
+            "blk_mindl": pa.array([], pa.binary()),
         }
     )
 
