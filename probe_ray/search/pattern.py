@@ -58,9 +58,13 @@ rest of the pattern match. ``$$NAME`` captures and
 backreference-links like ``$NAME``; bare ``$$`` matches anonymously.
 
 REMAINING DIVERGENCE from real AST matching (the documented set):
-  1. a pattern is matched wherever its first token occurs, not only at
-     AST node boundaries (e.g. ``$A + $B`` can match a slice of a
-     larger expression).
+  1. node boundaries are enforced by an operator-PRECEDENCE heuristic,
+     not a real parse (see "node-boundary anchoring" below): matches
+     starting/ending against a tighter-binding operator or a ``.``
+     member name are rejected, so ``$A + $B`` no longer matches the
+     ``y + z`` slice of ``x * y + z`` — but exotic language-specific
+     precedence (e.g. custom operators) falls back to the generic
+     C-family table.
 
 Output mirrors AstMatch (query.rs:13-20): one row per match with
 (repo, path, line_start, line_end, column_start, column_end,
@@ -177,6 +181,91 @@ _IDENT_RE = re.compile(_IDENT)
 _OPEN_FOR = {")": "(", "]": "[", "}": "{"}
 _CLOSE_FOR = {v: k for k, v in _OPEN_FOR.items()}
 
+# -- node-boundary anchoring ------------------------------------------------
+# Closes the last documented divergence (module docstring item 1): a
+# pattern whose TOP level contains a binary operator (e.g. ``$A + $B``)
+# must bind a whole expression node, never a slice of a larger one.
+# Text-level approximation of the AST rule: a candidate match is a node
+# slice — and is rejected — when the operator token immediately BEFORE
+# its start or AFTER its end binds tighter than the pattern's loosest
+# top-level operator (``y + z`` inside ``x * y + z``: pre-op ``*`` >
+# ``+``). Equal precedence follows associativity: left-assoc binds the
+# left neighbour (``y + z`` in ``x + y + z`` is not a node; ``x + y``
+# is), right-assoc the right (``b = c`` in ``a = b = c`` is a node).
+# Patterns with no top-level operator (calls, statements) bind tightest
+# and are exempt. Additionally a match may not start on a word char
+# preceded by ``.``: that name is a member/field, not an independent
+# node (``foo($A)`` must not fire inside ``a.foo(x)`` — the callee
+# there is the member expression, not the identifier ``foo``).
+_OPCHARS = set("+-*/%<>=&|^")
+_OP_PRECEDENCE = {
+    "**": 14,
+    "*": 13, "/": 13, "//": 13, "%": 13,
+    "+": 12, "-": 12,
+    "<<": 11, ">>": 11, ">>>": 11,
+    "<": 10, ">": 10, "<=": 10, ">=": 10,
+    "==": 9, "!=": 9, "===": 9, "!==": 9, "<>": 9,
+    "&": 8, "^": 7, "|": 6,
+    "&&": 5, "||": 4, "??": 4,
+    "=": 2, "+=": 2, "-=": 2, "*=": 2, "/=": 2, "%=": 2,
+    "&=": 2, "|=": 2, "^=": 2, "<<=": 2, ">>=": 2, "**=": 2,
+}
+_RIGHT_ASSOC = {
+    "**", "=", "+=", "-=", "*=", "/=", "%=",
+    "&=", "|=", "^=", "<<=", ">>=", "**=",
+}
+_TOP_PREC_EXEMPT = float("inf")
+
+
+def _pattern_top_prec(pattern: str) -> float:
+    """Loosest (minimum) operator precedence at bracket depth 0 of the
+    raw pattern text; inf when the pattern has no top-level operator."""
+    top = _TOP_PREC_EXEMPT
+    depth = 0
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth = max(0, depth - 1)
+        elif c in _OPCHARS and depth == 0:
+            j = i
+            while j < n and pattern[j] in _OPCHARS:
+                j += 1
+            prec = _OP_PRECEDENCE.get(pattern[i:j])
+            if prec is not None:
+                top = min(top, prec)
+            i = j
+            continue
+        i += 1
+    return top
+
+
+def _op_before(content: str, pos: int) -> str:
+    """The operator-char run ending at the last non-whitespace char
+    before ``pos`` ('' when that char is not an operator char)."""
+    j = pos - 1
+    while j >= 0 and content[j].isspace():
+        j -= 1
+    k = j
+    while k >= 0 and content[k] in _OPCHARS:
+        k -= 1
+    return content[k + 1 : j + 1]
+
+
+def _op_after(content: str, pos: int) -> str:
+    """The operator-char run starting at the first non-whitespace char
+    at/after ``pos`` ('' when that char is not an operator char)."""
+    n = len(content)
+    q = pos
+    while q < n and content[q].isspace():
+        q += 1
+    r = q
+    while r < n and content[r] in _OPCHARS:
+        r += 1
+    return content[q:r]
+
 
 @dataclass(frozen=True)
 class _Lit:
@@ -248,6 +337,7 @@ class CompiledPattern:
             for i, t in enumerate(self.tokens)
             if isinstance(t, _Lit)
         }
+        self._top_prec = _pattern_top_prec(pattern)
         # a scanner for candidate start positions of the first token
         first = self.tokens[0] if self.tokens else None
         if isinstance(first, _Lit):
@@ -302,6 +392,29 @@ class CompiledPattern:
             ):
                 pos = start + 1
                 continue
+            # node-boundary anchoring, start side: a word char after '.'
+            # is a member/field name, and an operator binding tighter
+            # than the pattern's top-level operator (or equal,
+            # left-assoc) makes this start a slice of a larger
+            # expression — neither can begin a matching node
+            if start > 0 and start < n and _is_word(content[start]):
+                j = start - 1
+                while j >= 0 and content[j].isspace():
+                    j -= 1
+                if j >= 0 and content[j] == ".":
+                    pos = start + 1
+                    continue
+            if self._top_prec != _TOP_PREC_EXEMPT:
+                prec = _OP_PRECEDENCE.get(_op_before(content, start))
+                if prec is not None and (
+                    prec > self._top_prec
+                    or (
+                        prec == self._top_prec
+                        and _op_before(content, start) not in _RIGHT_ASSOC
+                    )
+                ):
+                    pos = start + 1
+                    continue
             got = self._match_from(0, content, start, {}, mask)
             if got is not None:
                 end, caps = got
@@ -319,6 +432,19 @@ class CompiledPattern:
         self, ti: int, content: str, pos: int, caps: dict[str, str], mask: Mask
     ):
         if ti == len(self.tokens):
+            # node-boundary anchoring, end side: a following operator
+            # that binds tighter than the pattern's top-level operator
+            # (or equal, right-assoc) means the last operand continues
+            # into a larger expression — returning None here lets
+            # $$/$$$ backtrack into longer extents before failing
+            if self._top_prec != _TOP_PREC_EXEMPT:
+                op = _op_after(content, pos)
+                prec = _OP_PRECEDENCE.get(op)
+                if prec is not None and (
+                    prec > self._top_prec
+                    or (prec == self._top_prec and op in _RIGHT_ASSOC)
+                ):
+                    return None
             return pos, caps
         tok = self.tokens[ti]
         if isinstance(tok, _Lit):

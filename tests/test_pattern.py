@@ -300,3 +300,46 @@ def test_word_boundary_guards():
     assert [(m[5]["A"]) for m in got] == ["b"]
     p2 = compile_pattern("call(foo)")
     assert len(match_content(p2, src, "rs")) == 1
+
+
+# -- node-boundary anchoring (round 5: the last divergence closed) ----------
+
+
+def _find(pat, content, ext="js"):
+    from probe_ray.search.pattern import CompiledPattern, code_mask
+
+    p = CompiledPattern(pat)
+    return [m.group(0) for m in p.finditer(content, code_mask(content, ext))]
+
+
+def test_boundary_rejects_tighter_binding_slices():
+    # `y + z` inside `x * y + z` is not an AST node ((x*y)+z)
+    assert _find("$A + $B", "r = x * y + z;") == []
+    # the last operand continuing into a tighter-binding expression
+    assert _find("$A + $B", "r = x + y * z;") == []
+    # whole nodes still match
+    assert _find("$A + $B", "r = y + z;") == ["y + z"]
+    assert _find("$A + $B", "f(y + z)") == ["y + z"]
+
+
+def test_boundary_associativity():
+    # left-assoc: (a+b)+c — the inner node is `a + b`, not `b + c`
+    assert _find("$A + $B", "a + b + c") == ["a + b"]
+    # right-assoc: a = (b = c) — the inner node is `b = c`
+    assert _find("$A = $B", "a = b = c") == ["b = c"]
+    # looser operator on the left does not block a tighter node
+    assert _find("$A * $B", "x + y * z") == ["y * z"]
+
+
+def test_boundary_member_names():
+    # `foo` after `.` is a member name — the callee of `a.foo(x)` is the
+    # member expression, so the identifier-callee pattern must not fire
+    assert _find("foo($A)", "a.foo(x)") == []
+    # but a call node inside a postfix chain or as an operand is a node
+    assert _find("foo($A)", "z = foo(x).bar()") == ["foo(x)"]
+    assert _find("foo($A)", "u - foo(x)") == ["foo(x)"]
+
+
+def test_boundary_exempt_without_top_level_operator():
+    # operators nested in brackets don't make the pattern an expression
+    assert _find("foo($A + $B)", "r = foo(y + z) * 2") == ["foo(y + z)"]
