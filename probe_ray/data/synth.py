@@ -218,3 +218,102 @@ def write_corpus(
         paths.append(p)
         start += count
     return paths
+
+
+# -- documents-shaped corpus (training-data curation rehearsals) -------------
+# Same five columns as the driver's documents.parquet (doc_id, text, lang,
+# source, n_chars), generated position-deterministically so any file
+# partitioning yields identical docs. Content is built for the curation
+# ops: per-language stopword signal for lang_id, unique/alpha-ratio spread
+# for quality_score, exact duplicates every ``dup_every`` docs for dedup,
+# and a planted benchmark 8-gram so decontaminate has real hits.
+
+DOC_LANGS = ["en", "fr", "es", "de", "zh"]
+_DOC_LANG_CDF = np.cumsum([0.40, 0.16, 0.16, 0.14, 0.14])
+_DOC_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "en", "que"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "you", "ta", "zhe"],
+}
+# the planted benchmark phrase: appears in every doc_id < 32 (the
+# curated_pack benchmark prefix) and in every ``contam_every``-th doc,
+# so decontamination removes a measurable, deterministic fraction
+DOC_BENCH_PHRASE = (
+    "omega sigma lattice quorum vector raft ledger beacon".split()
+)
+_zipf_obj_cache: dict[tuple[int, float], np.ndarray] = {}
+
+
+def _doc_words(
+    i: int, seed: int, ztables, dup_every: int, contam_every: int
+) -> tuple[str, list[str]]:
+    rng = np.random.default_rng((seed << 32) ^ (0x5EED0000 + i))
+    lang = DOC_LANGS[int(np.searchsorted(_DOC_LANG_CDF, rng.random()))]
+    n = int(np.clip(np.exp(rng.normal(4.1, 0.8)), 8, 1200))
+    kind = rng.random(n)
+    stop_pool = np.array(_DOC_STOPWORDS[lang], dtype=object)
+    stop_arr = stop_pool[rng.integers(len(stop_pool), size=n)]
+    top_arr = np.array(COMMON_WORDS, dtype=object)[
+        rng.integers(len(COMMON_WORDS), size=n)
+    ]
+    if ztables is not None:
+        cdf, zwords = ztables
+        key = (len(zwords), 0.0)
+        zobj = _zipf_obj_cache.get(key)
+        if zobj is None:
+            zobj = _zipf_obj_cache[key] = np.array(zwords, dtype=object)
+        z_arr = zobj[np.searchsorted(cdf, rng.random(n))]
+    else:
+        z_arr = top_arr
+    words = np.where(
+        kind < 0.30, stop_arr, np.where(kind < 0.55, top_arr, z_arr)
+    ).tolist()
+    if rng.random() < 0.22:  # repetitive docs: low unique-token ratio,
+        words = (words[:12] * (n // 12 + 1))[:n]  # fails quality >= 600
+    if rng.random() < 0.15:  # digit tokens: alpha-ratio spread
+        words.append(str(int(rng.integers(10**6))))
+    if i < 32 or (contam_every and i % contam_every == 0 and i >= 32):
+        words.extend(DOC_BENCH_PHRASE)
+    return lang, words
+
+
+def make_documents(
+    start: int,
+    count: int,
+    seed: int = 7,
+    zipf_vocab: int = 50_000,
+    zipf_s: float = 1.07,
+    dup_every: int = 97,
+    contam_every: int = 211,
+) -> pa.Table:
+    """Rows [start, start+count) of the documents corpus —
+    position-deterministic (same doc for the same doc_id under any file
+    split). Every ``dup_every``-th doc repeats the TEXT of the doc
+    ``dup_every//2`` earlier (exact-dedup fodder; its own lang/source)."""
+    ztables = _zipf_tables(zipf_vocab, zipf_s) if zipf_vocab > 0 else None
+    ids, texts, langs, sources = [], [], [], []
+    for i in range(start, start + count):
+        lang, words = _doc_words(i, seed, ztables, dup_every, contam_every)
+        if dup_every and i % dup_every == 0 and i >= dup_every:
+            _, words = _doc_words(
+                i - dup_every // 2, seed, ztables, dup_every, contam_every
+            )
+        ids.append(i)
+        texts.append(" ".join(words))
+        langs.append(lang)
+        sources.append(f"src{i % 20}")
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+        }
+    )
+    import pyarrow.compute as pc
+
+    return t.append_column(
+        "n_chars", pc.utf8_length(t.column("text")).cast(pa.int64())
+    )

@@ -29,9 +29,9 @@ def _read_documents(sf_dir: str, columns: list[str] | None = None):
 
 
 def _n_docs(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
+    from probe_ray.ops.sizing import table_rows
 
-    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return table_rows(sf_dir, "documents")
 
 
 from probe_ray.ops.sizing import SHUFFLE_TARGET_BYTES, shuffle_parts as _shuffle_parts  # noqa: F401

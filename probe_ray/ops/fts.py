@@ -87,7 +87,9 @@ def code_corpus_parquet(sf_dir: str) -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    from probe_ray.ops.dedup import _n_docs
+
+    n_docs = _n_docs(sf_dir)
     write_corpus(out, max(1000, 4 * n_docs), num_files=8)
     with open(marker, "w") as f:
         f.write(str(CORPUS_VERSION))

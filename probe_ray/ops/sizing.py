@@ -25,11 +25,27 @@ def shuffle_parts(est_bytes: int, lo: int = 8, hi: int = 1024) -> int:
     return int(max(lo, min(hi, est_bytes // SHUFFLE_TARGET_BYTES)))
 
 
+def _table_files(sf_dir: str, table: str) -> list[str]:
+    """The parquet file(s) of one input table: the single
+    ``<table>.parquet`` file of the driver's testdata, or every
+    ``part-*.parquet`` when that path is a directory (the rehearsal
+    corpora are multi-file for read parallelism)."""
+    import glob
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sorted(glob.glob(os.path.join(p, "*.parquet")))
+    return [p]
+
+
 def table_rows(sf_dir: str, table: str) -> int:
     """Row count of one input table from parquet metadata (no data read)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _table_files(sf_dir, table)
+    )
 
 
 def table_column_max(sf_dir: str, table: str, column: str):
@@ -38,14 +54,15 @@ def table_column_max(sf_dir: str, table: str, column: str):
     — callers must fall back conservatively."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet"))
-    ci = pf.schema_arrow.get_field_index(column)
     mx = None
-    for rg in range(pf.metadata.num_row_groups):
-        st = pf.metadata.row_group(rg).column(ci).statistics
-        if st is None or st.max is None:
-            return None
-        mx = st.max if mx is None else max(mx, st.max)
+    for f in _table_files(sf_dir, table):
+        pf = pq.ParquetFile(f)
+        ci = pf.schema_arrow.get_field_index(column)
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(ci).statistics
+            if st is None or st.max is None:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
     return mx
 
 
