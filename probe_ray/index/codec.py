@@ -107,15 +107,29 @@ def decode_selected_blocks(
     ends = np.flatnonzero(b < 128)  # last byte of each value
     nblocks = (n + BLOCK - 1) // BLOCK
     blocks = np.asarray(blocks, dtype=np.int64)
+    # decode RUNS of contiguous blocks in one vectorized pass each: with
+    # impact-ordered ids the kept blocks are mostly the short-doc prefix,
+    # so a 16k-block selection is a handful of runs, not 16k per-block
+    # numpy-call sets (which dominated hot-NOT queries at 10M docs).
+    # Within a run, every block starts with an ABSOLUTE value (delta
+    # reset at block boundaries), so the segmented cumsum needs no
+    # sequential fix-up: subtract, per block, the raw cumsum just before
+    # its first value.
+    run_heads = np.flatnonzero(np.r_[True, np.diff(blocks) > 1])
+    run_ends = np.r_[run_heads[1:], len(blocks)]
     out_ids: list[np.ndarray] = []
     out_pos: list[np.ndarray] = []
-    for blk in blocks:
-        v0 = int(blk) * BLOCK
-        v1 = min(v0 + BLOCK, n)
+    for rh, re_ in zip(run_heads, run_ends):
+        v0 = int(blocks[rh]) * BLOCK
+        v1 = min(int(blocks[re_ - 1]) * BLOCK + BLOCK, n)
         byte0 = 0 if v0 == 0 else int(ends[v0 - 1]) + 1
         byte1 = int(ends[v1 - 1]) + 1
-        deltas = _decode_deltas(b[byte0:byte1], v1 - v0)
-        out_ids.append(np.cumsum(deltas, dtype=np.uint64))
+        raw = _decode_deltas(b[byte0:byte1], v1 - v0)
+        cum = np.cumsum(raw, dtype=np.uint64)
+        starts = np.arange(0, v1 - v0, BLOCK, dtype=np.int64)
+        sizes = np.minimum(starts + BLOCK, v1 - v0) - starts
+        corr = np.where(starts > 0, cum[starts - 1], np.uint64(0))
+        out_ids.append(cum - np.repeat(corr, sizes))
         out_pos.append(np.arange(v0, v1, dtype=np.int64))
     assert nblocks >= len(blocks)
     return np.concatenate(out_ids), np.concatenate(out_pos)
