@@ -270,7 +270,16 @@ def score_segment(
                     cand = full_decode(anchor)[0]
                     anchored = True
             if not anchored:
-                cand_parts = [full_decode(t)[0] for t in rare_terms]
+                # excluded terms gate candidates (tf_for supplies their
+                # presence) but never SOURCE them: a doc reachable only
+                # through an excluded term fails evaluate() by
+                # construction, and seeding it would drag the other hot
+                # terms' targeted decodes across its scattered blocks
+                # (`hot -mid` at 10M docs: ~21% of the hot term's blocks
+                # decoded just to score docs the NOT gate then dropped)
+                cand_parts = [
+                    full_decode(t)[0] for t in rare_terms if t not in excluded
+                ]
                 cand = (
                     np.unique(np.concatenate(cand_parts))
                     if cand_parts
