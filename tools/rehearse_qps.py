@@ -47,7 +47,20 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=100_000)
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--concurrency", default="1,4,16")
+    ap.add_argument(
+        "--batch",
+        action="store_true",
+        help="issue the whole query mix per call via search_many (the "
+        "MCP/agent batching shape): one actor fan-out serves all "
+        "queries of the batch, amortizing the per-query RPC round",
+    )
     ap.add_argument("--nqueries", type=int, default=200)
+    ap.add_argument(
+        "--index-only",
+        action="store_true",
+        help="drop special-term (hybrid-lane) queries from the mix — "
+        "the pure index-path ceiling",
+    )
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
@@ -86,6 +99,12 @@ def main() -> None:
         label = f"sf:{sf}"
 
     rd = IndexReader(idx)
+    if args.index_only:
+        mix = {
+            n: q
+            for n, q in mix.items()
+            if rd.explain(q).get("path") == "index"
+        }
     names = sorted(mix)
     # warm: every query once (postings/doc-stats caches, actor pool up)
     for n in names:
@@ -93,20 +112,31 @@ def main() -> None:
 
     levels = [int(c) for c in args.concurrency.split(",")]
     out: dict[str, dict] = {}
-    work = [names[i % len(names)] for i in range(args.nqueries)]
+    if args.batch:
+        ncalls = max(1, args.nqueries // len(names))
+        work = list(range(ncalls))
 
-    def one(qname: str) -> float:
-        t0 = time.time()
-        rd.search(mix[qname], k=args.k)
-        return time.time() - t0
+        def one(_i: int) -> float:
+            t0 = time.time()
+            rd.search_many(mix, k=args.k)
+            return (time.time() - t0) / len(names)  # per-query latency
 
+    else:
+        work = [names[i % len(names)] for i in range(args.nqueries)]
+
+        def one(qname: str) -> float:
+            t0 = time.time()
+            rd.search(mix[qname], k=args.k)
+            return time.time() - t0
+
+    per_call = len(names) if args.batch else 1
     for c in levels:
         with ThreadPoolExecutor(max_workers=c) as ex:
             t0 = time.time()
             lats = list(ex.map(one, work))
             wall = time.time() - t0
         out[str(c)] = {
-            "qps": round(len(work) / wall, 1),
+            "qps": round(len(work) * per_call / wall, 1),
             "p50_ms": round(1000 * statistics.median(lats), 1),
             "p99_ms": round(1000 * _pctl(lats, 0.99), 1),
             "wall_s": round(wall, 2),
