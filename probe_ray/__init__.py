@@ -3,4 +3,4 @@
 # Bump whenever an index-content-affecting change lands (tokenizer
 # semantics, codec layout, docstats schema): cached indexes built by an
 # older engine are rebuilt instead of served stale.
-ENGINE_VERSION = 6  # 6: case-preserved unit postings (exact H2 change filter)
+ENGINE_VERSION = 7  # 7: impact-ordered doc ids + blk_mindl block bounds
