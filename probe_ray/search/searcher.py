@@ -82,12 +82,22 @@ from probe_ray.search.scoring import eval_mask, impact, score_ast
 # (block-max pruned) when it is not required/excluded.
 HOT_DF = 8192
 
+# Anchored-path refinement batch: candidates are processed in descending
+# optimistic-score order in batches of this size; anchors with fewer
+# candidates than one batch just decode everything up front.
+ANCHOR_REFINE_BATCH = 512
+
 # Block-max pruning effectiveness counters, accumulated per worker
 # process (two int adds per hot term per query — negligible). Read /
 # reset through SegmentWorker.prune_stats() / IndexReader.prune_stats();
 # the Zipfian-corpus rehearsal (tools/rehearse_zipf.py) reports
 # decoded/total as the WAND-path evidence at scale.
-PRUNE_STATS = {"hot_blocks_total": 0, "hot_blocks_decoded": 0, "hot_terms": 0}
+PRUNE_STATS = {
+    "hot_blocks_total": 0,
+    "hot_blocks_decoded": 0,
+    "hot_terms": 0,
+    "anchored_refined": 0,
+}
 
 _DOCSTATS_CACHE: dict[tuple[str, int, int], pa.Table] = {}
 
@@ -180,6 +190,7 @@ def score_segment(
     terms = postings.column("term").to_pylist()
     by_term: dict[str, int] = {t: i for i, t in enumerate(terms)}
     dfs = postings.column("df").to_numpy()
+    max_tfs = postings.column("max_tf").to_numpy(zero_copy_only=False)
     payloads = postings.column("payload").to_pylist()
     tf_bits = postings.column("tf_bits").to_pylist()
     blk_last = postings.column("blk_last").to_pylist()
@@ -316,6 +327,36 @@ def score_segment(
             present = {t: (a > 0) for t, a in tf_arrays_.items()}
             return scores_, inc_ & eval_mask(plan.ast, present, len(inc_))
 
+        def _block_bounds():
+            """(blk_lasts, blk_self, blk_mdl) for every hot term:
+            per-block last doc id, idf * impact(blk_max_tf, blk_min_dlen)
+            upper bound, and the per-block min doc_len itself
+            (segment-global min_dlen fallback for pre-r5 segments
+            without the blk_mindl sidecar)."""
+            bl: dict[str, np.ndarray] = {}
+            bs: dict[str, np.ndarray] = {}
+            bm: dict[str, np.ndarray] = {}
+            for t in hot_terms:
+                i = by_term[t]
+                bl[t] = np.frombuffer(blk_last[i], dtype=np.uint64)
+                maxtf_f = np.frombuffer(blk_maxtf[i], dtype=np.uint8)
+                maxtf_f = maxtf_f.astype(np.float64)
+                mdl = blk_mindl[i]
+                if mdl:
+                    mindl_f = np.maximum(
+                        np.frombuffer(mdl, dtype=np.uint32), 1
+                    ).astype(np.float64)
+                else:
+                    mindl_f = np.full(len(maxtf_f), float(s_min or 1))
+                bm[t] = mindl_f
+                if s_avgdl <= 0:
+                    bs[t] = np.zeros(len(maxtf_f))
+                else:
+                    bs[t] = spec.idfs.get(t, 0.0) * impact(
+                        maxtf_f, mindl_f, s_avgdl
+                    )
+            return bl, bs, bm
+
         if required_kws or not hot_terms:
             tf_arrays = {t: tf_for(t, cand) for t in q_terms}
             scores, included = gate(
@@ -324,6 +365,85 @@ def score_segment(
                     plan.ast, tf_arrays, doc_len_all[cand], s_avgdl, spec.idfs
                 ),
             )
+        elif anchored and k > 0 and len(cand) > 2 * ANCHOR_REFINE_BATCH:
+            # Anchored refinement: a near-HOT_DF anchor has thousands of
+            # candidates scattered across most of the hot terms' blocks,
+            # so decoding "the blocks the candidates touch" up front is
+            # a near-full decode. Instead process candidates in
+            # descending OPTIMISTIC-score order — exact rare/anchor
+            # contributions plus each hot term's per-block upper bound —
+            # and stop once every remaining candidate's optimistic score
+            # is below theta (the kth exact gated score): those
+            # candidates are provably outside the top-k and the hot
+            # blocks only they touch are never decoded.
+            blk_lasts, blk_self, _ = _block_bounds()
+            dl_cand = doc_len_all[cand]
+            tf_rare = {t: tf_for(t, cand) for t in rare_terms}
+            rare_part, _ = score_ast(
+                plan.ast, tf_rare, dl_cand, s_avgdl, spec.idfs
+            )
+            opt = rare_part.copy()
+            blk_of: dict[str, np.ndarray] = {}
+            for t in hot_terms:
+                b = np.searchsorted(blk_lasts[t], cand)
+                blk_of[t] = b
+                inside = b < len(blk_lasts[t])
+                opt[inside] += blk_self[t][b[inside]]
+            order = np.argsort(-opt, kind="stable")
+            theta = -np.inf
+            parts_s: list[np.ndarray] = []
+            parts_i: list[np.ndarray] = []
+            parts_p: list[np.ndarray] = []
+            decoded: dict[str, np.ndarray] = {
+                t: np.empty(0, dtype=np.int64) for t in hot_terms
+            }
+            p0 = 0
+            while p0 < len(order):
+                if theta > -np.inf and opt[order[p0]] < theta:
+                    break
+                bidx = order[p0 : p0 + ANCHOR_REFINE_BATCH]
+                p0 += len(bidx)
+                bc = cand[bidx]
+                tf_b = {t: tf_rare[t][bidx] for t in rare_terms}
+                for t in hot_terms:
+                    i = by_term[t]
+                    n = int(dfs[i])
+                    need = np.unique(blk_of[t][bidx])
+                    need = need[need < len(blk_lasts[t])]
+                    decoded[t] = np.union1d(decoded[t], need)
+                    ids_sel, pos_sel = decode_selected_blocks(
+                        payloads[i], n, decoded[t]
+                    )
+                    tfs_sel = unpack_tf(tf_bits[i], n)[pos_sel]
+                    arr = np.zeros(len(bc), dtype=np.int64)
+                    if len(ids_sel):
+                        p2 = np.searchsorted(ids_sel, bc)
+                        p2c = np.minimum(p2, len(ids_sel) - 1)
+                        hit = ids_sel[p2c] == bc
+                        arr[hit] = tfs_sel[p2c[hit]]
+                    tf_b[t] = arr
+                s_b, inc_b = gate(
+                    tf_b,
+                    *score_ast(
+                        plan.ast, tf_b, dl_cand[bidx], s_avgdl, spec.idfs
+                    ),
+                )
+                if fmask is not None:
+                    inc_b = inc_b & fmask[bc.astype(np.int64)]
+                parts_s.append(s_b)
+                parts_i.append(inc_b)
+                parts_p.append(bidx)
+                vals = np.concatenate(parts_s)[np.concatenate(parts_i)]
+                if len(vals) >= k:
+                    theta = np.partition(vals, -k)[-k]
+            for t in hot_terms:
+                PRUNE_STATS["hot_blocks_total"] += len(blk_lasts[t])
+                PRUNE_STATS["hot_blocks_decoded"] += len(decoded[t])
+                PRUNE_STATS["hot_terms"] += 1
+            PRUNE_STATS["anchored_refined"] += 1
+            cand = cand[np.concatenate(parts_p)]
+            scores = np.concatenate(parts_s)
+            included = np.concatenate(parts_i)
         else:
             # Phase A: rare candidates exact (hot tf via targeted blocks).
             hot_blocks_needed: dict[str, np.ndarray] = {}
@@ -382,39 +502,39 @@ def score_segment(
                     theta = np.partition(inc_scores, -k)[-k]
                 else:
                     theta = -np.inf
-                # Per-term block bounds: idf * impact(blk_max_tf,
-                # blk_min_dlen) when the per-block MIN doc_len sidecar is
-                # present (r5 indexes) — tighter than the segment-global
-                # min_dlen: TF is capped at 2 so blk_max_tf saturates on
-                # hot terms, leaving doc_len as the only lever, and
-                # impact() is monotone decreasing in it. Pre-r5 segments
-                # (blk_mindl None) fall back to the global bound. The
-                # "others" sum uses each term's max block bound, itself
-                # tighter than the old idf * impact(2, global_min).
-                blk_self: dict[str, np.ndarray] = {}
-                blk_lasts: dict[str, np.ndarray] = {}
-                for t in hot_terms:
-                    i = by_term[t]
-                    blk_lasts[t] = np.frombuffer(blk_last[i], dtype=np.uint64)
-                    maxtf_f = np.frombuffer(blk_maxtf[i], dtype=np.uint8)
-                    maxtf_f = maxtf_f.astype(np.float64)
-                    mdl = blk_mindl[i]
-                    if mdl:
-                        mindl_f = np.maximum(
-                            np.frombuffer(mdl, dtype=np.uint32), 1
-                        ).astype(np.float64)
-                    else:
-                        mindl_f = np.full(len(maxtf_f), float(s_min or 1))
-                    if s_avgdl <= 0:
-                        blk_self[t] = np.zeros(len(maxtf_f))
-                    else:
-                        blk_self[t] = spec.idfs.get(t, 0.0) * impact(
-                            maxtf_f, mindl_f, s_avgdl
-                        )
+                # Per-term block bounds: TF is capped at 2 so
+                # blk_max_tf saturates on hot terms, leaving doc_len as
+                # the only lever, and impact() is monotone decreasing in
+                # it — the blk_mindl sidecar makes the bound sharp under
+                # impact-ordered ids.
+                blk_lasts, blk_self, blk_mdls = _block_bounds()
                 ub_global = {
                     t: (float(b.max()) if len(b) else 0.0)
                     for t, b in blk_self.items()
                 }
+
+                def _others_vec(t: str, mindl_arr: np.ndarray) -> np.ndarray:
+                    """Cross-term bound per block of ``t``: every term
+                    shares the impact-ordered id axis, so a doc in one of
+                    t's blocks has doc_len >= that block's min and every
+                    OTHER term's contribution is bounded by
+                    idf_u * impact(max_tf_u, blk_mindl) — take the min
+                    with u's own max block bound (both are valid). This
+                    is what lets a low-idf hot term's blocks prune on a
+                    high-idf partner: the partner's bound DROPS along the
+                    long-doc tail instead of staying at its global max."""
+                    tot = np.zeros(len(mindl_arr))
+                    for u in hot_terms:
+                        if u == t:
+                            continue
+                        if s_avgdl <= 0:
+                            tot += ub_global[u]
+                            continue
+                        cross = spec.idfs.get(u, 0.0) * impact(
+                            float(max_tfs[by_term[u]]), mindl_arr, s_avgdl
+                        )
+                        tot += np.minimum(ub_global[u], cross)
+                    return tot
 
                 def _tf_from_blocks(
                     t: str, blocks: np.ndarray, cand_arr: np.ndarray
@@ -449,11 +569,9 @@ def score_segment(
                     i0 = by_term[t0]
                     n0 = int(dfs[i0])
                     nblk0 = len(blk_lasts[t0])
-                    others0 = sum(
-                        ub for u, ub in ub_global.items() if u != t0
-                    )
                     order0 = np.argsort(
-                        -(blk_self[t0] + others0), kind="stable"
+                        -(blk_self[t0] + _others_vec(t0, blk_mdls[t0])),
+                        kind="stable",
                     )
                     m = max(1, -(-4 * k // CODEC_BLOCK))
                     taken = 0
@@ -511,8 +629,7 @@ def score_segment(
                     i = by_term[t]
                     n = int(dfs[i])
                     last = blk_lasts[t]
-                    others = sum(ub for u, ub in ub_global.items() if u != t)
-                    ub_blocks = blk_self[t] + others
+                    ub_blocks = blk_self[t] + _others_vec(t, blk_mdls[t])
                     keep = (
                         np.flatnonzero(ub_blocks >= theta)
                         if theta > -np.inf

@@ -197,3 +197,48 @@ def test_pre_r5_segment_fallback(seg_index):
         assert _canon(with_col).equals(_canon(without))
     finally:
         rd.close()
+
+
+def test_anchored_refinement_identical(seg_index):
+    """Force the anchored-refinement branch (small HOT_DF makes qzb hot;
+    tiny ANCHOR_REFINE_BATCH activates batching) and pin row identity
+    against the exact all-rare path."""
+    import probe_ray.search.searcher as se
+
+    rd = se.IndexReader(seg_index)
+    try:
+        # find a mid-df anchor term: rare under the patched HOT_DF (500)
+        # but with enough postings to exceed 2 * the patched batch (16)
+        from probe_ray.data.synth import zipf_word
+
+        probe = [zipf_word(r) for r in range(5, 120, 5)]
+        dfs = rd.df_lookup(probe)
+        anchor = max(
+            (f for f in probe if 30 <= dfs.get(f, 0) <= 450),
+            key=lambda f: dfs[f],
+            default=None,
+        )
+        assert anchor is not None, dfs
+        queries = {
+            "anch_and": f"qzb AND {anchor}",
+            "anch_mix": f"qzb qzc {anchor}",
+        }
+        parts = rd._parts()
+        specs = _mk_specs(rd, queries)
+        worker = se.SegmentWorker(seg_index, parts, rd.avgdl, rd.min_dlen)
+        old_df, old_batch = se.HOT_DF, se.ANCHOR_REFINE_BATCH
+        try:
+            se.HOT_DF = 10**9
+            exact = worker.search(specs, k=10)
+            se.HOT_DF = 500
+            se.ANCHOR_REFINE_BATCH = 8
+            for key in se.PRUNE_STATS:
+                se.PRUNE_STATS[key] = 0
+            refined = worker.search(specs, k=10)
+            stats = dict(se.PRUNE_STATS)
+        finally:
+            se.HOT_DF, se.ANCHOR_REFINE_BATCH = old_df, old_batch
+        assert _canon(exact).equals(_canon(refined))
+        assert stats["anchored_refined"] > 0  # the branch really engaged
+    finally:
+        rd.close()

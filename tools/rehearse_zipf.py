@@ -77,10 +77,13 @@ def query_ladder(vocab: int) -> dict[str, str]:
     mid = min(2000, vocab // 100)
     rare = min(50_000, vocab // 4)
     deep = min(150_000, vocab - 1)
+    semi = min(30, max(4, vocab // 6000))
     return {
         "hot_single": w(0),
         "hot_and_hot": f"{w(0)} AND {w(1)}",
         "hot_or_hot": f"{w(2)} OR {w(3)}",
+        "hot_and_semi": f"{w(0)} AND {w(semi)}",  # anchor df ~0.1N:
+        # thousands of candidates/segment — the anchored-refinement case
         "hot_and_mid": f"{w(0)} AND {w(mid)}",
         "hot_and_rare": f"{w(1)} AND {w(rare)}",
         "mid_single": w(mid),
