@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -87,6 +88,19 @@ from probe_ray.tokenize.tokenizer import preprocess_text_with_filename
 SCAN_FALLBACK_FLOOR = 1_000
 SCAN_FALLBACK_ABS = 200_000
 SCAN_FALLBACK_FRAC = 0.75
+
+# Reader-scoped LRU of per-context candidate tables. A reader's corpus
+# view is immutable after open (segments, tombstones — searcher.py
+# IndexReader contract; upserts open a NEW reader), so the candidate
+# discovery + double-tokenization product for a given special-term
+# context can be reused verbatim across calls. This is the dominant
+# cost of a REPEATED special-term query — the agent/MCP usage shape,
+# where the same quoted/excluded queries recur against one warm reader.
+# Entries are keyed by (full special set, keyword tuple) because the
+# stage's tf columns are keyword-positional. Oversized candidate sets
+# are not cached (recomputing beats pinning tens of MB per entry).
+_CTX_CACHE_MAX = 16
+_CTX_CACHE_MAX_ROWS = 65_536
 
 # Size-aware crossover for candidate tokenization: at or below these
 # bounds the candidates are read with one driver-side pushdown scan and
@@ -276,10 +290,26 @@ def hybrid_search_many(
             exclude_keys=reader.tombstones or None,
         )
 
-    active_ctxs = [c for c in ctx_specs if c[2]]
+    cache: OrderedDict = reader.__dict__.setdefault(
+        "_hybrid_ctx_cache", OrderedDict()
+    )
+    kw_key = tuple(keywords)
+    ctx_sub: dict[int, pa.Table | None] = {}
+    pending: list[tuple[int, frozenset, list[str]]] = []
+    for ci, sp, active in ctx_specs:
+        if not active:
+            ctx_sub[ci] = None
+            continue
+        key = (sp, kw_key)
+        if key in cache:
+            cache.move_to_end(key)
+            ctx_sub[ci] = cache[key]
+        else:
+            pending.append((ci, sp, active))
+
     cand_tbl = None
-    if active_ctxs:
-        stage = _CandidateStage(active_ctxs, keywords)
+    if pending:
+        stage = _CandidateStage(pending, keywords)
         read_cols = ["repo", "path", "commit", "lang", "content"]
         ds = None
         cand_bs = 1024
@@ -292,17 +322,17 @@ def hybrid_search_many(
             # (only candidate rows decode their content column), and
             # _CandidateStage's exact per-ctx mask refines the path-level
             # over-selection, so results stay bit-equal to the scan.
-            actives_union = sorted({s for _, _, act in ctx_specs for s in act})
+            actives_union = sorted({s for _, _, act in pending for s in act})
             # per-ctx tokenization sets: on a units_cased index the
             # worker filters substring-matched units to those whose
             # expansion actually changes under SOME query context —
             # exact, so dropping them cannot alter any score
             keys = reader.special_candidate_keys(
-                actives_union, [sp for _, sp, act in active_ctxs if act]
+                actives_union, [sp for _, sp, act in pending if act]
             )
             # upper bound on candidate (doc, ctx) rows, known BEFORE any
             # corpus read — the fallback decision is now free
-            if keys.num_rows * len(active_ctxs) > _fallback_threshold(n_docs):
+            if keys.num_rows * len(pending) > _fallback_threshold(n_docs):
                 return _scan_fallback()
             if keys.num_rows and (
                 keys.num_rows <= DIRECT_CAND_ROWS
@@ -363,14 +393,23 @@ def hybrid_search_many(
             if parts:
                 cand_tbl = pa.concat_tables(parts)
 
+    # split the freshly computed contexts out of cand_tbl and cache them
+    for ci, sp, _active in pending:
+        sub = None
+        if cand_tbl is not None:
+            sub = cand_tbl.filter(pc.equal(cand_tbl.column("ctx"), ci))
+            sub = sub.combine_chunks() if sub.num_rows else None
+        ctx_sub[ci] = sub
+        if sub is None or sub.num_rows <= _CTX_CACHE_MAX_ROWS:
+            cache[(sp, kw_key)] = sub
+            while len(cache) > _CTX_CACHE_MAX:
+                cache.popitem(last=False)
+
     # per-ctx candidate arrays + stat deltas
     ctx_data: dict[int, dict] = {}
-    for ci, _sp, active in ctx_specs:
-        if cand_tbl is None or not active:
-            ctx_data[ci] = None
-            continue
-        sub = cand_tbl.filter(pc.equal(cand_tbl.column("ctx"), ci))
-        if sub.num_rows == 0:
+    for ci, _sp, _active in ctx_specs:
+        sub = ctx_sub.get(ci)
+        if sub is None:
             ctx_data[ci] = None
             continue
         d_dlen = sub.column("d_dlen").to_numpy()

@@ -445,3 +445,43 @@ def test_exact_change_filter_drops_inert_units(edge_index):
         assert set(wl.column("path").to_pylist()) == {"c/many.py"}
     finally:
         rd.close()
+
+
+def test_hybrid_ctx_cache_reuse(edge_index, monkeypatch):
+    """Repeated special-term queries against one warm reader reuse the
+    cached per-context candidate tables: the second call must not touch
+    candidate discovery or tokenization at all, and must return tables
+    identical to the first. A new keyword set under the same special
+    term is a different cache key and recomputes (correctness first)."""
+    from probe_ray.search import hybrid
+    from probe_ray.search.scan import scan_search_many
+    from probe_ray.search.searcher import IndexReader
+
+    rd = IndexReader(edge_index)
+    try:
+        qs = {"a": '"whitelists" OR stream', "b": '"happi"'}
+        first = rd.search_many(qs, k=10)
+        cache = rd._hybrid_ctx_cache
+        assert len(cache) == 2  # one entry per special-term context
+
+        def boom(*a, **kw):
+            raise AssertionError("candidate recomputation on cache hit")
+
+        monkeypatch.setattr(hybrid._CandidateStage, "__call__", boom)
+        monkeypatch.setattr(
+            rd, "special_candidate_keys", boom, raising=False
+        )
+        second = rd.search_many(qs, k=10)
+        for name in qs:
+            assert _as_rows(first[name]) == _as_rows(second[name]), name
+        monkeypatch.undo()
+
+        # different keywords, same special term -> distinct key, fresh
+        # computation, still scan-identical
+        q3 = {"c": '"whitelists" AND merge'}
+        got = rd.search_many(q3, k=10)["c"]
+        want = scan_search_many(rd.manifest["input_files"], q3, k=10)["c"]
+        assert _as_rows(got) == _as_rows(want)
+        assert len(rd._hybrid_ctx_cache) == 3
+    finally:
+        rd.close()
