@@ -102,6 +102,15 @@ SCAN_FALLBACK_FRAC = 0.75
 _CTX_CACHE_MAX = 16
 _CTX_CACHE_MAX_ROWS = 65_536
 
+
+def _cache_enabled() -> bool:
+    # PROBE_RAY_HYBRID_CACHE=0 forces every call down the cold path —
+    # for measuring uncached latency (rehearsal tools) and for A/B
+    # correctness checks; read per call so tests can toggle it.
+    import os
+
+    return os.environ.get("PROBE_RAY_HYBRID_CACHE", "1") != "0"
+
 # Size-aware crossover for candidate tokenization: at or below these
 # bounds the candidates are read with one driver-side pushdown scan and
 # tokenized in-process (no Dataset launch); above them the work is
@@ -290,6 +299,7 @@ def hybrid_search_many(
             exclude_keys=reader.tombstones or None,
         )
 
+    use_cache = _cache_enabled()
     cache: OrderedDict = reader.__dict__.setdefault(
         "_hybrid_ctx_cache", OrderedDict()
     )
@@ -301,7 +311,7 @@ def hybrid_search_many(
             ctx_sub[ci] = None
             continue
         key = (sp, kw_key)
-        if key in cache:
+        if use_cache and key in cache:
             cache.move_to_end(key)
             ctx_sub[ci] = cache[key]
         else:
@@ -400,7 +410,7 @@ def hybrid_search_many(
             sub = cand_tbl.filter(pc.equal(cand_tbl.column("ctx"), ci))
             sub = sub.combine_chunks() if sub.num_rows else None
         ctx_sub[ci] = sub
-        if sub is None or sub.num_rows <= _CTX_CACHE_MAX_ROWS:
+        if use_cache and (sub is None or sub.num_rows <= _CTX_CACHE_MAX_ROWS):
             cache[(sp, kw_key)] = sub
             while len(cache) > _CTX_CACHE_MAX:
                 cache.popitem(last=False)
