@@ -680,6 +680,13 @@ def build_index(
     (resume tests, FIXTURES.md SS6)."""
     cfg = cfg or IndexConfig()
     files = list_fragments(input_paths)
+    # An out_dir nested inside an input dir must never sweep its own
+    # (possibly partial) output back in as corpus fragments — a resumed
+    # build would otherwise index its own docstats/postings parquet.
+    out_prefix = os.path.abspath(out_dir) + os.sep
+    files = [
+        f for f in files if not os.path.abspath(f).startswith(out_prefix)
+    ]
     if not files:
         raise ValueError(f"no parquet fragments under {input_paths}")
     # Fail fast with a usable message when pointed at a non-corpus table

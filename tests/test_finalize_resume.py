@@ -59,6 +59,37 @@ def test_resumed_index_identical(clean_and_crashed):
         assert ta.equals(tb), rel
 
 
+def test_nested_out_dir_resume_excludes_own_output(
+    ray_session, tmp_path_factory
+):
+    """An out_dir nested inside the corpus dir (the rehearse_zipf layout)
+    must not sweep its own partial parquet output back in as corpus
+    fragments on resume — the resumed index must equal a clean build
+    into a sibling dir."""
+    from probe_ray.data.synth import write_corpus
+    from probe_ray.index.build import IndexConfig, build_index
+
+    corpus = str(tmp_path_factory.mktemp("nested_corpus"))
+    write_corpus(corpus, 200, num_files=3)
+    cfg = IndexConfig(num_waves=2, subshards=2)
+
+    clean = str(tmp_path_factory.mktemp("nested_clean"))
+    build_index([corpus], clean, cfg)
+
+    nested = os.path.join(corpus, "idx")
+    with pytest.raises(RuntimeError):
+        build_index([corpus], nested, cfg, fail_after_wave=1)
+    build_index([corpus], nested, cfg)  # resume; corpus dir now holds idx/
+
+    from probe_ray.search.searcher import IndexReader
+
+    for q in ("error AND handling", "+api +process load"):
+        ra = IndexReader(clean).search(q, k=10)
+        rb = IndexReader(nested).search(q, k=10)
+        cols = ["rank", "score", "repo", "path"]
+        assert ra.select(cols).equals(rb.select(cols)), q
+
+
 def test_resumed_search_identical(clean_and_crashed):
     from probe_ray.search.searcher import IndexReader
 

@@ -121,10 +121,18 @@ def main() -> None:
     from probe_ray.search.searcher import IndexReader
 
     idx = os.path.join(args.dir, f"idx_w{args.waves}s{args.subshards}")
+    # The index nests inside the corpus dir: pass the explicit part
+    # files, not the dir, so a resumed build never sweeps its own
+    # partial output into the input fragment list.
+    parts = sorted(
+        os.path.join(corpus, f)
+        for f in os.listdir(corpus)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
     t0 = time.time()
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(
-            [corpus],
+            parts,
             idx,
             IndexConfig(num_waves=args.waves, subshards=args.subshards),
         )
