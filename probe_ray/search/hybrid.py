@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -303,19 +304,28 @@ def hybrid_search_many(
     cache: OrderedDict = reader.__dict__.setdefault(
         "_hybrid_ctx_cache", OrderedDict()
     )
+    # One reader serves concurrent threads (the MCP/agent shape): guard
+    # the check→move_to_end→read / store→evict sequences, which are not
+    # atomic as a group — an eviction between them raises KeyError. Two
+    # threads missing the same key both compute and store bit-equal
+    # tables; that duplicate work is benign.
+    cache_lock: threading.Lock = reader.__dict__.setdefault(
+        "_hybrid_ctx_lock", threading.Lock()
+    )
     kw_key = tuple(keywords)
     ctx_sub: dict[int, pa.Table | None] = {}
     pending: list[tuple[int, frozenset, list[str]]] = []
-    for ci, sp, active in ctx_specs:
-        if not active:
-            ctx_sub[ci] = None
-            continue
-        key = (sp, kw_key)
-        if use_cache and key in cache:
-            cache.move_to_end(key)
-            ctx_sub[ci] = cache[key]
-        else:
-            pending.append((ci, sp, active))
+    with cache_lock:
+        for ci, sp, active in ctx_specs:
+            if not active:
+                ctx_sub[ci] = None
+                continue
+            key = (sp, kw_key)
+            if use_cache and key in cache:
+                cache.move_to_end(key)
+                ctx_sub[ci] = cache[key]
+            else:
+                pending.append((ci, sp, active))
 
     cand_tbl = None
     if pending:
@@ -411,9 +421,10 @@ def hybrid_search_many(
             sub = sub.combine_chunks() if sub.num_rows else None
         ctx_sub[ci] = sub
         if use_cache and (sub is None or sub.num_rows <= _CTX_CACHE_MAX_ROWS):
-            cache[(sp, kw_key)] = sub
-            while len(cache) > _CTX_CACHE_MAX:
-                cache.popitem(last=False)
+            with cache_lock:
+                cache[(sp, kw_key)] = sub
+                while len(cache) > _CTX_CACHE_MAX:
+                    cache.popitem(last=False)
 
     # per-ctx candidate arrays + stat deltas
     ctx_data: dict[int, dict] = {}
