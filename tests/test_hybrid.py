@@ -485,3 +485,29 @@ def test_hybrid_ctx_cache_reuse(edge_index, monkeypatch):
         assert len(rd._hybrid_ctx_cache) == 3
     finally:
         rd.close()
+
+
+def test_hybrid_ctx_cache_concurrent_and_eviction(edge_index, monkeypatch):
+    """The MCP/agent shape drives ONE reader from many threads. The
+    check->move_to_end->read and store->evict sequences are guarded by a
+    per-reader lock; with the LRU capacity forced to 1 (maximum eviction
+    pressure) concurrent mixed special-term queries must neither raise
+    nor diverge from their serial results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from probe_ray.search import hybrid
+    from probe_ray.search.searcher import IndexReader
+
+    monkeypatch.setattr(hybrid, "_CTX_CACHE_MAX", 1)
+    rd = IndexReader(edge_index)
+    try:
+        qs = ['"whitelists" OR stream', '"happi"', '"whitelists" AND merge']
+        serial = {q: _as_rows(rd.search(q, k=10)) for q in qs}
+        work = [qs[i % len(qs)] for i in range(30)]
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            results = list(ex.map(lambda q: (q, rd.search(q, k=10)), work))
+        for q, t in results:
+            assert _as_rows(t) == serial[q], q
+        assert len(rd._hybrid_ctx_cache) <= 1
+    finally:
+        rd.close()
