@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fts_search_blocks_reranked"] = fts.fts_search_blocks_reranked
     q["fts_search_blocks_balanced"] = fts.fts_search_blocks_balanced
     q["fts_search_blocks_merged"] = fts.fts_search_blocks_merged
+    # index-lifecycle pipelines (rows-only): sharded federation pinned
+    # bit-identical to the monolithic index, and the document-update
+    # (upsert) flow with member-scoped tombstones
+    q["fts_federated_search"] = fts.fts_federated_search
+    q["fts_upsert_lifecycle"] = fts.fts_upsert_lifecycle
 
     # The driver verifies only the FIRST 50 entries (dict order). Pin that
     # window to an explicit, all-oracle-bearing slice covering every

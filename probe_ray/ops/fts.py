@@ -517,3 +517,149 @@ def hybrid_rrf_search(
             "in_ann": pa.array([flags[d][1] for d, _ in fused], pa.int8()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-lifecycle pipelines (rows-only driver entries): the sharded-build
+# federation and the document-update (upsert) flow. Both are the index
+# MAINTENANCE story at 100 TB — build shards independently, never rebuild
+# the world to add a tenant or update a document.
+# ---------------------------------------------------------------------------
+
+# non-special-term query subset: FederatedReader covers the full
+# boolean/BM25 surface but special-term (quoted/excluded) queries are
+# per-index candidate machinery and raise by contract
+FEDERATED_QUERIES = ("single_term", "and", "or_chain", "grouped", "required")
+
+
+def fts_federated_search(sf_dir: str, k: int = 10) -> pa.Table:
+    """Shard the code corpus into two member indexes by doc-hash parity,
+    build each INDEPENDENTLY, then search through ``FederatedReader``
+    with federation-global statistics — and assert the merged top-k is
+    bit-identical to the monolithic index over the union corpus (the
+    invariant tests/test_federated.py pins at unit scale). Output: one
+    (qname, rank, score, repo, path, sha256) row per result.
+
+    Reference analog: probe searches one repo root per invocation
+    (src/search/search_runner.rs); multi-root = multiple invocations.
+    Here the shard layout is a first-class reader."""
+    import pyarrow.compute as _pc
+
+    import ray
+
+    from probe_ray.data.synth import CORPUS_VERSION
+    from probe_ray.index.build import doc_hash64
+    from probe_ray.search.searcher import FederatedReader
+
+    corpus = code_corpus_parquet(sf_dir)
+    members = []
+    for part in (0, 1):
+        frag = os.path.join(
+            _cache_dir(sf_dir), f"fed_corpus{part}_v{CORPUS_VERSION}"
+        )
+        if not os.path.isdir(frag) or not os.listdir(frag):
+
+            def keep(batch: pa.Table, _p=part) -> pa.Table:
+                m = [
+                    doc_hash64(r, p) % 2 == _p
+                    for r, p in zip(
+                        batch.column("repo").to_pylist(),
+                        batch.column("path").to_pylist(),
+                    )
+                ]
+                return batch.filter(pa.array(m))
+
+            ray.data.read_parquet(corpus).map_batches(
+                keep, batch_format="pyarrow", zero_copy_batch=True
+            ).write_parquet(frag)
+        members.append(
+            _ensure_index_at(
+                frag,
+                os.path.join(
+                    _cache_dir(sf_dir), f"fed_m{part}_v{CORPUS_VERSION}"
+                ),
+            )
+        )
+
+    mono = _reader(ensure_code_index(sf_dir))
+    fed = FederatedReader(members)
+    try:
+        out = []
+        for qname in FEDERATED_QUERIES:
+            got = fed.search(REFERENCE_QUERIES[qname], k=k)
+            want = mono.search(REFERENCE_QUERIES[qname], k=k)
+            if not got.equals(want):  # the federation invariant, live
+                raise AssertionError(
+                    f"federated != monolithic for {qname!r}"
+                )
+            out.append(
+                got.append_column(
+                    "qname", pa.array([qname] * got.num_rows)
+                )
+            )
+    finally:
+        fed.close()
+    return pa.concat_tables(out)
+
+
+UPSERT_MARKER = "upsertmarkeralpha"
+
+
+def fts_upsert_lifecycle(sf_dir: str, k: int = 10) -> pa.Table:
+    """The full document-update lifecycle as one driver-visible
+    pipeline (index/upsert.py): copy the cached base index (tombstones
+    mutate their member), rewrite two existing documents and insert one
+    new one through ``upsert_segment`` (delta built FIRST, tombstones
+    second — crash-safe ordering), then search the federation with
+    member-scoped tombstones. Exactly the three new versions must be
+    visible under the marker term; the result table is the proof."""
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    from probe_ray.index.upsert import upsert_segment
+    from probe_ray.search.searcher import FederatedReader
+
+    work = os.path.join(_cache_dir(sf_dir), "upsert_work")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    base = os.path.join(work, "base")
+    shutil.copytree(ensure_code_index(sf_dir), base)
+
+    # deterministic fragment: keys only (content is replaced), no
+    # content-column read of the corpus
+    corpus = code_corpus_parquet(sf_dir)
+    keys = (
+        pads.dataset(corpus)
+        .to_table(columns=["repo", "path", "commit", "lang"])
+        .sort_by([("repo", "ascending"), ("path", "ascending")])
+    )
+    rows = [keys.slice(3, 1).to_pylist()[0], keys.slice(17, 1).to_pylist()[0]]
+    frag_rows = []
+    for r in rows:
+        r = dict(r)
+        r["content"] = f"def rewritten_handler():\n    return {UPSERT_MARKER}\n"
+        r["commit"] = "upsert1"
+        frag_rows.append(r)
+    insert = dict(keys.slice(0, 1).to_pylist()[0])
+    insert["path"] = "brand/new_upserted.py"
+    insert["content"] = f"class BrandNew:\n    flag = {UPSERT_MARKER}\n"
+    insert["commit"] = "upsert1"
+    frag_rows.append(insert)
+    frag = os.path.join(work, "delta.parquet")
+    _pq.write_table(pa.Table.from_pylist(frag_rows), frag)
+
+    delta = os.path.join(work, "delta_idx")
+    upsert_segment([base], frag, delta)
+    fed = FederatedReader([base, delta], tombstone_scope="member")
+    try:
+        got = fed.search(UPSERT_MARKER, k=max(k, 10))
+    finally:
+        fed.close()
+    want_paths = sorted(r["path"] for r in frag_rows)
+    if sorted(got.column("path").to_pylist()) != want_paths:
+        raise AssertionError(
+            f"upsert visibility mismatch: {got.column('path').to_pylist()}"
+        )
+    return got
