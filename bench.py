@@ -329,6 +329,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             relational,
             text,
         )
+        from probe_ray.ops import fts as fts_ops
         from probe_ray.ops import io as io_ops
 
         # same session warmup the build section uses: spawn the worker
@@ -400,12 +401,17 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("rel_retention", lambda: _nrows(relational.retention_cohorts(SF_DIR))),
             ("rel_rolling_active", lambda: _nrows(relational.rolling_active_users(SF_DIR))),
             ("quality_pct_by_lang", lambda: _nrows(text.quality_percentile_filter_by_lang(SF_DIR))),
+            ("fts_federated_search", lambda: _nrows(fts_ops.fts_federated_search(SF_DIR))),
+            ("fts_upsert_lifecycle", lambda: _nrows(fts_ops.fts_upsert_lifecycle(SF_DIR))),
         ]:
             # median-of-3, matching the query entries' methodology: the
             # first rep of each op pays pipeline compile + worker ramp,
             # and a lone min-of-2 systematically reported best-case
             # numbers that weren't comparable to older one-shot rows
             out[name], _ = _timed(fn, reps=3, stat="median")
+        # the lifecycle ops cache monolithic readers (actor pools);
+        # release their reserved CPUs before shutdown
+        fts_ops.close_readers()
         return out
     finally:
         ray.shutdown()
