@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (upsert) flow with member-scoped tombstones
     q["fts_federated_search"] = fts.fts_federated_search
     q["fts_upsert_lifecycle"] = fts.fts_upsert_lifecycle
+    q["fts_compact_lifecycle"] = fts.fts_compact_lifecycle
 
     # The driver verifies only the FIRST 50 entries (dict order). Pin that
     # window to an explicit, all-oracle-bearing slice covering every

@@ -403,6 +403,7 @@ def run_sf_ops(num_cpus: int) -> dict:
             ("quality_pct_by_lang", lambda: _nrows(text.quality_percentile_filter_by_lang(SF_DIR))),
             ("fts_federated_search", lambda: _nrows(fts_ops.fts_federated_search(SF_DIR))),
             ("fts_upsert_lifecycle", lambda: _nrows(fts_ops.fts_upsert_lifecycle(SF_DIR))),
+            ("fts_compact_lifecycle", lambda: _nrows(fts_ops.fts_compact_lifecycle(SF_DIR))),
         ]:
             # median-of-3, matching the query entries' methodology: the
             # first rep of each op pays pipeline compile + worker ramp,

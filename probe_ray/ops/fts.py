@@ -605,21 +605,19 @@ def fts_federated_search(sf_dir: str, k: int = 10) -> pa.Table:
 UPSERT_MARKER = "upsertmarkeralpha"
 
 
-def fts_upsert_lifecycle(sf_dir: str, k: int = 10) -> pa.Table:
-    """The full document-update lifecycle as one driver-visible
-    pipeline (index/upsert.py): copy the cached base index (tombstones
-    mutate their member), rewrite two existing documents and insert one
-    new one through ``upsert_segment`` (delta built FIRST, tombstones
-    second — crash-safe ordering), then search the federation with
-    member-scoped tombstones. Exactly the three new versions must be
-    visible under the marker term; the result table is the proof."""
+def _upsert_workspace(sf_dir: str) -> tuple[str, str, str, list[str]]:
+    """Build the upsert scenario: a private copy of the cached base
+    index (tombstones mutate their member), a deterministic delta
+    fragment rewriting two existing documents plus one insert, and the
+    delta index via ``upsert_segment`` (delta built FIRST, tombstones
+    second — crash-safe ordering). Returns (work, base, delta,
+    expected_marker_paths)."""
     import shutil
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as _pq
 
     from probe_ray.index.upsert import upsert_segment
-    from probe_ray.search.searcher import FederatedReader
 
     work = os.path.join(_cache_dir(sf_dir), "upsert_work")
     shutil.rmtree(work, ignore_errors=True)
@@ -652,14 +650,54 @@ def fts_upsert_lifecycle(sf_dir: str, k: int = 10) -> pa.Table:
 
     delta = os.path.join(work, "delta_idx")
     upsert_segment([base], frag, delta)
-    fed = FederatedReader([base, delta], tombstone_scope="member")
+    return work, base, delta, sorted(r["path"] for r in frag_rows)
+
+
+def _marker_search(members: list[str], scope: str, k: int) -> pa.Table:
+    from probe_ray.search.searcher import FederatedReader
+
+    fed = FederatedReader(members, tombstone_scope=scope)
     try:
-        got = fed.search(UPSERT_MARKER, k=max(k, 10))
+        return fed.search(UPSERT_MARKER, k=k)
     finally:
         fed.close()
-    want_paths = sorted(r["path"] for r in frag_rows)
+
+
+def fts_upsert_lifecycle(sf_dir: str, k: int = 10) -> pa.Table:
+    """The full document-update lifecycle as one driver-visible
+    pipeline (index/upsert.py): see ``_upsert_workspace``; then search
+    the federation with member-scoped tombstones. Exactly the three new
+    versions must be visible under the marker term; the result table is
+    the proof."""
+    _work, base, delta, want_paths = _upsert_workspace(sf_dir)
+    got = _marker_search([base, delta], "member", max(k, 10))
     if sorted(got.column("path").to_pylist()) != want_paths:
         raise AssertionError(
             f"upsert visibility mismatch: {got.column('path').to_pylist()}"
         )
+    return got
+
+
+def fts_compact_lifecycle(sf_dir: str, k: int = 10) -> pa.Table:
+    """Segment-merge maintenance, the second half of the update
+    lifecycle: after the upsert, ``compact_index`` rebuilds the base
+    member from its recorded corpus with the tombstoned old versions
+    dropped at tokenize time (exact stats over survivors, no tombstones
+    file left). The marker search over [compacted, delta] must show the
+    same three documents as the tombstone-masked federation — deletes
+    reclaimed, visibility unchanged."""
+    from probe_ray.index.build import compact_index
+
+    work, base, delta, want_paths = _upsert_workspace(sf_dir)
+    masked = _marker_search([base, delta], "member", max(k, 10))
+    compacted = os.path.join(work, "base_compacted")
+    compact_index(base, compacted)
+    got = _marker_search([compacted, delta], "member", max(k, 10))
+    if sorted(got.column("path").to_pylist()) != want_paths:
+        raise AssertionError(
+            f"post-compaction visibility mismatch: "
+            f"{got.column('path').to_pylist()}"
+        )
+    if got.column("path").to_pylist() != masked.column("path").to_pylist():
+        raise AssertionError("compaction changed result ordering")
     return got

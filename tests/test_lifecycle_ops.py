@@ -35,3 +35,13 @@ def test_upsert_lifecycle_op(ray_session):
     assert t.num_rows == 3  # two rewrites + one insert, nothing else
     assert "brand/new_upserted.py" in t.column("path").to_pylist()
     assert t.equals(fts.fts_upsert_lifecycle(SF))
+
+
+def test_compact_lifecycle_op(ray_session):
+    from probe_ray.ops import fts
+
+    t = fts.fts_compact_lifecycle(SF)
+    assert t.num_rows == 3
+    # identical visibility to the tombstone-masked federation is
+    # asserted inside the op; here pin the shape and determinism
+    assert t.equals(fts.fts_compact_lifecycle(SF))
