@@ -543,8 +543,6 @@ def fts_federated_search(sf_dir: str, k: int = 10) -> pa.Table:
     Reference analog: probe searches one repo root per invocation
     (src/search/search_runner.rs); multi-root = multiple invocations.
     Here the shard layout is a first-class reader."""
-    import pyarrow.compute as _pc
-
     import ray
 
     from probe_ray.data.synth import CORPUS_VERSION
